@@ -1,0 +1,17 @@
+"""Operator library: pure DataFrame -> DataFrame functions.
+
+Each module covers one operator family from SURVEY.md §2:
+
+- :mod:`windows` — lag/pct-change, gated rolling sum/std/cov,
+  z-scores, partition counts (W1-W3, W5, W8, A5, A6)
+- :mod:`ewma` — exact Polars-semantics EWMA via applyInPandas (W4)
+- :mod:`rolling_ols` — per-key rolling OLS via applyInPandas (W6)
+- :mod:`reshape` — pivot/unpivot/explode helpers (R2-R4)
+- :mod:`dedup` — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+  embedding-cosine deduplication (training-data ops)
+- :mod:`similarity` — brute-force and LSH-bucketed cosine top-k
+- :mod:`text` — language-ID, quality scoring, token counting,
+  fingerprinting
+- :mod:`multimodal` — binary-column plumbing with stubbed decoders
+- :mod:`portfolio` — covariance assembly + QP weights (U3)
+"""

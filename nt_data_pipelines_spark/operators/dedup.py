@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies, each chosen for a different scale/precision
+point, all expressed relationally so Catalyst plans them (shuffles on
+content hashes; no Python in the hot path):
+
+- exact:      md5(text) hash-groupBy — O(n), removes byte-identical dups
+- n-gram Jaccard: word-shingle self-join — exact set similarity on
+              candidate pairs (quadratic per shingle bucket; used to
+              *verify* candidates, not to generate them at scale)
+- MinHash+LSH: k md5-seeded min-hashes, banded into LSH buckets —
+              the scale path: near-dup candidates come from equi-join
+              on (band, band_hash), so the only shuffle is on bucket
+              keys and cost is ~linear in corpus size
+- SimHash:    16-bit weighted-bit fingerprint, hamming-distance
+              candidates within identical fingerprint buckets
+- embedding cosine: see operators/similarity.py (near_dup_pairs)
+
+All hashes are md5 so any engine (DuckDB oracle included) reproduces
+them bit-for-bit — MinHash "permutations" are min-over md5(seed:word),
+a standard trick that needs no engine-specific hash function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.text import words
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per identical text; returns (survivor_id, n_dups, text_hash)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_set(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, word) distinct pairs — the shingle relation for set-similarity ops."""
+    return df.select(id_col, F.explode(words(text_col)).alias("word")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity on word sets for all colliding pairs.
+
+    Pairs (a < b) sharing at least one word; jaccard = |A∩B| / |A∪B|.
+    At 100 TB you never run this on the full corpus — generate
+    candidates with MinHash-LSH first, then verify with this on the
+    (tiny) candidate set. Kept standalone for the oracle check.
+    """
+    shingles = word_set(df, id_col, text_col)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingles.withColumnsRenamed({id_col: "id_a"})
+    b = shingles.withColumnsRenamed({id_col: "id_b"})
+    common = (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"})
+    sb = sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"})
+    jac = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_component(seed: int) -> Column:
+    # md5("<seed>:<word>") is a fresh uniform hash per seed — the
+    # min over a document's words is one MinHash signature component.
+    return F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("word")))).alias(f"mh_{seed}")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 16
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) MinHash signature per document.
+
+    One exploded-shingle aggregation computes all k components in a
+    single shuffle (no per-seed passes).
+    """
+    shingles = word_set(df, id_col, text_col)
+    return shingles.groupBy(id_col).agg(*[_minhash_component(s) for s in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signature split into ``bands`` bands of k/bands rows; documents
+    colliding on any band's hash become a candidate pair. The
+    pair-generation join is an equi-join on (band, band_hash): that is
+    the whole point — at scale the shuffle key is the bucket, never
+    the cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sigs.select(id_col, *band_cols)
+    long = banded.unpivot(
+        ids=[id_col],
+        values=[f"band_{b}" for b in range(bands)],
+        variableColumnName="band",
+        valueColumnName="band_hash",
+    )
+    a = long.withColumnsRenamed({id_col: "id_a"})
+    b_ = long.withColumnsRenamed({id_col: "id_b"})
+    return (
+        a.join(b_, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash fingerprint from word md5s (JVM-side bit math).
+
+    Bit b of the fingerprint is the sign of sum over words of
+    (+1 if bit b of md5(word) else -1). Near-dups share most bits, so
+    identical-fingerprint (or low-hamming) buckets are dedup groups.
+    """
+    # value of the first 4 hex digits of md5(word) -> 16-bit integer
+    hex16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
+    shingles = word_set(df, id_col, text_col).withColumn("h", hex16)
+    bit_weights = [
+        F.sum(
+            F.when(F.floor(F.col("h") / (1 << b)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"w_{b}")
+        for b in range(bits)
+    ]
+    per_doc = shingles.groupBy(id_col).agg(*bit_weights)
+    fingerprint = sum(
+        [F.when(F.col(f"w_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)],
+        F.lit(0),
+    )
+    return per_doc.select(id_col, fingerprint.cast("long").alias("simhash"))

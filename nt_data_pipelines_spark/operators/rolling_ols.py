@@ -1,0 +1,106 @@
+"""W6 — per-key rolling OLS regression (the reference's UDAF-class op).
+
+The reference fits, per ticker, a rolling 252-row OLS of stock return
+on [const + 5 factor returns] and keeps the per-date coefficient
+paths (pipelines/factor_model_flow.py:23-57; the 1-factor benchmark
+variant is pipelines/betas_flow.py:24-48). Keys with fewer than
+``window`` rows are skipped entirely (factor_model_flow.py:29), and
+rows before the window fills get null coefficients.
+
+Spark-first shape: one grouped-map Pandas UDF per key. Inside the
+group the fit is a vectorized sliding-window normal-equation solve —
+cumulative X'X / X'y sums, one small (k x k) solve per output row —
+O(n k^2) per key, no Python-level row loop over observations.
+
+The 1-regressor case is SQL-expressible (windowed REGR_SLOPE — see
+plans/timeseries.py w6_rolling_regression) and serves as the oracle;
+this kernel is the general k-factor path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _as_list(x: Sequence[str] | str) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _rolling_ols_numpy(y: np.ndarray, X: np.ndarray, window: int) -> np.ndarray:
+    """Coefficients of OLS(y, X) over each trailing ``window`` rows.
+
+    Returns (n, k) array, NaN rows until the window is full. Uses
+    cumulative cross-products so each output row costs one k x k solve.
+    """
+    n, k = X.shape
+    out = np.full((n, k), np.nan)
+    if n < window:
+        return out
+    # cumulative sums of outer products, prepended with a zero row:
+    # S_xx[t] = sum_{i<t} X_i X_i^T ; window sum = S[t+1] - S[t+1-window]
+    xx = np.einsum("ni,nj->nij", X, X)
+    xy = X * y[:, None]
+    c_xx = np.concatenate([np.zeros((1, k, k)), np.cumsum(xx, axis=0)])
+    c_xy = np.concatenate([np.zeros((1, k)), np.cumsum(xy, axis=0)])
+    for t in range(window - 1, n):
+        a = c_xx[t + 1] - c_xx[t + 1 - window]
+        b = c_xy[t + 1] - c_xy[t + 1 - window]
+        try:
+            out[t] = np.linalg.solve(a, b)
+        except np.linalg.LinAlgError:
+            out[t], *_ = np.linalg.lstsq(a, b, rcond=None)
+    return out
+
+
+def rolling_ols(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    y_col: str,
+    x_cols: Sequence[str],
+    window: int,
+    add_const: bool = True,
+    const_name: str = "const",
+    coef_prefix: str = "beta_",
+    drop_partial: bool = True,
+) -> DataFrame:
+    """Append rolling OLS coefficient columns per key.
+
+    Output columns: ``const`` (if add_const) and ``{coef_prefix}{x}``
+    for each regressor. Keys with < ``window`` rows produce no rows
+    when ``drop_partial`` (reference skips them), else NaN rows.
+    """
+    keys = _as_list(partition_by)
+    order = _as_list(order_by)
+    xs = list(x_cols)
+    coef_cols = ([const_name] if add_const else []) + [coef_prefix + c for c in xs]
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(c, T.DoubleType()) for c in coef_cols]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < window:
+            if drop_partial:
+                return pdf.iloc[0:0].reindex(columns=list(pdf.columns) + coef_cols)
+            for c in coef_cols:
+                pdf[c] = np.nan
+            return pdf
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        X = pdf[xs].to_numpy(dtype=np.float64)
+        if add_const:
+            X = np.column_stack([np.ones(n), X])
+        coefs = _rolling_ols_numpy(y, X, window)
+        for i, c in enumerate(coef_cols):
+            pdf[c] = coefs[:, i]
+        if drop_partial:
+            pdf = pdf.iloc[window - 1 :]
+        return pdf
+
+    return df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)

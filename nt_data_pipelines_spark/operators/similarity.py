@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN works at 100 TB:
+
+- brute-force cosine top-k: the exact baseline. The query set is
+  broadcast; the corpus scan is embarrassingly parallel; per-row cost
+  is a fused JVM expression (zip_with + aggregate — no Python, no
+  shuffle until the final per-query top-k).
+- LSH-bucketed ANN: random-hyperplane signatures (signs derived
+  deterministically from md5 so any engine reproduces them), bucket
+  equi-join, exact re-rank within buckets. The cross product never
+  materializes; the shuffle key is the bucket.
+
+An IVF variant (k-means coarse quantizer) is the natural next tier;
+the bucket-join skeleton here is exactly what it would reuse with
+learned centroids instead of hash planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    Returns (query_id, rank, neighbor_id, cosine). Ranking uses the
+    6-decimal-rounded cosine with id tie-break so results are stable
+    across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Quadratic — correct as an oracle-checkable definition and fine for
+    re-ranking candidate buckets; at corpus scale generate candidates
+    with :func:`lsh_signatures` buckets first.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity.
+
+    Reproducible in any engine with md5 — no RNG, no seed state.
+    """
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}:{j}".encode()).hexdigest()
+        comps.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def lsh_signatures(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH signature per vector.
+
+    bucket = the concatenated sign bits of <v, h_p> for each plane.
+    Hyperplane literals are inlined into the plan (tiny arrays) — the
+    comparison stays a fused JVM expression per row.
+    """
+    v = as_double_array(vec_col)
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return corpus.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank within matching LSH bucket."""
+    sig_c = lsh_signatures(corpus, id_col, vec_col, num_planes, dim).withColumnsRenamed(
+        {id_col: "neighbor_id"}
+    )
+    sig_q = lsh_signatures(queries, id_col, vec_col, num_planes, dim).withColumnsRenamed(
+        {id_col: "query_id"}
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec"))
+    cand = (
+        sig_q.join(sig_c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

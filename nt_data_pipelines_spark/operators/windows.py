@@ -1,0 +1,199 @@
+"""Window & time-series operators (SURVEY.md §2.5).
+
+Every rolling operator here reproduces the reference's *full-window*
+semantics: Polars ``rolling_sum/rolling_std(window_size=N)`` and
+pandas ``rolling(N, min_periods=N)`` emit null until the window holds
+exactly N observations (reference: pipelines/reversal_flow.py:12-29,
+pipelines/factor_model_flow.py:94-104,
+pipelines/factor_covariances_flow.py:21). Spark window frames happily
+aggregate partial windows, so each rolling op pairs the aggregate
+with a COUNT gate over the same frame.
+
+All functions are pure DataFrame -> DataFrame, stay JVM-side
+(built-in ``pyspark.sql.functions`` only — no Python UDFs), and keep
+a single window spec per partition+ordering so Catalyst computes
+sibling window functions in one shuffle/sort pass.
+
+Scale notes: a window over ``partitionBy(key)`` shuffles once on
+``key``; all window ops sharing (partition, order) reuse that
+exchange. Skewed keys are the main 100 TB risk — for per-ticker /
+per-user series the per-key row count is bounded (days x 1), so no
+salting is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _cols(names: Sequence[str] | str) -> list[str]:
+    return [names] if isinstance(names, str) else list(names)
+
+
+def keyed_window(partition_by: Sequence[str] | str, order_by: Sequence[str] | str) -> WindowSpec:
+    return Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+
+
+def pct_change(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "pct_change",
+    drop_null: bool = True,
+) -> DataFrame:
+    """W1 — ``x / lag(x) - 1`` per key, null first row per partition.
+
+    Reference: pipelines/returns_flow.py:13-24 (Polars
+    ``pct_change().over("ticker")`` then ``drop_nulls``).
+    """
+    w = keyed_window(partition_by, order_by)
+    out = df.withColumn(out_col, F.col(value_col) / F.lag(value_col, 1).over(w) - 1)
+    return out.filter(F.col(out_col).isNotNull()) if drop_null else out
+
+
+def _gated(agg: Column, gate_count: Column, window_size: int) -> Column:
+    return F.when(gate_count == window_size, agg)
+
+
+def rolling_sum(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str | Column,
+    window_size: int,
+    out_col: str = "rolling_sum",
+) -> DataFrame:
+    """W2 — trailing ``window_size``-row sum, null until full.
+
+    Reference: pipelines/reversal_flow.py:12-29
+    (``rolling_sum(21).over("ticker")``).
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = keyed_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    return df.withColumn(out_col, _gated(F.sum(col).over(w), F.count(col).over(w), window_size))
+
+
+def rolling_std(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    window_size: int,
+    out_col: str = "rolling_std",
+) -> DataFrame:
+    """W3 — trailing sample std (ddof=1), null until full.
+
+    Reference: pipelines/factor_model_flow.py:94-104
+    (``rolling_std(window_size=252)`` per ticker).
+    """
+    w = keyed_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    return df.withColumn(
+        out_col,
+        _gated(F.stddev_samp(value_col).over(w), F.count(value_col).over(w), window_size),
+    )
+
+
+def rolling_mean(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    window_size: int,
+    out_col: str = "rolling_mean",
+) -> DataFrame:
+    w = keyed_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    return df.withColumn(
+        out_col,
+        _gated(F.avg(value_col).over(w), F.count(value_col).over(w), window_size),
+    )
+
+
+def rolling_cov(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    x_col: str,
+    y_col: str,
+    window_size: int,
+    out_col: str = "rolling_cov",
+) -> DataFrame:
+    """W5 — trailing sample covariance (ddof=1) of two columns.
+
+    Reference: pipelines/factor_covariances_flow.py:11-29 (pandas
+    ``rolling(252, min_periods=252).cov()`` on the wide factor-return
+    matrix). The K x K pairwise version is built by looping this over
+    factor pairs (K=5 -> 15 upper-triangle pairs) on the *pivoted*
+    frame — see pipelines/covariances.py.
+    """
+    w = keyed_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    both = F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), F.col(x_col))
+    return df.withColumn(
+        out_col,
+        _gated(F.covar_samp(x_col, y_col).over(w), F.count(both).over(w), window_size),
+    )
+
+
+def zscore(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "zscore",
+    partition_by: Sequence[str] | str | None = None,
+) -> DataFrame:
+    """A5 — ``(x - mean) / std`` with sample std.
+
+    ``partition_by=None`` reproduces the reference's *whole-frame*
+    z-score (pipelines/reversal_flow.py:33-43 — the backfill scores
+    across all dates at once); passing ``["date"]`` gives the
+    cross-sectional per-date variant the daily flow effectively
+    computes. An empty ``Window.partitionBy()`` makes Catalyst compute
+    the global moments with a single-partition window — fine because
+    the moments are two scalars; at 100 TB prefer the agg+crossJoin
+    form below which keeps the data path fully parallel.
+    """
+    if partition_by:
+        w = Window.partitionBy(*_cols(partition_by))
+        return df.withColumn(
+            out_col,
+            (F.col(value_col) - F.avg(value_col).over(w)) / F.stddev_samp(value_col).over(w),
+        )
+    # Global moments via scalar aggregate + broadcast cross join: no
+    # single-partition window bottleneck, safe at any scale.
+    moments = df.agg(
+        F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sigma")
+    )
+    return (
+        df.crossJoin(F.broadcast(moments))
+        .withColumn(out_col, (F.col(value_col) - F.col("__mu")) / F.col("__sigma"))
+        .drop("__mu", "__sigma")
+    )
+
+
+def partition_count(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    out_col: str = "n",
+) -> DataFrame:
+    """A6/W8 — row count per partition as a column (1/N weights).
+
+    Reference: pipelines/benchmark_flow.py:16
+    (``pl.lit(1).truediv(pl.len()).over("date")``).
+    """
+    w = Window.partitionBy(*_cols(partition_by))
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def lag_col(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    n: int = 1,
+    out_col: str = "lag",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, F.lag(value_col, n).over(keyed_window(partition_by, order_by))
+    )

@@ -1,0 +1,15 @@
+"""Driver-facing query registry (queries() / oracle_sql() pairs).
+
+Importing this package registers every query module. The registry is
+what ``__spark_entry__.py`` exposes to the verification driver.
+"""
+
+from nt_data_pipelines_spark.plans.registry import REGISTRY, oracle_sql, queries, register
+
+# Import for side effects: each module registers its queries.
+from nt_data_pipelines_spark.plans import relational  # noqa: E402,F401
+from nt_data_pipelines_spark.plans import timeseries  # noqa: E402,F401
+from nt_data_pipelines_spark.plans import textdedup  # noqa: E402,F401
+from nt_data_pipelines_spark.plans import similarity  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "register", "queries", "oracle_sql"]

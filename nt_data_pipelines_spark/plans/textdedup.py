@@ -1,0 +1,238 @@
+"""Text-analysis & deduplication queries over the documents table.
+
+These are the training-data-pipeline capabilities (dedup family,
+quality scoring, language ID, fingerprinting). Every hash in the
+Spark operators is md5, so the DuckDB oracles reproduce signatures
+bit-for-bit — including the MinHash-LSH banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import dedup as D
+from nt_data_pipelines_spark.operators import text as TX
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+_EN = ", ".join(f"'{w}'" for w in TX.STOPWORD_LEXICON["en"])
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in TX.STOPWORD_LEXICON.items() for w in ws
+)
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on content, min-id survivor.",
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text").select("text_hash", "survivor_id", "n_dups")
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+           ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.8
+    """,
+    doc="n-gram (word-set) Jaccard near-dup pairs at threshold 0.8.",
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "d_minhash_lsh",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        MIN(md5('0:' || word)) AS mh_0,  MIN(md5('1:' || word)) AS mh_1,
+        MIN(md5('2:' || word)) AS mh_2,  MIN(md5('3:' || word)) AS mh_3,
+        MIN(md5('4:' || word)) AS mh_4,  MIN(md5('5:' || word)) AS mh_5,
+        MIN(md5('6:' || word)) AS mh_6,  MIN(md5('7:' || word)) AS mh_7,
+        MIN(md5('8:' || word)) AS mh_8,  MIN(md5('9:' || word)) AS mh_9,
+        MIN(md5('10:' || word)) AS mh_10, MIN(md5('11:' || word)) AS mh_11,
+        MIN(md5('12:' || word)) AS mh_12, MIN(md5('13:' || word)) AS mh_13,
+        MIN(md5('14:' || word)) AS mh_14, MIN(md5('15:' || word)) AS mh_15
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 'band_0' AS band, md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_1', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_2', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_3', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16) + LSH(4 bands) candidate near-dup pairs; md5-seeded "
+    "min-hashing so the oracle reproduces signatures exactly.",
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4)
+
+
+@register(
+    "d_simhash",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS h
+      FROM shingles
+    ),
+    weights AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM weights
+    """.format(
+        bit_sums=",\n        ".join(
+            f"SUM(CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w_{b}"
+            for b in range(16)
+        ),
+        fingerprint=" + ".join(
+            f"CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+        ),
+    ),
+    doc="SimHash-16 fingerprint from word md5 bits (JVM-side bit math).",
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "t_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS q_chars,
+           LEN(string_split(text, ' ')) AS q_words,
+           LENGTH(text) / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS q_avg_word_len,
+           LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE) AS q_alpha_ratio,
+           LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE) AS q_digit_ratio,
+           LENGTH(regexp_replace(text, '[^ ]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE) AS q_space_ratio,
+           LEN(list_filter(list_distinct(string_split(text, ' ')), x -> x IN ({_EN})))
+             / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS q_en_stopword_distinct_ratio,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS q_tokens
+    FROM documents
+    """,
+    doc="Quality scoring: length/word/charclass/stopword/token features.",
+)
+def t_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        "q_chars",
+        F.col("q_words").cast("long").alias("q_words"),
+        "q_avg_word_len",
+        "q_alpha_ratio",
+        "q_digit_ratio",
+        "q_space_ratio",
+        "q_en_stopword_distinct_ratio",
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+    )
+
+
+@register(
+    "t_language_id",
+    oracle=f"""
+    WITH lexicon(lang, word) AS (VALUES {_LEX_VALUES}),
+    exploded AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    scores AS (
+      SELECT e.doc_id, l.lang, COUNT(*) AS hits
+      FROM exploded e JOIN lexicon l ON e.word = l.word
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rk
+      FROM scores
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS pred_lang,
+           COALESCE(b.hits, 0) AS lex_hits
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+    """,
+    doc="Language ID: stopword-lexicon hit argmax, deterministic tie-break.",
+)
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.language_id(docs, "doc_id", "text")
+
+
+@register(
+    "t_fingerprint",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    bigrams AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, GREATEST(LEN(ws), 1)),
+                                           i -> md5(ws[i] || ' ' || ws[i + 1]))) AS bh
+      FROM w
+    ),
+    fps AS (SELECT doc_id, MIN(bh) AS fp FROM bigrams GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(f.fp, md5(d.text)) AS fingerprint
+    FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+    """,
+    doc="Document fingerprint: min rolling (bigram) md5 hash — winnowing-lite.",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_fingerprint(docs, "doc_id", "text")
+
+
+@register(
+    "t_token_totals",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS total_tokens,
+           SUM(LENGTH(text)) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+    doc="Corpus token accounting per (source, lang) — integer sums, exact.",
+)
+def t_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

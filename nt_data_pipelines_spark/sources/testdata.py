@@ -1,0 +1,52 @@
+"""Readers for the driver-generated parquet testdata.
+
+One parquet file per table under ``/root/testdata/sf*/``. These are
+plain ``spark.read.parquet`` scans — Catalyst handles predicate
+pushdown and column pruning, so callers should filter/select on the
+returned DataFrame rather than pre-materializing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one testdata table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as a nanosecond long (legacy conf) and floor-divide
+    to microseconds — exactly how DuckDB coerces nanos to its
+    microsecond timestamps, so oracle comparisons stay bit-equal.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
