@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Mirrors BASELINE.md's DuckDB measurement protocol: warm runs, median
+of 5, full materialization (Arrow collect). Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The seven headline queries map 1:1 to the baseline's operator classes
+(W1 lag, W2 rolling sum, A5 z-score, A6+A1 weighted agg, J-class
+3-way join, R2 pivot, O3 top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nt_data_pipelines_spark import plans
+from nt_data_pipelines_spark.session import get_spark
+
+HEADLINE = {
+    "q1_lag_pct_change": "w1_pct_change",
+    "q2_rolling_sum21": "w2_rolling_sum21",
+    "q3_zscore_global": "a5_zscore_global",
+    "q4_equal_weight_agg": "a6_equal_weight_benchmark",
+    "q5_threeway_join_agg": "j2_shipping_priority",
+    "q6_pivot": "r2_pivot_event_type",
+    "q7_topk_dates": "o3_topk_dates",
+}
+
+WARMUP_RUNS = 1
+TIMED_RUNS = 5
+
+
+def materialize(df) -> int:
+    # Arrow-batched transfer = the "fetchall" equivalent; row-based
+    # collect() would benchmark Py4J serialization, not the engine.
+    return len(df.toPandas())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for label, qname in HEADLINE.items():
+        fn = plans.REGISTRY[qname].fn
+        for _ in range(WARMUP_RUNS):
+            materialize(fn(spark, sf_dir))
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[label] = round(statistics.median(runs), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_median_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

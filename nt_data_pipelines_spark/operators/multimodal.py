@@ -1,0 +1,93 @@
+"""Multimodal column plumbing (training-data ops).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so each task streams batches without materializing a
+partition. The actual codecs (PIL/torchaudio/ffmpeg) are NOT in this
+container, so the decode step is stubbed two ways:
+
+- ``decode_stub="error"``: raises NotImplementedError (the honest
+  production posture until codecs ship),
+- ``decode_stub="fake"``: deterministic fake features derived from
+  the bytes (mean byte value, length, sha). The Spark-side contract —
+  schema, batch iteration, partitioning — is identical either way and
+  is what the tests pin down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("feature_dim", T.IntegerType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat text bytes as an opaque media payload with metadata.
+
+    Real corpora land here from image/audio parquet with a binary
+    column; the shape (id, payload, type, size, digest) is identical.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+
+
+def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
+    """Batch feature extraction over payload bytes via mapInPandas.
+
+    Swap ``_fake_features`` for a real decoder (PIL resize, mel
+    spectrogram, frame sampling) without touching the Spark plumbing:
+    the iterator-of-batches contract and output schema stay fixed.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "media codecs (PIL/torchaudio/ffmpeg) not installed in this "
+                    "environment; use decode_stub='fake' for plumbing tests"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "mean_byte": [
+                        (sum(b) / len(b)) if len(b) else 0.0 for b in payloads
+                    ],
+                    "feature_dim": 1,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -103,4 +104,10 @@ def rolling_ols(
             pdf = pdf.iloc[window - 1 :]
         return pdf
 
-    return df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)
+    out = df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)
+    # NaN -> NULL: the reference's Polars conversion maps the unfilled-
+    # window NaNs to nulls (pl.from_pandas nan_to_null), and every
+    # downstream null-gate/drop_nulls depends on that distinction.
+    return out.withColumns(
+        {c: F.when(~F.isnan(F.col(c)), F.col(c)) for c in coef_cols}
+    )

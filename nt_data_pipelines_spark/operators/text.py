@@ -58,11 +58,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         n_chars.alias("q_chars"),
         n_words.alias("q_words"),
-        (n_chars.cast("double") / n_words).alias("q_avg_word_len"),
-        (n_alpha.cast("double") / n_chars).alias("q_alpha_ratio"),
-        (n_digit.cast("double") / n_chars).alias("q_digit_ratio"),
-        (n_space.cast("double") / n_chars).alias("q_space_ratio"),
-        (stop_hits.cast("double") / n_words).alias("q_en_stopword_distinct_ratio"),
+        F.try_divide(n_chars.cast("double"), n_words).alias("q_avg_word_len"),
+        F.try_divide(n_alpha.cast("double"), n_chars).alias("q_alpha_ratio"),
+        F.try_divide(n_digit.cast("double"), n_chars).alias("q_digit_ratio"),
+        F.try_divide(n_space.cast("double"), n_chars).alias("q_space_ratio"),
+        F.try_divide(stop_hits.cast("double"), n_words).alias("q_en_stopword_distinct_ratio"),
         token_count(t).alias("q_tokens"),
     )
 

@@ -51,7 +51,7 @@ def pct_change(
     ``pct_change().over("ticker")`` then ``drop_nulls``).
     """
     w = keyed_window(partition_by, order_by)
-    out = df.withColumn(out_col, F.col(value_col) / F.lag(value_col, 1).over(w) - 1)
+    out = df.withColumn(out_col, F.try_divide(F.col(value_col), F.lag(value_col, 1).over(w)) - 1)
     return out.filter(F.col(out_col).isNotNull()) if drop_null else out
 
 
@@ -158,7 +158,7 @@ def zscore(
         w = Window.partitionBy(*_cols(partition_by))
         return df.withColumn(
             out_col,
-            (F.col(value_col) - F.avg(value_col).over(w)) / F.stddev_samp(value_col).over(w),
+            F.try_divide(F.col(value_col) - F.avg(value_col).over(w), F.stddev_samp(value_col).over(w)),
         )
     # Global moments via scalar aggregate + broadcast cross join: no
     # single-partition window bottleneck, safe at any scale.
@@ -167,7 +167,7 @@ def zscore(
     )
     return (
         df.crossJoin(F.broadcast(moments))
-        .withColumn(out_col, (F.col(value_col) - F.col("__mu")) / F.col("__sigma"))
+        .withColumn(out_col, F.try_divide(F.col(value_col) - F.col("__mu"), F.col("__sigma")))
         .drop("__mu", "__sigma")
     )
 

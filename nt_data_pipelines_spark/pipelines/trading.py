@@ -1,0 +1,57 @@
+"""Trading-flow DataFrame stages (reference: pipelines/trading_flow.py).
+
+The order-placement loop and broker polling are driver-side sinks
+(S10/S13 — ``collect()`` then iterate); the *engine* stages are the
+DataFrame computations reproduced here:
+
+- target notionals: weight x equity, clipped at 0, rounded to cents
+  (trading_flow.py:24-30)
+- positions to close: currently-held tickers whose target is <= 0
+  (trading_flow.py:75-86 — is_in + not idiom = semi/anti join)
+- notional deltas: full-outer join of target vs current notionals,
+  key coalesce, zero-fill, >= $1 magnitude filter, desc sort
+  (trading_flow.py:47-72)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_notionals(weights: DataFrame, equity: float) -> DataFrame:
+    """(ticker, weight) -> (ticker, target_notional>=0, cents)."""
+    return weights.select(
+        "ticker",
+        F.round(F.greatest(F.col("weight") * F.lit(equity), F.lit(0.0)), 2).alias(
+            "target_notional"
+        ),
+    )
+
+
+def positions_to_close(targets: DataFrame, positions: DataFrame) -> DataFrame:
+    """Held tickers with target <= 0 -> close list (left_semi on holdings)."""
+    closeable = targets.filter(F.col("target_notional") <= 0).select("ticker")
+    return positions.join(closeable, "ticker", "left_semi").select("ticker", "notional")
+
+
+def notional_deltas(targets: DataFrame, positions: DataFrame) -> DataFrame:
+    """Full-outer target-vs-held diff -> per-ticker trade notionals.
+
+    delta > 0: buy, delta < 0: sell; trades under $1 dropped.
+    """
+    t = targets.alias("t")
+    p = positions.select("ticker", F.col("notional").alias("current_notional")).alias("p")
+    j = t.join(p, F.col("t.ticker") == F.col("p.ticker"), "full_outer")
+    target = F.coalesce(F.col("t.target_notional"), F.lit(0.0))
+    current = F.coalesce(F.col("p.current_notional"), F.lit(0.0))
+    return (
+        j.select(
+            F.coalesce(F.col("t.ticker"), F.col("p.ticker")).alias("ticker"),
+            target.alias("target_notional"),
+            current.alias("current_notional"),
+            F.round(target - current, 2).alias("notional_delta"),
+        )
+        .filter(F.abs(F.col("notional_delta")) >= 1.0)
+        .sort(F.desc("notional_delta"))
+    )

@@ -1,0 +1,7 @@
+from nt_data_pipelines_spark.streaming.incremental import (
+    run_available_now,
+    streaming_event_counts,
+    upsert_foreach_batch,
+)
+
+__all__ = ["streaming_event_counts", "upsert_foreach_batch", "run_available_now"]

@@ -1,0 +1,97 @@
+"""Structured Streaming layer (additive — SURVEY.md §2.9).
+
+The reference has no streaming runtime; its incremental story is
+scheduled batch + PK-upsert (T1-T5). This module adds the native
+Spark equivalents so the engine covers both modes:
+
+- ``streaming_event_counts``: watermarked tumbling-window aggregation
+  over a file stream — the canonical late-data-tolerant incremental
+  aggregate.
+- ``upsert_foreach_batch``: the reference's append+optimize upsert
+  (S5/T4) as an exactly-once ``foreachBatch`` sink into a
+  :class:`~nt_data_pipelines_spark.catalog.Catalog` table — each
+  micro-batch is an idempotent PK upsert, so replays converge.
+- ``run_available_now``: Trigger.AvailableNow runner — the streaming
+  twin of the reference's nightly batch (T1): drain everything
+  available, checkpoint, stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums with a late-data watermark.
+
+    State is bounded by the watermark: windows older than (max event
+    time - watermark) are finalized and evicted — the property that
+    keeps this runnable forever at 100 TB/day.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def upsert_foreach_batch(catalog, table: str):
+    """foreachBatch sink: each micro-batch append+optimize upserts.
+
+    Because the catalog write is a last-write-wins PK upsert, replayed
+    batches (failure/retry) converge to the same table state — the
+    exactly-once-effect pattern for non-transactional sinks.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        catalog.upsert(table, batch_df)
+
+    return write_batch
+
+
+def run_available_now(
+    stream_df: DataFrame, sink_fn, checkpoint: str, output_mode: str = "update"
+) -> StreamingQuery:
+    """Drain all available input through ``foreachBatch`` and stop.
+
+    ``update`` output mode hands each micro-batch only the changed
+    aggregate rows — combined with a PK-upsert sink that is exactly
+    the reference's incremental append+optimize contract (T3/T4).
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,129 @@
+"""Dedup / text / similarity operator unit tests on crafted docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import dedup as D
+from nt_data_pipelines_spark.operators import multimodal as M
+from nt_data_pipelines_spark.operators import similarity as SIM
+from nt_data_pipelines_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, "el perro y el gato en la casa"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_min_survivor(docs):
+    got = D.exact_dedup(docs, "doc_id", "text").collect()
+    by_n = {r["survivor_id"]: r["n_dups"] for r in got}
+    assert by_n[1] == 2  # docs 1,2 collapse; min id survives
+    assert len(got) == 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    keyed = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert keyed[(1, 2)] == pytest.approx(1.0)
+    assert keyed[(1, 3)] > 0.7  # one word changed
+    assert (1, 4) not in keyed
+
+
+def test_minhash_lsh_candidates_contain_dups(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    assert (1, 2) in cands  # identical word sets always collide
+    assert (1, 5) not in cands
+
+
+def test_simhash_identical_and_distant(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    hamming = bin(fp[1] ^ fp[4]).count("1")
+    assert hamming > 0
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "ab cd 12!")], ["doc_id", "text"])
+    r = TX.quality_features(df, "text").collect()[0]
+    assert r["q_chars"] == 9
+    assert r["q_words"] == 3
+    assert r["q_digit_ratio"] == pytest.approx(2 / 9)
+    assert r["q_tokens"] == 4  # ab, cd, 12, !
+
+
+def test_language_id_argmax(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in TX.language_id(docs, "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"
+    assert got[4] == "und"  # no lexicon hits
+
+
+def test_fingerprint_stable_under_suffix(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.bigram_fingerprint(df, "doc_id", "text").collect()}
+    # doc 2 adds bigrams; min over a superset can only stay or shrink —
+    # here the shared prefix dominates, typically equal fingerprints
+    assert fp[1] and fp[2]
+
+
+def test_cosine_topk_and_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2]
+    dups = SIM.near_dup_pairs(emb, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in dups} == {(0, 1)}
+
+
+def test_lsh_ann_recall_on_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(10):
+            v = base[c] + rng.normal(0, 0.01, 16)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id").isin(0, 10, 20, 30))
+    exact = SIM.brute_force_topk(emb, queries, k=3).collect()
+    approx = SIM.lsh_ann_topk(emb, queries, k=3, num_planes=6, dim=16).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.75  # tight clusters land in shared buckets
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = M.documents_as_media(docs, "doc_id", "text")
+    feats = M.extract_features(media, decode_stub="fake").collect()
+    assert len(feats) == docs.count()
+    r = {f["media_id"]: f for f in feats}
+    assert r[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0 < r[1]["mean_byte"] < 255
+
+
+def test_multimodal_error_stub(spark, docs):
+    media = M.documents_as_media(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.extract_features(media, decode_stub="error").collect()

@@ -1,0 +1,126 @@
+"""Golden tests for the applyInPandas kernels (W4 EWMA, W6 rolling OLS).
+
+statsmodels/polars are not in this container; goldens are the pandas
+``ewm`` (the semantics Polars ewm_mean(adjust=True) matches) and a
+direct numpy lstsq per window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.ewma import ewm_mean, ewm_mean_many
+from nt_data_pipelines_spark.operators.rolling_ols import _rolling_ols_numpy, rolling_ols
+
+
+@pytest.fixture(scope="module")
+def keyed_pdf():
+    rng = np.random.RandomState(7)
+    frames = []
+    for k in ("a", "b", "c"):
+        n = 120
+        frames.append(
+            pd.DataFrame(
+                {"k": k, "t": np.arange(n), "x": rng.normal(0, 1, n).cumsum()}
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_ewma_matches_pandas(spark, keyed_pdf):
+    df = spark.createDataFrame(keyed_pdf)
+    got = (
+        ewm_mean(df, "k", "t", "x", half_life=60.0, out_col="e")
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    want = (
+        keyed_pdf.sort_values(["k", "t"])
+        .groupby("k")["x"]
+        .transform(lambda s: s.ewm(halflife=60, adjust=True).mean())
+    )
+    np.testing.assert_allclose(got["e"].to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
+def test_ewma_closed_form_small():
+    """y_t = sum (1-a)^i x_{t-i} / sum (1-a)^i with a = 1 - 0.5^(1/hl)."""
+    s = pd.Series([1.0, 2.0, 3.0])
+    hl = 2.0
+    alpha = 1 - 0.5 ** (1 / hl)
+    got = s.ewm(halflife=hl, adjust=True).mean()
+    w = (1 - alpha) ** np.arange(2, -1, -1)
+    assert got.iloc[2] == pytest.approx(np.dot(w, s) / w.sum())
+
+
+def test_ewma_leading_nulls_pass_through(spark):
+    pdf = pd.DataFrame({"k": "a", "t": range(5), "x": [None, None, 1.0, 2.0, 3.0]})
+    got = ewm_mean(spark.createDataFrame(pdf), "k", "t", "x", 60.0, out_col="e").orderBy("t").collect()
+    assert got[0]["e"] is None and got[1]["e"] is None
+    assert got[2]["e"] == pytest.approx(1.0)
+
+
+def test_ewma_many_single_pass(spark, keyed_pdf):
+    pdf = keyed_pdf.assign(y=keyed_pdf["x"] * 2)
+    got = (
+        ewm_mean_many(spark.createDataFrame(pdf), "k", "t", ["x", "y"], 30.0)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["y_ewma"], 2 * got["x_ewma"], rtol=1e-12)
+
+
+def test_rolling_ols_numpy_matches_lstsq():
+    rng = np.random.RandomState(11)
+    n, k, w = 80, 3, 30
+    X = np.column_stack([np.ones(n), rng.normal(size=(n, k - 1))])
+    y = X @ np.array([0.5, 1.5, -2.0]) + rng.normal(0, 0.1, n)
+    got = _rolling_ols_numpy(y, X, w)
+    assert np.isnan(got[: w - 1]).all()
+    for t in (w - 1, n // 2, n - 1):
+        want, *_ = np.linalg.lstsq(X[t - w + 1 : t + 1], y[t - w + 1 : t + 1], rcond=None)
+        np.testing.assert_allclose(got[t], want, rtol=1e-8)
+
+
+def test_rolling_ols_spark_kernel(spark):
+    rng = np.random.RandomState(13)
+    frames = []
+    for key, (b0, b1) in {"a": (1.0, 2.0), "b": (-0.5, 3.0)}.items():
+        n = 60
+        f = rng.normal(size=n)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "ticker": key,
+                    "t": np.arange(n),
+                    "f": f,
+                    "y": b0 + b1 * f + rng.normal(0, 1e-9, n),
+                }
+            )
+        )
+    # a short key that must be skipped entirely (reference behavior)
+    frames.append(pd.DataFrame({"ticker": "short", "t": [0, 1], "f": [0.1, 0.2], "y": [1.0, 1.1]}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    got = rolling_ols(
+        df, "ticker", "t", "y", ["f"], window=20, add_const=True,
+        const_name="c", coef_prefix="b_", drop_partial=True,
+    ).toPandas()
+    assert set(got["ticker"]) == {"a", "b"}  # 'short' skipped
+    a = got[got.ticker == "a"]
+    np.testing.assert_allclose(a["c"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(a["b_f"], 2.0, atol=1e-6)
+    assert len(a) == 60 - 20 + 1
+
+
+def test_rolling_ols_keep_partial_nulls(spark):
+    pdf = pd.DataFrame({"ticker": "a", "t": range(10), "f": np.arange(10.0), "y": np.arange(10.0)})
+    got = (
+        rolling_ols(spark.createDataFrame(pdf), "ticker", "t", "y", ["f"], window=5, drop_partial=False)
+        .orderBy("t")
+        .collect()
+    )
+    assert len(got) == 10
+    assert all(got[i]["beta_f"] is None or np.isnan(got[i]["beta_f"]) for i in range(4))
+    assert got[9]["beta_f"] == pytest.approx(1.0)

@@ -1,0 +1,64 @@
+"""Universe reconstruction (U5) + trading DataFrame stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.pipelines.trading import (
+    notional_deltas,
+    positions_to_close,
+    target_notionals,
+)
+from nt_data_pipelines_spark.pipelines.universe import construct_universe
+from nt_data_pipelines_spark.sources import synthetic as S
+
+N_DAYS = 60
+
+
+def test_universe_reconstruction_roundtrip(spark):
+    """Walking the change log backwards from final membership must
+    reproduce the synthetic per-date universe (ignoring the short
+    ticker's price-driven absence, which is not membership)."""
+    calendar = S.load_calendar(spark, N_DAYS)
+    changes = S.load_constituent_changes(spark, N_DAYS)
+    final_members = [
+        t for t in S.TICKERS if t != S.EXIT_TICKER
+    ]  # after the midpoint swap
+    got = construct_universe(spark, final_members, changes, calendar).cache()
+
+    dates = sorted(r["date"] for r in calendar.collect())
+    half = len(dates) // 2
+    before = got.filter(F.col("date") == dates[half - 1])
+    after = got.filter(F.col("date") == dates[half])
+    before_set = {r["ticker"] for r in before.collect()}
+    after_set = {r["ticker"] for r in after.collect()}
+    assert S.EXIT_TICKER in before_set and S.EXIT_TICKER not in after_set
+    assert S.ENTER_TICKER not in before_set and S.ENTER_TICKER in after_set
+    assert got.filter(F.col("year") != F.year("date")).count() == 0
+
+
+def test_target_notionals_clip_round(spark):
+    w = spark.createDataFrame([("A", 0.6004), ("B", -0.2), ("C", 0.4)], ["ticker", "weight"])
+    got = {r["ticker"]: r["target_notional"] for r in target_notionals(w, 1000.0).collect()}
+    assert got == {"A": 600.4, "B": 0.0, "C": 400.0}
+
+
+def test_positions_to_close_semi_join(spark):
+    targets = spark.createDataFrame(
+        [("A", 500.0), ("B", 0.0), ("C", 0.0)], ["ticker", "target_notional"]
+    )
+    positions = spark.createDataFrame([("B", 120.0), ("D", 80.0)], ["ticker", "notional"])
+    got = positions_to_close(targets, positions).collect()
+    assert [(r["ticker"], r["notional"]) for r in got] == [("B", 120.0)]
+
+
+def test_notional_deltas_full_outer(spark):
+    targets = spark.createDataFrame(
+        [("A", 500.0), ("B", 100.0), ("E", 0.5)], ["ticker", "target_notional"]
+    )
+    positions = spark.createDataFrame([("B", 300.0), ("C", 50.0)], ["ticker", "notional"])
+    got = {r["ticker"]: r["notional_delta"] for r in notional_deltas(targets, positions).collect()}
+    # A: buy 500 (target only); B: sell 200; C: sell 50 (held only); E: <$1 dropped
+    assert got == {"A": 500.0, "B": -200.0, "C": -50.0}
+    assert "E" not in got

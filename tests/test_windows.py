@@ -1,0 +1,84 @@
+"""Window operator semantics on tiny hand-checked frames (W1-W3, A5, A6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import windows as W
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [("a", i, float(10 + i)) for i in range(5)] + [("b", i, float(100 + 2 * i)) for i in range(3)]
+    return spark.createDataFrame(rows, ["k", "t", "x"])
+
+
+def test_pct_change_drops_null_head(series):
+    got = W.pct_change(series, "k", "t", "x", out_col="r").orderBy("k", "t").collect()
+    ks = [(r["k"], r["t"]) for r in got]
+    assert ks == [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1), ("b", 2)]
+    assert got[0]["r"] == pytest.approx(11 / 10 - 1)
+    assert got[4]["r"] == pytest.approx(102 / 100 - 1)
+
+
+def test_pct_change_zero_base_yields_null_not_error(spark):
+    df = spark.createDataFrame([("a", 0, 0.0), ("a", 1, 5.0)], ["k", "t", "x"])
+    kept = W.pct_change(df, "k", "t", "x", out_col="r", drop_null=True).collect()
+    assert kept == []  # 5/0 -> NULL -> dropped, no ANSI error
+
+
+def test_rolling_sum_full_window_gate(series):
+    got = (
+        W.rolling_sum(series, "k", "t", "x", 3, out_col="s")
+        .filter(F.col("k") == "a")
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["s"] for r in got] == [None, None, 33.0, 36.0, 39.0]
+
+
+def test_rolling_std_matches_sample_std(series):
+    got = (
+        W.rolling_std(series, "k", "t", "x", 3, out_col="s")
+        .filter((F.col("k") == "a") & F.col("s").isNotNull())
+        .orderBy("t")
+        .collect()
+    )
+    # consecutive integers: sample std = 1.0 for every full window
+    assert all(r["s"] == pytest.approx(1.0) for r in got)
+    assert len(got) == 3
+
+
+def test_rolling_cov_gate_and_value(spark):
+    rows = [("a", i, float(i), float(2 * i + 1)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["k", "t", "x", "y"])
+    got = W.rolling_cov(df, "k", "t", "x", "y", 3, out_col="c").orderBy("t").collect()
+    assert [r["c"] for r in got][:2] == [None, None]
+    # cov([0,1,2],[1,3,5]) sample = 2.0; cov([1,2,3],[3,5,7]) = 2.0
+    assert got[2]["c"] == pytest.approx(2.0)
+    assert got[3]["c"] == pytest.approx(2.0)
+
+
+def test_zscore_global_moments(series):
+    out = W.zscore(series, "x", out_col="z").collect()
+    zs = [r["z"] for r in out]
+    n = len(zs)
+    mean = sum(zs) / n
+    var = sum((z - mean) ** 2 for z in zs) / (n - 1)
+    assert mean == pytest.approx(0.0, abs=1e-12)
+    assert math.sqrt(var) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_zscore_per_partition(series):
+    out = W.zscore(series, "x", out_col="z", partition_by="k")
+    for k in ("a", "b"):
+        zs = [r["z"] for r in out.filter(F.col("k") == k).collect()]
+        assert sum(zs) / len(zs) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_partition_count(series):
+    got = W.partition_count(series, "k", out_col="n").select("k", "n").distinct().collect()
+    assert {(r["k"], r["n"]) for r in got} == {("a", 5), ("b", 3)}
