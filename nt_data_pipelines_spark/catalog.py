@@ -136,6 +136,13 @@ class Catalog:
         if meta.partition_keys:
             writer = writer.partitionBy(*meta.partition_keys)
         writer.parquet(self._path(name))
+        self._refresh(name)
+
+    def _refresh(self, name: str) -> None:
+        # Spark caches parquet file listings per path; a rewrite that
+        # deletes files would otherwise poison later scans in the same
+        # session (FAILED_READ_FILE.FILE_NOT_EXIST).
+        self.spark.catalog.refreshByPath(self._path(name))
 
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
         """Append rows; stamps a monotone _ingest_seq for upsert ordering."""
@@ -205,6 +212,7 @@ class Catalog:
         os.makedirs(os.path.dirname(final), exist_ok=True)
         shutil.move(staging, final)
         shutil.rmtree(os.path.join(self._path(name), ".staging"), ignore_errors=True)
+        self._refresh(name)
 
     def _rewrite_table(self, name: str, deduped: DataFrame) -> None:
         staging = self._path(name) + ".staging"
@@ -212,6 +220,7 @@ class Catalog:
         deduped.write.mode("overwrite").parquet(staging)
         shutil.rmtree(self._path(name))
         os.replace(staging, self._path(name))
+        self._refresh(name)
 
     # ---- read path ----
     def _raw_table(self, name: str) -> DataFrame:
@@ -221,7 +230,12 @@ class Catalog:
         return df
 
     def table(self, name: str) -> DataFrame:
-        """Lazy scan, ingest bookkeeping hidden (the reference's bl.table)."""
+        """Lazy scan, ingest bookkeeping hidden (the reference's bl.table).
+
+        Acquire a fresh handle after ``optimize``/``upsert``: a
+        DataFrame pins its file listing at creation, and optimize may
+        rewrite (delete) files underneath it.
+        """
         meta = self._meta(name)
         return self._raw_table(name).select(*[f.name for f in meta.struct.fields])
 

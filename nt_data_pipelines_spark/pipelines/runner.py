@@ -1,0 +1,191 @@
+"""DAG runner: the reference's nightly flow graph over the catalog.
+
+Reproduces ``daily_flow`` / the backfill entry points
+(__main__.py:22-49): twelve stages run in dependency order, each
+reading its inputs from catalog tables and upserting its outputs —
+the same read -> transform -> create/insert/optimize lifecycle as the
+reference (SURVEY.md §3.1). Cron scheduling and failure webhooks are
+deployment concerns; ``on_failure`` is a pluggable callback.
+
+The backfill here is the full-history variant (T5). Daily increments
+reuse the same stage functions with the T2 freshness gate and a T3
+tail-window slice (callers filter ``date == end`` before upserting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nt_data_pipelines_spark.catalog import Catalog
+from nt_data_pipelines_spark.config import FACTORS
+from nt_data_pipelines_spark.pipelines import (
+    calculate_alphas,
+    calculate_benchmark_returns,
+    calculate_benchmark_weights,
+    calculate_scores,
+    calculate_signals,
+    compute_portfolio_weights,
+    compute_returns,
+    estimate_factor_model,
+)
+from nt_data_pipelines_spark.pipelines.betas import estimate_betas
+from nt_data_pipelines_spark.pipelines.covariances import estimate_factor_covariances
+from nt_data_pipelines_spark.pipelines.factor_model import clean_factor_loadings, clean_idio_vol
+
+_D = T.DoubleType()
+_S = T.StringType()
+_DT = T.DateType()
+_I = T.IntegerType()
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+PRICE_SCHEMA = _st(
+    ("ticker", _S), ("date", _DT), ("open", _D), ("high", _D), ("low", _D),
+    ("close", _D), ("volume", _D), ("trade_count", _D), ("vwap", _D),
+)
+RETURN_SCHEMA = _st(("ticker", _S), ("date", _DT), ("year", _I), ("return", _D))
+
+# Table registry: schema / partition / PK per SURVEY.md §1.2.
+TABLES: dict[str, dict] = {
+    "calendar": {"schema": _st(("date", _DT)), "partition": None, "pk": ["date"]},
+    "universe": {
+        "schema": _st(("date", _DT), ("year", _I), ("ticker", _S)),
+        "partition": ["year"], "pk": ["date", "ticker"],
+    },
+    "stock_prices": {"schema": PRICE_SCHEMA, "partition": None, "pk": ["date", "ticker"]},
+    "etf_prices": {"schema": PRICE_SCHEMA, "partition": None, "pk": ["date", "ticker"]},
+    "stock_returns": {"schema": RETURN_SCHEMA, "partition": ["year"], "pk": ["ticker", "date"]},
+    "etf_returns": {"schema": RETURN_SCHEMA, "partition": ["year"], "pk": ["ticker", "date"]},
+    "factor_loadings": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("factor", _S), ("loading", _D)),
+        "partition": ["year"], "pk": ["date", "ticker", "factor"],
+    },
+    "idio_vol": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("idio_vol", _D)),
+        "partition": ["year"], "pk": ["date", "ticker"],
+    },
+    "factor_covariances": {
+        "schema": _st(("date", _DT), ("year", _I), ("factor_1", _S), ("factor_2", _S), ("covariance", _D)),
+        "partition": ["year"], "pk": ["date", "factor_1", "factor_2"],
+    },
+    "signals": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("signal", _S), ("value", _D)),
+        "partition": ["year"], "pk": ["ticker", "date", "signal"],
+    },
+    "scores": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("signal", _S), ("score", _D)),
+        "partition": ["year"], "pk": ["ticker", "date", "signal"],
+    },
+    "alphas": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("signal", _S), ("alpha", _D)),
+        "partition": ["year"], "pk": ["ticker", "date", "signal"],
+    },
+    "benchmark_weights": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("weight", _D)),
+        "partition": ["year"], "pk": ["date", "ticker"],
+    },
+    "benchmark_returns": {
+        "schema": _st(("date", _DT), ("return", _D)), "partition": None, "pk": ["date"],
+    },
+    "betas": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("historical_beta", _D), ("predicted_beta", _D)),
+        "partition": ["year"], "pk": ["ticker", "date"],
+    },
+    "portfolio_weights": {
+        "schema": _st(("ticker", _S), ("date", _DT), ("year", _I), ("weight", _D)),
+        "partition": ["year"], "pk": ["date", "ticker"],
+    },
+    "portfolio_metrics": {
+        "schema": _st(("date", _DT), ("lambda", _D), ("active_risk", _D)),
+        "partition": None, "pk": ["date"],
+    },
+}
+
+
+def ensure_tables(cat: Catalog) -> None:
+    for name, spec in TABLES.items():
+        cat.create(name, spec["schema"], spec["partition"], spec["pk"], mode="skip")
+
+
+def backfill_flow(
+    spark: SparkSession,
+    cat: Catalog,
+    window: int,
+    half_life: float,
+    on_failure=None,
+) -> None:
+    """Run the full DAG from the ingested price/universe tables.
+
+    Expects ``calendar``, ``universe``, ``stock_prices``, ``etf_prices``
+    already loaded (the ingestion flows S6-S9 write them). Every stage
+    upserts, so reruns converge (T4).
+    """
+    try:
+        # Empty-result guard — the reference's flows raise rather than
+        # silently writing nothing (reversal_flow.py:189-190).
+        if cat.table("stock_prices").limit(1).count() == 0:
+            raise ValueError("No values found: stock_prices is empty")
+        stock_returns = compute_returns(cat.table("stock_prices"))
+        cat.upsert("stock_returns", stock_returns)
+        etf_returns = compute_returns(cat.table("etf_prices"))
+        cat.upsert("etf_returns", etf_returns)
+
+        stock_returns = cat.table("stock_returns")
+        etf_returns = cat.table("etf_returns")
+
+        fitted = estimate_factor_model(stock_returns, etf_returns, FACTORS, window)
+        cat.upsert("factor_loadings", clean_factor_loadings(fitted, FACTORS, half_life))
+        cat.upsert("idio_vol", clean_idio_vol(fitted, window, half_life))
+        cat.upsert(
+            "factor_covariances",
+            estimate_factor_covariances(etf_returns, FACTORS, window, half_life),
+        )
+
+        signals = calculate_signals(stock_returns)
+        cat.upsert("signals", signals)
+        scores = calculate_scores(cat.table("signals"))
+        cat.upsert("scores", scores)
+        cat.upsert("alphas", calculate_alphas(cat.table("scores"), cat.table("idio_vol")))
+
+        uni_ret = (
+            cat.table("universe")
+            .join(stock_returns.select("date", "ticker", "return"), ["date", "ticker"], "left")
+            .filter(F.col("return").isNotNull())
+        )
+        bweights = calculate_benchmark_weights(uni_ret)
+        cat.upsert("benchmark_weights", bweights)
+        bret = calculate_benchmark_returns(uni_ret, cat.table("benchmark_weights"))
+        cat.upsert("benchmark_returns", bret)
+
+        cat.upsert(
+            "betas",
+            estimate_betas(stock_returns, cat.table("benchmark_returns"), window, half_life),
+        )
+
+        weights = compute_portfolio_weights(
+            cat.table("alphas"),
+            cat.table("benchmark_weights"),
+            cat.table("factor_loadings"),
+            cat.table("factor_covariances"),
+            cat.table("idio_vol"),
+            FACTORS,
+        ).cache()
+        cat.upsert(
+            "portfolio_weights",
+            weights.select(
+                "ticker", "date", F.year("date").cast("int").alias("year"), "weight"
+            ),
+        )
+        cat.upsert(
+            "portfolio_metrics",
+            weights.select("date", "lambda", "active_risk").distinct(),
+        )
+    except Exception:
+        if on_failure is not None:
+            on_failure()
+        raise
