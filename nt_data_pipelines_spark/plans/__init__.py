@@ -11,5 +11,6 @@ from nt_data_pipelines_spark.plans import relational  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import timeseries  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import textdedup  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import similarity  # noqa: E402,F401
+from nt_data_pipelines_spark.plans import extra  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "register", "queries", "oracle_sql"]

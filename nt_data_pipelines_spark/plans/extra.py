@@ -1,0 +1,190 @@
+"""Additional coverage queries: grouping sets, deterministic sorts,
+composed dedup (LSH candidates -> exact verify), IVF-style ANN.
+
+These extend beyond the reference's inventory (it has no cube/rollup)
+to round out the engine's relational surface, and demonstrate the
+*composed* scale paths for dedup and similarity: cheap candidate
+generation first, exact verification on the candidate set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import dedup as D
+from nt_data_pipelines_spark.operators import similarity as S
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+
+@register(
+    "a_cube_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (beyond the reference; Catalyst expands to one agg).",
+)
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@register(
+    "o1_multisort_limit",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, value
+    FROM events
+    ORDER BY user_id, ts, event_id
+    LIMIT 100
+    """,
+    doc="O1 deterministic multi-key sort + limit (unique key triple).",
+)
+def o1_multisort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .limit(100)
+    )
+
+
+@register(
+    "d_lsh_verified_dedup",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        MIN(md5('0:' || word)) AS mh_0,  MIN(md5('1:' || word)) AS mh_1,
+        MIN(md5('2:' || word)) AS mh_2,  MIN(md5('3:' || word)) AS mh_3,
+        MIN(md5('4:' || word)) AS mh_4,  MIN(md5('5:' || word)) AS mh_5,
+        MIN(md5('6:' || word)) AS mh_6,  MIN(md5('7:' || word)) AS mh_7,
+        MIN(md5('8:' || word)) AS mh_8,  MIN(md5('9:' || word)) AS mh_9,
+        MIN(md5('10:' || word)) AS mh_10, MIN(md5('11:' || word)) AS mh_11,
+        MIN(md5('12:' || word)) AS mh_12, MIN(md5('13:' || word)) AS mh_13,
+        MIN(md5('14:' || word)) AS mh_14, MIN(md5('15:' || word)) AS mh_15
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 'band_0' AS band, md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_1', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_2', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_3', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sigs
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.word = sa.word
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT v.id_a, v.id_b,
+           ROUND(v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE), 6) AS jaccard
+    FROM verified v
+    JOIN sizes za ON za.doc_id = v.id_a
+    JOIN sizes zb ON zb.doc_id = v.id_b
+    WHERE v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE) >= 0.7
+    """,
+    doc="The composed dedup scale path: MinHash-LSH candidate pairs, then "
+    "exact Jaccard verification restricted to candidates (threshold 0.7).",
+)
+def d_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = D.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4)
+    shingles = D.word_set(docs, "doc_id", "text")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = shingles.withColumnsRenamed({"doc_id": "id_a"})
+    sb = shingles.withColumnsRenamed({"doc_id": "id_b"})
+    common = (
+        candidates.join(sa, "id_a")  # fan out candidate pairs by id_a's words
+        .join(sb, ["id_b", "word"])  # keep only words id_b also has
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.withColumnsRenamed({"doc_id": "id_a", "set_size": "size_a"})
+    zb = sizes.withColumnsRenamed({"doc_id": "id_b", "set_size": "size_b"})
+    jac = (
+        common.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.7).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "s_ivf_assign",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    centroids AS (
+      SELECT label AS c_label, g.dim AS dim,
+             CAST(SUM(CAST(CAST(embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS c_val
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(64)) AS dim) g
+      GROUP BY label, g.dim
+    ),
+    cvec AS (
+      SELECT c_label, list(c_val ORDER BY dim) AS cv FROM centroids GROUP BY c_label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label, c.c_label,
+             ROUND(list_dot_product(v.vec, c.cv) /
+                   (SQRT(list_dot_product(v.vec, v.vec)) * SQRT(list_dot_product(c.cv, c.cv))), 6) AS cos
+      FROM v CROSS JOIN cvec c
+    )
+    SELECT vec_id, label, c_label AS assigned_label, cos FROM (
+      SELECT vec_id, label, c_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+      FROM scored)
+    WHERE rk = 1
+    """,
+    doc="IVF coarse quantizer step: per-label centroids (the 'codebook'), "
+    "every vector assigned to its nearest centroid by cosine — the cell "
+    "assignment an IVF index partitions by at scale.",
+)
+def s_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("dim", "val")
+    )
+    centroids = (
+        exploded.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1))).alias("c_val")
+        )
+        .groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c_val"))).alias("pairs"))
+        .select("c_label", F.expr("transform(pairs, p -> p.c_val)").alias("cv"))
+    )
+    v = emb.select("vec_id", "label", S.as_double_array("embedding").alias("vec"))
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos", F.round(S.cosine(F.col("vec"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), F.col("cos"))
+    )
