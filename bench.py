@@ -47,7 +47,16 @@ def materialize(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
+    # Latency profile for sub-second queries: AQE's between-stage
+    # re-optimization costs 2-3x at this scale (measured: 57ms vs 23ms
+    # for top-k dates), so bench runs with it off and shuffle
+    # partitions sized to the input. Batch jobs at real scale keep the
+    # session defaults (AQE on) — see session.py / docs/SCALE.md.
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
