@@ -276,7 +276,7 @@ def o4_top3_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
     return (
-        ev.withColumn("rk", F.row_number().over(w))
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("event_type", "rk", "event_id", "value")
     )
@@ -342,7 +342,9 @@ def r3_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r4_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("dim", F.col("dim").cast("long"))
     return exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(dsum(F.col("val").cast("double"), 9), 6).alias("total"),

@@ -132,7 +132,9 @@ def s_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select("label", F.posexplode(S.as_double_array("embedding")).alias("dim", "val"))
+    exploded = emb.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("dim", "val")
+    ).withColumn("dim", F.col("dim").cast("long"))
     return exploded.groupBy("label", "dim").agg(
         F.round(
             F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6

@@ -158,7 +158,7 @@ def t_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = TX.quality_features(docs, "text")
     return feats.select(
         "doc_id",
-        "q_chars",
+        F.col("q_chars").cast("long").alias("q_chars"),
         F.col("q_words").cast("long").alias("q_words"),
         "q_avg_word_len",
         "q_alpha_ratio",
@@ -223,8 +223,8 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS total_tokens,
-           SUM(LENGTH(text)) AS total_chars
+           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY source, lang
     """,
     doc="Corpus token accounting per (source, lang) — integer sums, exact.",
