@@ -63,7 +63,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -88,7 +88,7 @@ def near_dup_pairs(
     a = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vec_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6) + 0.0
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -154,7 +154,7 @@ def lsh_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -151,7 +151,7 @@ def d_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT v.vec_id, v.label, c.c_label,
              ROUND(list_dot_product(v.vec, c.cv) /
-                   (SQRT(list_dot_product(v.vec, v.vec)) * SQRT(list_dot_product(c.cv, c.cv))), 6) AS cos
+                   (SQRT(list_dot_product(v.vec, v.vec)) * SQRT(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS cos
       FROM v CROSS JOIN cvec c
     )
     SELECT vec_id, label, c_label AS assigned_label, cos FROM (
@@ -180,7 +180,7 @@ def s_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = emb.select("vec_id", "label", S.as_double_array("embedding").alias("vec"))
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "cos", F.round(S.cosine(F.col("vec"), F.col("cv")), 6)
+        "cos", F.round(S.cosine(F.col("vec"), F.col("cv")), 6) + 0.0
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
     return (

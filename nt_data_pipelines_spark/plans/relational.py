@@ -333,7 +333,7 @@ def r3_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT g.dim AS dim,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(CAST(e.embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE), 6) AS total
+           ROUND(CAST(SUM(CAST(CAST(e.embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE), 6) + 0.0 AS total
     FROM embeddings e
     CROSS JOIN (SELECT UNNEST(range(64)) AS dim) g
     GROUP BY g.dim
@@ -347,7 +347,7 @@ def r4_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("dim", F.col("dim").cast("long"))
     return exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(dsum(F.col("val").cast("double"), 9), 6).alias("total"),
+        (F.round(dsum(F.col("val").cast("double"), 9), 6) + 0.0).alias("total"),
     )
 
 
@@ -444,11 +444,11 @@ def f1_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r2_pivot_event_type",
     oracle="""
     SELECT CAST(ts AS DATE) AS date,
-           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6) + 0.0 AS click,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6) + 0.0 AS error,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) + 0.0 AS purchase,
+           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) + 0.0 AS signup,
+           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) + 0.0 AS view
     FROM events GROUP BY 1
     """,
     doc="R2 pivot long->wide with explicit values (factor_model_flow.py:18).",
@@ -462,5 +462,5 @@ def r2_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date("ts").alias("date"))
         .pivot("event_type", kinds)
-        .agg(F.round(F.avg("value"), 6))
+        .agg(F.round(F.avg("value"), 6) + 0.0)
     )

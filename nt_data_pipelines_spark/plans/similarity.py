@@ -21,8 +21,8 @@ N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
 
 _SQL_COS = (
-    "ROUND(list_dot_product({a}, {b}) / "
-    "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b}))), 6)"
+    "(ROUND(list_dot_product({a}, {b}) / "
+    "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b}))), 6) + 0.0)"
 )
 
 
@@ -124,7 +124,7 @@ def s_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings CROSS JOIN (SELECT UNNEST(range({DIM})) AS dim) g
     )
     SELECT label, dim,
-           ROUND(CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS centroid,
            COUNT(*) AS n
     FROM exploded GROUP BY label, dim
     """,
@@ -136,8 +136,8 @@ def s_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(S.as_double_array("embedding")).alias("dim", "val")
     ).withColumn("dim", F.col("dim").cast("long"))
     return exploded.groupBy("label", "dim").agg(
-        F.round(
+        (F.round(
             F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6
-        ).alias("centroid"),
+        ) + 0.0).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )

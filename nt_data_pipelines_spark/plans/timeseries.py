@@ -44,7 +44,7 @@ def w1_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w2_rolling_sum21",
     oracle=f"""
-    SELECT user_id, ts, ROUND(-1.0 * signal, 6) AS signal FROM (
+    SELECT user_id, ts, ROUND(-1.0 * signal, 6) + 0.0 AS signal FROM (
       SELECT user_id, ts,
         CASE WHEN COUNT(value) OVER w = {ROLL}
              THEN SUM(LN(1 + value)) OVER w END AS signal
@@ -69,14 +69,14 @@ def w2_rolling_sum21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.filter(F.col("signal").isNotNull())
-        .select("user_id", "ts", F.round(F.col("signal") * -1.0, 6).alias("signal"))
+        .select("user_id", "ts", (F.round(F.col("signal") * -1.0, 6) + 0.0).alias("signal"))
     )
 
 
 @register(
     "w3_rolling_std21",
     oracle=f"""
-    SELECT user_id, ts, ROUND(vol, 6) AS vol FROM (
+    SELECT user_id, ts, ROUND(vol, 6) + 0.0 AS vol FROM (
       SELECT user_id, ts,
         CASE WHEN COUNT(value) OVER w = {ROLL}
              THEN STDDEV_SAMP(value) OVER w END AS vol
@@ -92,14 +92,14 @@ def w3_rolling_std21(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = W.rolling_std(ev, "user_id", ["ts", "event_id"], "value", ROLL, out_col="vol")
     return (
         out.filter(F.col("vol").isNotNull())
-        .select("user_id", "ts", F.round("vol", 6).alias("vol"))
+        .select("user_id", "ts", (F.round("vol", 6) + 0.0).alias("vol"))
     )
 
 
 @register(
     "w5_rolling_cov21",
     oracle=f"""
-    SELECT user_id, ts, ROUND((sxy - sx * sy / {ROLL}.0) / {ROLL - 1}.0, 6) AS cov FROM (
+    SELECT user_id, ts, ROUND((sxy - sx * sy / {ROLL}.0) / {ROLL - 1}.0, 6) + 0.0 AS cov FROM (
       SELECT user_id, ts,
         CASE WHEN COUNT(CASE WHEN lag_value IS NOT NULL THEN value END) OVER w = {ROLL}
              THEN CAST(SUM(CAST(value * lag_value AS DECIMAL(38,8))) OVER w AS DOUBLE) END AS sxy,
@@ -139,28 +139,28 @@ def w5_rolling_cov21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.filter(F.col("sxy").isNotNull()).select(
         "user_id",
         "ts",
-        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / ROLL) / (ROLL - 1), 6).alias("cov"),
+        (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / ROLL) / (ROLL - 1), 6) + 0.0).alias("cov"),
     )
 
 
 @register(
     "a5_zscore_global",
     oracle="""
-    SELECT event_id, ROUND((value - AVG(value) OVER ()) / STDDEV_SAMP(value) OVER (), 6) AS z
+    SELECT event_id, ROUND((value - AVG(value) OVER ()) / STDDEV_SAMP(value) OVER (), 6) + 0.0 AS z
     FROM events
     """,
     doc="A5 whole-frame z-score, exactly as the backfill computes it (reversal_flow.py:33-43).",
 )
 def a5_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return W.zscore(ev, "value", out_col="z").select("event_id", F.round("z", 6).alias("z"))
+    return W.zscore(ev, "value", out_col="z").select("event_id", (F.round("z", 6) + 0.0).alias("z"))
 
 
 @register(
     "a5_zscore_per_date",
     oracle="""
     SELECT event_id,
-           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) + 0.0 AS z
     FROM events
     WINDOW w AS (PARTITION BY CAST(ts AS DATE))
     """,
@@ -170,7 +170,7 @@ def a5_zscore_per_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
     return (
         W.zscore(ev, "value", out_col="z", partition_by="date")
-        .select("event_id", F.round("z", 6).alias("z"))
+        .select("event_id", (F.round("z", 6) + 0.0).alias("z"))
     )
 
 
@@ -272,7 +272,7 @@ def t_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w6_rolling_regression",
     oracle=f"""
-    SELECT user_id, ts, ROUND(slope, 6) AS slope, ROUND(icept, 6) AS icept FROM (
+    SELECT user_id, ts, ROUND(slope, 6) + 0.0 AS slope, ROUND(icept, 6) + 0.0 AS icept FROM (
       SELECT user_id, ts,
         CASE WHEN COUNT(value) OVER w = {ROLL} THEN REGR_SLOPE(value, x) OVER w END AS slope,
         CASE WHEN COUNT(value) OVER w = {ROLL} THEN REGR_INTERCEPT(value, x) OVER w END AS icept
@@ -301,7 +301,7 @@ def w6_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gate, F.regr_intercept("value", "x").over(w)).alias("icept"),
     )
     return out.filter(F.col("slope").isNotNull()).select(
-        "user_id", "ts", F.round("slope", 6).alias("slope"), F.round("icept", 6).alias("icept")
+        "user_id", "ts", (F.round("slope", 6) + 0.0).alias("slope"), (F.round("icept", 6) + 0.0).alias("icept")
     )
 
 
@@ -314,7 +314,7 @@ def w6_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT a.user_id, a.ts,
            ROUND(SUM(POWER(0.5, (a.rn - b.rn) / 60.0) * b.value)
-                 / SUM(POWER(0.5, (a.rn - b.rn) / 60.0)), 6) AS ewma
+                 / SUM(POWER(0.5, (a.rn - b.rn) / 60.0)), 6) + 0.0 AS ewma
     FROM indexed a JOIN indexed b
       ON a.user_id = b.user_id AND b.rn <= a.rn
     GROUP BY a.user_id, a.ts
@@ -333,4 +333,4 @@ def w4_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_life=60.0,
         out_col="ewma",
     )
-    return out.select("user_id", "ts", F.round("ewma", 6).alias("ewma"))
+    return out.select("user_id", "ts", (F.round("ewma", 6) + 0.0).alias("ewma"))
