@@ -189,3 +189,125 @@ def backfill_flow(
         if on_failure is not None:
             on_failure()
         raise
+
+
+def daily_flow(
+    spark: SparkSession,
+    cat: Catalog,
+    today,
+    window: int,
+    half_life: float,
+    reversal_window: int = 21,
+    on_failure=None,
+) -> bool:
+    """The nightly incremental run (reference daily_*_flow semantics).
+
+    T2: skip unless yesterday was the last market date. T3: each stage
+    recomputes over its trailing lookback (2xWINDOW for regressions,
+    WINDOW for covariances, 21 for reversal) read through date-range
+    filters — with year-partitioned tables Catalyst prunes the scan to
+    the tail partitions — then keeps only the end date and PK-upserts,
+    so reruns are idempotent (T4).
+
+    Faithful reference caveat: EWMA-smoothed outputs (loadings,
+    idio vol, covariances, betas) are recomputed over the truncated
+    tail exactly as the reference does, so they drift slightly from
+    full-history backfill values — that approximation is the
+    reference's own (factor_model_flow.py:179-199).
+    """
+    from nt_data_pipelines_spark.pipelines.calendar import freshness_gate, last_market_date
+
+    cal = cat.table("calendar")
+    if not freshness_gate(cal, today):
+        return False
+    end = last_market_date(cal)
+
+    def tail(df, n_dates: int):
+        dates = (
+            cal.select("date").distinct().orderBy(F.desc("date")).limit(n_dates)
+        )
+        start = dates.agg(F.min("date")).first()[0]
+        return df.filter((F.col("date") >= F.lit(start)) & (F.col("date") <= F.lit(end)))
+
+    def only_end(df):
+        return df.filter(F.col("date") == F.lit(end))
+
+    try:
+        # returns: need the previous close for the end-date pct change
+        stock_ret = only_end(compute_returns(tail(cat.table("stock_prices"), 5)))
+        cat.upsert("stock_returns", stock_ret)
+        etf_ret = only_end(compute_returns(tail(cat.table("etf_prices"), 5)))
+        cat.upsert("etf_returns", etf_ret)
+
+        stock_returns = tail(cat.table("stock_returns"), 2 * window)
+        etf_returns = tail(cat.table("etf_returns"), 2 * window)
+
+        fitted = estimate_factor_model(stock_returns, etf_returns, FACTORS, window)
+        cat.upsert("factor_loadings", only_end(clean_factor_loadings(fitted, FACTORS, half_life)))
+        cat.upsert("idio_vol", only_end(clean_idio_vol(fitted, window, half_life)))
+        cat.upsert(
+            "factor_covariances",
+            only_end(
+                estimate_factor_covariances(
+                    tail(cat.table("etf_returns"), window), FACTORS, window, half_life
+                )
+            ),
+        )
+
+        signals = only_end(calculate_signals(tail(cat.table("stock_returns"), reversal_window)))
+        if signals.limit(1).count() == 0:
+            raise ValueError("No values found: empty daily signals")
+        cat.upsert("signals", signals)
+        scores = calculate_scores(only_end(cat.table("signals")))
+        cat.upsert("scores", scores)
+        cat.upsert(
+            "alphas",
+            only_end(calculate_alphas(only_end(cat.table("scores")), cat.table("idio_vol"))),
+        )
+
+        uni_ret = (
+            only_end(cat.table("universe"))
+            .join(
+                only_end(cat.table("stock_returns")).select("date", "ticker", "return"),
+                ["date", "ticker"],
+                "left",
+            )
+            .filter(F.col("return").isNotNull())
+        )
+        bweights = calculate_benchmark_weights(uni_ret)
+        cat.upsert("benchmark_weights", bweights)
+        cat.upsert(
+            "benchmark_returns",
+            calculate_benchmark_returns(uni_ret, only_end(cat.table("benchmark_weights"))),
+        )
+
+        cat.upsert(
+            "betas",
+            only_end(
+                estimate_betas(
+                    tail(cat.table("stock_returns"), 2 * window),
+                    tail(cat.table("benchmark_returns"), 2 * window),
+                    window,
+                    half_life,
+                )
+            ),
+        )
+
+        weights = compute_portfolio_weights(
+            only_end(cat.table("alphas")),
+            only_end(cat.table("benchmark_weights")),
+            only_end(cat.table("factor_loadings")),
+            only_end(cat.table("factor_covariances")),
+            only_end(cat.table("idio_vol")),
+            FACTORS,
+        ).cache()
+        cat.upsert(
+            "portfolio_weights",
+            weights.select("ticker", "date", F.year("date").cast("int").alias("year"), "weight"),
+        )
+        cat.upsert("portfolio_metrics", weights.select("date", "lambda", "active_risk").distinct())
+        return True
+    except Exception:
+        if on_failure is not None:
+            on_failure()
+        raise

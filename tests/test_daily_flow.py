@@ -1,0 +1,91 @@
+"""Daily incremental flow (T2/T3): gate, end-date writes, batch parity.
+
+Setup: ingest the full fixture minus the last trading day, backfill,
+then ingest the last day's prices and run daily_flow. The daily run
+must write exactly the end date, and for non-EWMA outputs (returns,
+signals, benchmark) match what a full backfill computes for that date.
+EWMA-smoothed outputs drift by construction (the reference recomputes
+them over a truncated tail) — asserted close, not equal.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.catalog import Catalog
+from nt_data_pipelines_spark.pipelines.runner import backfill_flow, daily_flow, ensure_tables
+from nt_data_pipelines_spark.sources import synthetic as S
+
+N_DAYS = 300
+WINDOW = 120
+HL = 20.0
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("daily") / "lake"
+    cat = Catalog(spark, str(root))
+    ensure_tables(cat)
+
+    prices = S.load_stock_prices(spark, N_DAYS).cache()
+    etf = S.load_etf_prices(spark, N_DAYS).cache()
+    last = prices.agg(F.max("date")).first()[0]
+
+    cat.upsert("calendar", S.load_calendar(spark, N_DAYS))
+    cat.upsert("universe", S.load_universe(spark, N_DAYS))
+    # history up to (but excluding) the last market day
+    cat.upsert("stock_prices", prices.filter(F.col("date") < F.lit(last)))
+    cat.upsert("etf_prices", etf.filter(F.col("date") < F.lit(last)))
+    backfill_flow(spark, cat, window=WINDOW, half_life=HL)
+
+    # the new day arrives
+    cat.upsert("stock_prices", prices.filter(F.col("date") == F.lit(last)))
+    cat.upsert("etf_prices", etf.filter(F.col("date") == F.lit(last)))
+    return cat, last, prices, etf
+
+
+def test_gate_skips_when_market_closed(spark, lake):
+    cat, last, *_ = lake
+    assert daily_flow(spark, cat, today=last + dt.timedelta(days=5), window=WINDOW, half_life=HL) is False
+
+
+def test_daily_flow_writes_end_date_and_matches_batch(spark, lake):
+    cat, last, prices, etf = lake
+    before = cat.table("signals").filter(F.col("date") == F.lit(last)).count()
+    assert before == 0  # backfill stopped the day before
+
+    ran = daily_flow(spark, cat, today=last + dt.timedelta(days=1), window=WINDOW, half_life=HL)
+    assert ran is True
+
+    # exactly the end date was appended for the incremental outputs
+    for t in ("stock_returns", "signals", "benchmark_weights", "portfolio_weights"):
+        assert cat.table(t).filter(F.col("date") == F.lit(last)).count() > 0, t
+    assert cat.table("benchmark_returns").filter(F.col("date") == F.lit(last)).count() == 1
+
+    # batch-vs-incremental parity on the raw (non-EWMA) path: returns
+    from nt_data_pipelines_spark.pipelines import compute_returns, calculate_signals
+
+    batch_ret = compute_returns(prices).filter(F.col("date") == F.lit(last))
+    got_ret = cat.table("stock_returns").filter(F.col("date") == F.lit(last))
+    b = {(r["ticker"]): r["return"] for r in batch_ret.collect()}
+    g = {(r["ticker"]): r["return"] for r in got_ret.collect()}
+    assert g == pytest.approx(b)
+
+    # signals for the end date equal the batch computation too
+    batch_sig = calculate_signals(compute_returns(prices)).filter(F.col("date") == F.lit(last))
+    bs = {r["ticker"]: r["value"] for r in batch_sig.collect()}
+    gs = {r["ticker"]: r["value"] for r in cat.table("signals").filter(F.col("date") == F.lit(last)).collect()}
+    assert gs == pytest.approx(bs, rel=1e-9)
+
+    # idempotence: rerunning the daily converges (T4)
+    counts1 = {t: cat.table(t).count() for t in ("signals", "portfolio_weights")}
+    daily_flow(spark, cat, today=last + dt.timedelta(days=1), window=WINDOW, half_life=HL)
+    counts2 = {t: cat.table(t).count() for t in ("signals", "portfolio_weights")}
+    assert counts1 == counts2
+
+    # portfolio invariants for the new date
+    w = cat.table("portfolio_weights").filter(F.col("date") == F.lit(last))
+    assert w.agg(F.sum("weight")).first()[0] == pytest.approx(1.0, abs=1e-6)
