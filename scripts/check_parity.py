@@ -87,6 +87,19 @@ def main() -> int:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            canon = {"bigint": "i64", "int": "i32", "integer": "i32", "double": "f64",
+                     "float": "f32", "varchar": "str", "string": "str", "date": "date",
+                     "timestamp_ntz": "ts", "timestamp": "ts", "timestamp_ns": "ts",
+                     "boolean": "bool"}
+            stypes = {f.name: canon.get(f.dataType.simpleString(), f.dataType.simpleString())
+                      for f in sdf.schema.fields}
+            rel = con.sql(spec.oracle)
+            dtypes = {c: canon.get(str(t).lower(), str(t).lower())
+                      for c, t in zip(rel.columns, rel.types)}
+            tdiff = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
+            if tdiff:
+                problems.append(f"dtypes {tdiff}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
