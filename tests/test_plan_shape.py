@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: pushdown, pruning, join strategy.
+
+These assert the *shape* of the plans Catalyst produces for the
+headline queries — the properties that matter at 100 TB. If a refactor
+silently breaks predicate pushdown or flips a broadcast join to
+sort-merge, these fail before any benchmark would notice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from nt_data_pipelines_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(spark, name: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_scalar_suite_pushdown_and_pruning(spark):
+    plan = _explain(spark, "p_scalar_suite")
+    assert "GreaterThanOrEqual(l_extendedprice,1000.0)" in plan  # filter reached the scan
+    # column pruning: untouched columns never read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_suppkey" not in read_schema and "l_tax" not in read_schema
+
+
+def _op_count(plan: str, op: str) -> int:
+    # each physical operator appears once as a "(n) Op" detail header
+    return len(re.findall(rf"^\(\d+\) {op}$", plan, flags=re.M))
+
+
+def test_q3_join_is_broadcast_single_shuffle(spark):
+    plan = _explain(spark, "j2_shipping_priority")
+    assert _op_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert _op_count(plan, "Exchange") == 1  # only the final groupBy shuffles
+    # lineitem scan reads only the needed 4 columns
+    li_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln][0]
+    assert "l_quantity" not in li_line
+
+
+def test_window_reuses_single_exchange(spark):
+    plan = _explain(spark, "w2_rolling_sum21")
+    # the gated rolling sum (sum + count over the same frame) must not
+    # add a second shuffle
+    assert _op_count(plan, "Exchange") == 1
+
+
+def test_universe_gate_broadcasts_small_side(spark):
+    plan = _explain(spark, "j1_universe_gated_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = _explain(spark, "w1_pct_change")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "event_type" not in read
