@@ -229,7 +229,10 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    # ntz -> ltz is identity wall-time under the pinned UTC session,
+    # and ltz casts to fractional epoch seconds (DuckDB's epoch()).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = epoch - F.lag(F.col("ts").cast("timestamp_ltz")).over(w).cast("double")
     sess = (
         ev.withColumn("new_session", F.when(gap > 3600.0, 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(run))

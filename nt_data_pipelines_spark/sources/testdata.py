@@ -43,12 +43,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The driver may call with ITS OWN SparkSession; pin the session
+    # timezone so date extraction and collected timestamps are stable
+    # no matter the host configuration (DuckDB oracles are UTC-naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ltz -> ntz under the UTC session: ts becomes a timezone-
+        # independent wall-clock value, like every other table's
+        # parquet timestamps (which Spark reads as timestamp_ntz).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     else:
         df = spark.read.parquet(path)
     _SCAN_CACHE[key] = df
