@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator: per-key streaming EWMA (W4, streaming).
+
+The batch EWMA kernel (operators/ewma.py) recomputes a group's whole
+series; streams can't. This operator keeps O(1) state per key — the
+numerator/denominator of the adjust=True recursion:
+
+    num_t = x_t + (1-a) * num_{t-1}
+    den_t = 1  + (1-a) * den_{t-1}
+    y_t   = num_t / den_t,     a = 1 - 0.5^(1/half_life)
+
+which equals pandas/Polars ``ewm(halflife=h, adjust=True).mean()``
+exactly, but carries across micro-batches via
+``applyInPandasWithState``. Rows are sorted by event time *within*
+each batch; cross-batch order must be monotone per key (the usual
+contract for time-partitioned ingestion — enforce upstream with a
+watermark + sorted file layout).
+
+State size: three doubles + a count per key — millions of keys fit in
+executor memory, and the state store checkpoints it for exactly-once
+recovery.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("num", T.DoubleType()),
+        T.StructField("den", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    half_life: float = 60.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """groupBy(key).applyInPandasWithState EWMA over a stream."""
+    alpha = 1.0 - 0.5 ** (1.0 / half_life)
+    decay = 1.0 - alpha
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        num, den, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            out_ewma = []
+            for x in pdf[value_col]:
+                num = float(x) + decay * num
+                den = 1.0 + decay * den
+                n += 1
+                out_ewma.append(num / den)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf[key_col],
+                    "ts": pdf[ts_col],
+                    "value": pdf[value_col],
+                    "ewma": out_ewma,
+                    "n_seen": n,
+                }
+            )
+        state.update((num, den, n))
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

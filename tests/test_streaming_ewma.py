@@ -1,0 +1,104 @@
+"""Streaming EWMA: state carries across micro-batches and matches batch pandas."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nt_data_pipelines_spark.streaming.incremental import EVENT_SCHEMA
+from nt_data_pipelines_spark.streaming.stateful import streaming_ewma
+
+HL = 10.0
+
+
+def _mk_events(start_id, day, n, rng):
+    base = dt.datetime(2024, 1, day)
+    return [
+        (
+            start_id + i,
+            base + dt.timedelta(minutes=i),
+            i % 3,  # three keys
+            "view",
+            float(rng.uniform(1, 100)),
+            "{}",
+        )
+        for i in range(n)
+    ]
+
+
+def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
+    rng = np.random.RandomState(31)
+    src = str(tmp_path / "stream_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); file 1 is
+    # strictly earlier than file 2, so per-key cross-batch order holds
+    batch1 = _mk_events(0, 1, 60, rng)
+    batch2 = _mk_events(1000, 2, 60, rng)
+    spark.createDataFrame(batch1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_ewma(stream, half_life=HL)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from ewma_out").toPandas()
+    assert len(got) == 120
+    assert spark.sql(
+        "select count(distinct batch_n) from (select n_seen div 60 as batch_n from ewma_out)"
+    ).first()[0] >= 1
+
+    # golden: plain pandas ewm over the concatenated per-key series
+    all_rows = pd.DataFrame(batch1 + batch2, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    for k in (0, 1, 2):
+        series = all_rows[all_rows.user_id == k].sort_values("ts")["value"]
+        want = series.ewm(halflife=HL, adjust=True).mean().to_numpy()
+        got_k = got[got.user_id == k].sort_values("ts")["ewma"].to_numpy()
+        np.testing.assert_allclose(got_k, want, rtol=1e-12)
+
+    # n_seen is cumulative per key -> proves state crossed the batch boundary
+    last_seen = got.groupby("user_id")["n_seen"].max()
+    assert (last_seen == 40).all()  # 120 rows / 3 keys, carried across 2 batches
+
+
+def test_streaming_ewma_resume_from_checkpoint(spark, tmp_path):
+    rng = np.random.RandomState(32)
+    src = str(tmp_path / "src2")
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame(_mk_events(0, 1, 30, rng), EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(qname):
+        # memory sink can't resume from a checkpoint; foreachBatch can
+        collected: list = []
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            streaming_ewma(stream, half_life=HL)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return pd.DataFrame([r.asDict() for r in collected])
+
+    first = drain("ewma_r1")
+    assert len(first) == 30
+
+    # new data arrives; a NEW query run resumes from the checkpointed state
+    spark.createDataFrame(_mk_events(1000, 2, 30, rng), EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    second = drain("ewma_r2")
+    assert len(second) == 30  # only the new rows (append mode)
+    assert second["n_seen"].max() == 20  # 60 rows / 3 keys, cumulative
