@@ -168,33 +168,51 @@ class Catalog:
         dup_keys = (
             full.groupBy(*pks).agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") > 1)
         )
+        # Dedup rank is GLOBAL over the PK (a key may have copies in
+        # several partitions when the PK doesn't determine the
+        # partition value — last write must win across all of them).
+        w = Window.partitionBy(*pks).orderBy(F.desc(INGEST_COL))
         if meta.partition_keys:
-            # Only partitions containing duplicate PKs get rewritten.
+            # partitions holding any copy of a duplicated key must be
+            # rewritten (winners kept, losers dropped everywhere)
             dirty = (
                 full.join(dup_keys.select(*pks), pks, "left_semi")
                 .select(*meta.partition_keys)
                 .distinct()
-                .collect()
             )
-            if not dirty:
+            if dirty.limit(1).count() == 0:
                 return
-            w = Window.partitionBy(*pks).orderBy(F.desc(INGEST_COL))
-            for row in dirty:
-                pred = None
-                for k in meta.partition_keys:
-                    c = F.col(k) == F.lit(row[k])
-                    pred = c if pred is None else (pred & c)
-                part = full.filter(pred)
-                deduped = (
-                    part.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
-                self._rewrite_partition(name, meta, row, deduped)
+            deduped_dirty = (
+                full.join(F.broadcast(dirty), meta.partition_keys, "left_semi")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            # Partitions whose every row lost the dedup get no rows in
+            # the dynamic overwrite — clear their files explicitly,
+            # located via input_file_name (no path reconstruction).
+            survivors = deduped_dirty.select(*meta.partition_keys).distinct()
+            emptied = dirty.join(survivors, meta.partition_keys, "left_anti")
+            # input_file_name() only resolves on a single source — tag
+            # files before the semi join against the emptied set.
+            tagged = full.withColumn("__f", F.input_file_name())
+            empty_files = [
+                r["__f"]
+                for r in tagged.join(F.broadcast(emptied), meta.partition_keys, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            ]
+            self._rewrite_partitions(name, meta, deduped_dirty)
+            for f in empty_files:
+                path = f.removeprefix("file://")
+                if os.path.exists(path):
+                    os.remove(path)
+            if empty_files:
+                self._refresh(name)
         else:
             if not dup_keys.limit(1).count():
                 return
-            w = Window.partitionBy(*pks).orderBy(F.desc(INGEST_COL))
             deduped = (
                 full.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -202,16 +220,25 @@ class Catalog:
             )
             self._rewrite_table(name, deduped)
 
-    def _rewrite_partition(self, name: str, meta: TableMeta, part_row, deduped: DataFrame):
-        subdir = "/".join(f"{k}={part_row[k]}" for k in meta.partition_keys)
-        final = os.path.join(self._path(name), subdir)
-        staging = os.path.join(self._path(name), ".staging", subdir)
+    def _rewrite_partitions(self, name: str, meta: TableMeta, deduped_dirty: DataFrame):
+        """Replace exactly the partitions present in ``deduped_dirty``.
+
+        Staged through a compact dir (Spark cannot overwrite a path it
+        is reading), then committed with dynamic partition overwrite —
+        Spark handles partition-path encoding, so values with spaces /
+        slashes / nulls land where scans expect them.
+        """
+        staging = self._path(name) + ".compact"
         shutil.rmtree(staging, ignore_errors=True)
-        deduped.drop(*meta.partition_keys).write.mode("overwrite").parquet(staging)
-        shutil.rmtree(final, ignore_errors=True)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        shutil.move(staging, final)
-        shutil.rmtree(os.path.join(self._path(name), ".staging"), ignore_errors=True)
+        deduped_dirty.write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(staging)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*meta.partition_keys)
+            .parquet(self._path(name))
+        )
+        shutil.rmtree(staging, ignore_errors=True)
         self._refresh(name)
 
     def _rewrite_table(self, name: str, deduped: DataFrame) -> None:

@@ -115,6 +115,11 @@ def minhash_lsh_candidates(
     the whole point — at scale the shuffle key is the bucket, never
     the cross product.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature components would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     band_cols = []

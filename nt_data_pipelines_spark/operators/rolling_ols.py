@@ -37,18 +37,29 @@ def _rolling_ols_numpy(y: np.ndarray, X: np.ndarray, window: int) -> np.ndarray:
 
     Returns (n, k) array, NaN rows until the window is full. Uses
     cumulative cross-products so each output row costs one k x k solve.
+
+    Rows with any non-finite value are excluded from the cumulative
+    sums (zero-filled) and tracked with a validity counter: windows
+    containing a bad row emit NaN, but later clean windows recover —
+    a raw NaN would otherwise poison every subsequent prefix sum.
     """
     n, k = X.shape
     out = np.full((n, k), np.nan)
     if n < window:
         return out
+    valid = np.isfinite(y) & np.isfinite(X).all(axis=1)
+    Xc = np.where(valid[:, None], X, 0.0)
+    yc = np.where(valid, y, 0.0)
     # cumulative sums of outer products, prepended with a zero row:
     # S_xx[t] = sum_{i<t} X_i X_i^T ; window sum = S[t+1] - S[t+1-window]
-    xx = np.einsum("ni,nj->nij", X, X)
-    xy = X * y[:, None]
+    xx = np.einsum("ni,nj->nij", Xc, Xc)
+    xy = Xc * yc[:, None]
     c_xx = np.concatenate([np.zeros((1, k, k)), np.cumsum(xx, axis=0)])
     c_xy = np.concatenate([np.zeros((1, k)), np.cumsum(xy, axis=0)])
+    c_valid = np.concatenate([[0], np.cumsum(valid)])
     for t in range(window - 1, n):
+        if c_valid[t + 1] - c_valid[t + 1 - window] < window:
+            continue  # window contains an invalid row -> NaN
         a = c_xx[t + 1] - c_xx[t + 1 - window]
         b = c_xy[t + 1] - c_xy[t + 1 - window]
         try:
@@ -73,8 +84,12 @@ def rolling_ols(
     """Append rolling OLS coefficient columns per key.
 
     Output columns: ``const`` (if add_const) and ``{coef_prefix}{x}``
-    for each regressor. Keys with < ``window`` rows produce no rows
-    when ``drop_partial`` (reference skips them), else NaN rows.
+    for each regressor. Keys with < ``window`` rows are dropped
+    entirely — the reference never emits them
+    (factor_model_flow.py:29-39 builds then discards their frame).
+    ``drop_partial`` controls only whether a qualifying key's first
+    ``window - 1`` rows (null coefficients) are kept for downstream
+    EWMA null-head semantics.
     """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
@@ -88,11 +103,8 @@ def rolling_ols(
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         if n < window:
-            if drop_partial:
-                return pdf.iloc[0:0].reindex(columns=list(pdf.columns) + coef_cols)
-            for c in coef_cols:
-                pdf[c] = np.nan
-            return pdf
+            # short keys vanish from the output, matching the reference
+            return pdf.iloc[0:0].reindex(columns=list(pdf.columns) + coef_cols)
         y = pdf[y_col].to_numpy(dtype=np.float64)
         X = pdf[xs].to_numpy(dtype=np.float64)
         if add_const:

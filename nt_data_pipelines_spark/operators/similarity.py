@@ -124,11 +124,18 @@ def lsh_signatures(
     comparison stays a fused JVM expression per row.
     """
     v = as_double_array(vec_col)
+    # A vector shorter/longer than `dim` would silently zip against
+    # nulls and collapse into one bucket — fail loudly instead.
+    guard = F.assert_true(
+        F.size(v) == dim, F.lit(f"embedding length must equal dim={dim}")
+    )
     bits = []
     for p in range(num_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
         bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return corpus.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return corpus.select(
+        F.col(id_col), F.when(guard.isNull(), F.concat(*bits)).alias("bucket")
+    )
 
 
 def lsh_ann_topk(

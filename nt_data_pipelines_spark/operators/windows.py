@@ -44,14 +44,32 @@ def pct_change(
     value_col: str,
     out_col: str = "pct_change",
     drop_null: bool = True,
+    zero_base: str = "inf",
 ) -> DataFrame:
     """W1 — ``x / lag(x) - 1`` per key, null first row per partition.
 
     Reference: pipelines/returns_flow.py:13-24 (Polars
     ``pct_change().over("ticker")`` then ``drop_nulls``).
+
+    ``zero_base`` picks the semantics for a zero previous value:
+    "inf" (default) matches Polars float division (x/0 -> +-inf,
+    0/0 -> NaN; the row survives drop_nulls), "null" matches SQL
+    engines (DuckDB x/0 -> NULL; the row is dropped) — the oracle-
+    paired query uses "null".
     """
     w = keyed_window(partition_by, order_by)
-    out = df.withColumn(out_col, F.try_divide(F.col(value_col), F.lag(value_col, 1).over(w)) - 1)
+    prev = F.lag(value_col, 1).over(w)
+    if zero_base == "null":
+        ratio = F.try_divide(F.col(value_col), prev)
+    else:
+        x = F.col(value_col)
+        ratio = F.when(prev != 0, x / prev).when(
+            prev == 0,
+            F.when(x > 0, F.lit(float("inf")))
+            .when(x < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        )  # prev NULL (first row) -> NULL
+    out = df.withColumn(out_col, ratio - 1)
     return out.filter(F.col(out_col).isNotNull()) if drop_null else out
 
 

@@ -33,12 +33,16 @@ def estimate_factor_covariances(
     factors = sorted(factors)
     wide = pivot_factor_returns(etf_returns, factors)
     w = Window.orderBy("date").rowsBetween(-(window - 1), 0)
-    gate = F.count(factors[0]).over(w) == window
-    pair_cols = [
-        F.when(gate, F.covar_samp(f1, f2).over(w)).alias(f"cov__{f1}__{f2}")
-        for f1 in factors
-        for f2 in factors
-    ]
+
+    def gated_pair(f1: str, f2: str):
+        # per-pair gate: pandas rolling(min_periods=window).cov() needs
+        # `window` pairwise-complete observations — counting only one
+        # factor's non-nulls would pass windows with nulls in the other
+        both = F.when(F.col(f1).isNotNull() & F.col(f2).isNotNull(), F.lit(1))
+        gate = F.count(both).over(w) == window
+        return F.when(gate, F.covar_samp(f1, f2).over(w)).alias(f"cov__{f1}__{f2}")
+
+    pair_cols = [gated_pair(f1, f2) for f1 in factors for f2 in factors]
     covs = wide.select("date", *pair_cols).na.drop()
     long = covs.unpivot(
         ids=["date"],

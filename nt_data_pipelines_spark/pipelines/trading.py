@@ -35,11 +35,22 @@ def positions_to_close(targets: DataFrame, positions: DataFrame) -> DataFrame:
     return positions.join(closeable, "ticker", "left_semi").select("ticker", "notional")
 
 
-def notional_deltas(targets: DataFrame, positions: DataFrame) -> DataFrame:
+def notional_deltas(
+    targets: DataFrame, positions: DataFrame, exclude_closing: bool = True
+) -> DataFrame:
     """Full-outer target-vs-held diff -> per-ticker trade notionals.
 
     delta > 0: buy, delta < 0: sell; trades under $1 dropped.
+
+    ``exclude_closing`` drops tickers that positions_to_close already
+    handles (held with target <= 0) — the reference excludes them from
+    the delta frame (trading_flow.py:67-70 ``is_in(...).not_()``) so
+    the close and the market sell are never both submitted.
     """
+    if exclude_closing:
+        closing = positions_to_close(targets, positions).select("ticker")
+        positions = positions.join(closing, "ticker", "left_anti")
+        targets = targets.join(closing, "ticker", "left_anti")
     t = targets.alias("t")
     p = positions.select("ticker", F.col("notional").alias("current_notional")).alias("p")
     j = t.join(p, F.col("t.ticker") == F.col("p.ticker"), "full_outer")

@@ -37,7 +37,8 @@ ROLL = 21  # reference reversal window (pipelines/reversal_flow.py:17)
 def w1_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return W.pct_change(
-        ev, "user_id", ["ts", "event_id"], "value", out_col="ret", drop_null=True
+        ev, "user_id", ["ts", "event_id"], "value", out_col="ret", drop_null=True,
+        zero_base="null",  # match the SQL oracle: x/0 -> NULL -> dropped
     ).select("user_id", "ts", "value", "ret")
 
 

@@ -85,6 +85,39 @@ def test_optimize_only_touches_dirty_partitions(cat, spark):
     assert got == {"A": 3.0, "B": 2.0}
 
 
+def test_upsert_dedups_across_partitions(cat, spark):
+    """PK copies living in different partitions must still collapse to
+    the latest write (the PK does not determine the partition here)."""
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0)]))  # year=2024
+    # same PK written with a different year value (e.g. corrected date metadata)
+    fixed = spark.createDataFrame([("A", D1, 2025, 7.0)], SCHEMA)
+    cat.insert("px", fixed)
+    cat.optimize("px")
+    got = cat.table("px").collect()
+    assert len(got) == 1
+    assert got[0]["close"] == 7.0 and got[0]["year"] == 2025
+
+
+def test_optimize_with_awkward_partition_values(cat, spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    cat.create("aw", schema, ["grp"], ["k"], mode="replace")
+    rows = [("a", "has space", 1.0), ("b", "colon:slash", 2.0)]
+    cat.insert("aw", spark.createDataFrame(rows, schema))
+    cat.insert("aw", spark.createDataFrame([("a", "has space", 9.0)], schema))
+    cat.optimize("aw")
+    got = {r["k"]: (r["grp"], r["v"]) for r in cat.table("aw").collect()}
+    assert got == {"a": ("has space", 9.0), "b": ("colon:slash", 2.0)}
+
+
 def test_unpartitioned_optimize(cat, spark):
     cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
     cat.insert("m", _rows(spark, [("A", D1, 1.0)]))

@@ -77,9 +77,9 @@ def test_factor_model_and_downstream(spark, returns):
     stock_ret, etf_ret = returns
     fitted = estimate_factor_model(stock_ret, etf_ret, FACTORS, window=WINDOW).cache()
 
-    # short ticker kept in rows but its coefficients are all null
+    # short ticker dropped entirely (reference skips keys < window)
     short = fitted.filter(F.col("ticker") == S.SHORT_TICKER)
-    assert short.filter(F.col("alpha").isNotNull()).count() == 0
+    assert short.count() == 0
     full = fitted.filter((F.col("ticker") == "T00") & F.col("alpha").isNotNull())
     assert full.count() == (N_DAYS - 1) - WINDOW + 1
 

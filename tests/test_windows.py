@@ -24,10 +24,23 @@ def test_pct_change_drops_null_head(series):
     assert got[4]["r"] == pytest.approx(102 / 100 - 1)
 
 
-def test_pct_change_zero_base_yields_null_not_error(spark):
+def test_pct_change_zero_base_null_mode(spark):
     df = spark.createDataFrame([("a", 0, 0.0), ("a", 1, 5.0)], ["k", "t", "x"])
-    kept = W.pct_change(df, "k", "t", "x", out_col="r", drop_null=True).collect()
+    kept = W.pct_change(df, "k", "t", "x", out_col="r", drop_null=True, zero_base="null").collect()
     assert kept == []  # 5/0 -> NULL -> dropped, no ANSI error
+
+
+def test_pct_change_zero_base_inf_mode(spark):
+    """Default matches Polars float division: x/0 -> inf, 0/0 -> NaN, rows kept."""
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 5.0), ("a", 2, 0.0), ("a", 3, 0.0), ("a", 4, -2.0)],
+        ["k", "t", "x"],
+    )
+    got = {r["t"]: r["r"] for r in W.pct_change(df, "k", "t", "x", out_col="r").collect()}
+    assert got[1] == float("inf")  # 5/0 - 1
+    assert got[2] == -1.0  # 0/5 - 1
+    assert math.isnan(got[3])  # 0/0
+    assert got[4] == float("-inf")  # -2/0
 
 
 def test_rolling_sum_full_window_gate(series):
