@@ -5,7 +5,7 @@ benchmark -> portfolio weights, with the FIXTURES.md edge cases:
 short ticker skipped by rolling ops, ghost ticker dropped by the
 universe gate, weights long-only and fully invested.
 
-Window sizes are scaled down (WINDOW=60) so the 600-day fixture
+Window sizes are scaled down (WINDOW=120) so the fixture
 yields plenty of post-window dates while testing the same gating
 logic as the production 252.
 """
