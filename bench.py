@@ -49,12 +49,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # Latency profile for sub-second queries: AQE's between-stage
     # re-optimization costs 2-3x at this scale (measured: 57ms vs 23ms
-    # for top-k dates), so bench runs with it off and shuffle
-    # partitions sized to the input. Batch jobs at real scale keep the
+    # for top-k dates), so bench runs with it off; shuffle=16 won a
+    # 4/8/16/32 sweep at sf0.1. Batch jobs at real scale keep the
     # session defaults (AQE on) — see session.py / docs/SCALE.md.
     spark = get_spark(
         "bench",
-        shuffle_partitions=8,
+        shuffle_partitions=16,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
