@@ -117,6 +117,22 @@ def s_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_ivf_search_topk",
+    oracle=None,  # iterative k-means is not SQL-expressible; rows-only check
+    doc="IVF ANN tier: deterministic Lloyd's k-means coarse quantizer "
+    "(8 cells, 3 iterations), then probe the 2 nearest cells per query "
+    "and re-rank exactly — the shuffle key is the cell, never the corpus.",
+)
+def s_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.ivf import ivf_search, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, n_cells=8, iterations=3)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_search(emb, queries, centroids, k=TOP_K, n_probe=2)
+
+
+@register(
     "s_centroid_per_label",
     oracle=f"""
     WITH exploded AS (
