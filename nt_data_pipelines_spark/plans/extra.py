@@ -56,6 +56,27 @@ def o1_multisort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_median_exact",
+    oracle="""
+    SELECT event_type,
+           ROUND(median(value), 6) + 0.0 AS med,
+           ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantiles (median/p90) — both engines use the "
+    "same continuous-quantile definition; approx sketches would not match.",
+)
+def a_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (F.round(F.median("value"), 6) + 0.0).alias("med"),
+        (F.round(F.percentile("value", F.lit(0.9)), 6) + 0.0).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "d_lsh_verified_dedup",
     oracle="""
     WITH shingles AS (
