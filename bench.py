@@ -34,8 +34,8 @@ HEADLINE = {
     "q7_topk_dates": "o3_topk_dates",
 }
 
-WARMUP_RUNS = 1
-TIMED_RUNS = 5
+WARMUP_RUNS = 2
+TIMED_RUNS = 7
 
 
 def materialize(df) -> int:

@@ -1,0 +1,138 @@
+"""The engine's public query surface (reference: pipelines/utils/data.py).
+
+An ``Engine`` wraps a :class:`~nt_data_pipelines_spark.catalog.Catalog`
+and reproduces every reference accessor with identical semantics
+(utils/data.py:10-142, utils/calendar.py:8-19):
+
+- universe-gated accessors LEFT JOIN through the point-in-time
+  universe on (date, ticker) — only in-universe rows survive,
+- date ranges are inclusive on both ends (Polars ``is_between``),
+- measure accessors that smooth (alphas, loadings, idio vol) drop
+  null measures after the gate,
+- results come back sorted ("ticker", "date") like the reference.
+
+A user of the reference switches by replacing ``get_X(start, end)``
+calls with ``engine.get_X(start, end)`` — same names, same columns,
+same rows. All accessors stay lazy DataFrames (the reference returns
+eager frames only because Polars' query() materializes; callers here
+collect when they need rows).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.catalog import Catalog
+
+
+class Engine:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    # ---- internals ----
+    def _between(self, df: DataFrame, start: dt.date, end: dt.date) -> DataFrame:
+        return df.filter(F.col("date").between(F.lit(start), F.lit(end)))
+
+    def _gated(self, table: str, start: dt.date, end: dt.date) -> DataFrame:
+        universe = self.catalog.table("universe").select("date", "ticker")
+        joined = universe.join(self.catalog.table(table), ["date", "ticker"], "left")
+        return self._between(joined, start, end)
+
+    # ---- accessors (utils/data.py order) ----
+    def get_universe(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._between(self.catalog.table("universe"), start, end)
+            .select("date", "ticker")
+            .sort("ticker", "date")
+        )
+
+    def get_universe_returns(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("stock_returns", start, end)
+            .select("date", "ticker", "return")
+            .sort("ticker", "date")
+        )
+
+    def get_stock_returns(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._between(self.catalog.table("stock_returns"), start, end)
+            .select("date", "ticker", "return")
+            .sort("ticker", "date")
+        )
+
+    def get_etf_returns(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._between(self.catalog.table("etf_returns"), start, end)
+            .select("date", "ticker", "return")
+            .sort("ticker", "date")
+        )
+
+    def get_alphas(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("alphas", start, end)
+            .filter(F.col("alpha").isNotNull())
+            .select("date", "ticker", "alpha")
+            .sort("ticker", "date")
+        )
+
+    def get_benchmark_weights(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("benchmark_weights", start, end)
+            .select("date", "ticker", "weight")
+            .sort("ticker", "date")
+        )
+
+    def get_benchmark_returns(self, start: dt.date, end: dt.date) -> DataFrame:
+        return self._between(self.catalog.table("benchmark_returns"), start, end)
+
+    def get_factor_loadings(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("factor_loadings", start, end)
+            .filter(F.col("loading").isNotNull())
+            .select("date", "ticker", "factor", "loading")
+            .sort("ticker", "date")
+        )
+
+    def get_factor_covariances(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._between(self.catalog.table("factor_covariances"), start, end)
+            .select("date", "factor_1", "factor_2", "covariance")
+            .sort("date")
+        )
+
+    def get_idio_vol(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("idio_vol", start, end)
+            .filter(F.col("idio_vol").isNotNull())
+            .select("date", "ticker", "idio_vol")
+            .sort("ticker", "date")
+        )
+
+    def get_portfolio_weights(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._between(self.catalog.table("portfolio_weights"), start, end)
+            .select("date", "ticker", "weight")
+            .sort("ticker", "date")
+        )
+
+    def get_prices(self, start: dt.date, end: dt.date) -> DataFrame:
+        return (
+            self._gated("stock_prices", start, end)
+            .select("date", "ticker", "close")
+            .sort("ticker", "date")
+        )
+
+    # ---- calendar accessors (utils/calendar.py) ----
+    def get_last_market_date(self) -> dt.date:
+        return self.catalog.table("calendar").agg(F.max("date")).first()[0]
+
+    def get_trading_date_range(self, window: int) -> DataFrame:
+        return (
+            self.catalog.table("calendar")
+            .select("date")
+            .orderBy(F.desc("date"))
+            .limit(window)
+        )

@@ -1,0 +1,81 @@
+"""Public Engine accessors: universe gating, inclusive ranges, null drops."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.api import Engine
+from nt_data_pipelines_spark.catalog import Catalog
+from nt_data_pipelines_spark.pipelines.runner import backfill_flow, ensure_tables
+from nt_data_pipelines_spark.sources import synthetic as S
+
+N_DAYS = 300
+WINDOW = 120
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("api") / "lake"))
+    ensure_tables(cat)
+    cat.upsert("calendar", S.load_calendar(spark, N_DAYS))
+    cat.upsert("universe", S.load_universe(spark, N_DAYS))
+    cat.upsert("stock_prices", S.load_stock_prices(spark, N_DAYS))
+    cat.upsert("etf_prices", S.load_etf_prices(spark, N_DAYS))
+    backfill_flow(spark, cat, window=WINDOW, half_life=20.0)
+    return Engine(cat)
+
+
+@pytest.fixture(scope="module")
+def span(engine):
+    cal = sorted(r["date"] for r in engine.catalog.table("calendar").collect())
+    return cal[0], cal[-1]
+
+
+def test_inclusive_between(engine, span):
+    start, end = span
+    uni = engine.get_universe(start, end)
+    dates = uni.select("date").distinct()
+    assert dates.agg(F.min("date")).first()[0] == start  # both endpoints included
+    assert dates.agg(F.max("date")).first()[0] == end
+
+
+def test_universe_gate_in_accessors(engine, span):
+    start, end = span
+    # ghost ticker has prices but is never in the universe
+    prices = engine.get_prices(start, end)
+    assert prices.filter(F.col("ticker") == S.GHOST_TICKER).count() == 0
+    # ungated stock_returns accessor still carries it
+    raw = engine.get_stock_returns(start, end)
+    assert raw.filter(F.col("ticker") == S.GHOST_TICKER).count() > 0
+
+
+def test_measure_accessors_drop_nulls(engine, span):
+    start, end = span
+    for df, col in [
+        (engine.get_alphas(start, end), "alpha"),
+        (engine.get_factor_loadings(start, end), "loading"),
+        (engine.get_idio_vol(start, end), "idio_vol"),
+    ]:
+        assert df.count() > 0
+        assert df.filter(F.col(col).isNull()).count() == 0
+
+
+def test_columns_match_reference_surface(engine, span):
+    start, end = span
+    assert engine.get_universe_returns(start, end).columns == ["date", "ticker", "return"]
+    assert engine.get_benchmark_weights(start, end).columns == ["date", "ticker", "weight"]
+    assert engine.get_factor_covariances(start, end).columns == [
+        "date", "factor_1", "factor_2", "covariance",
+    ]
+    assert engine.get_portfolio_weights(start, end).columns == ["date", "ticker", "weight"]
+
+
+def test_calendar_accessors(engine, span):
+    start, end = span
+    assert engine.get_last_market_date() == end
+    rng = engine.get_trading_date_range(21)
+    assert rng.count() == 21
+    assert rng.agg(F.max("date")).first()[0] == end
