@@ -143,6 +143,41 @@ def minhash_lsh_candidates(
     )
 
 
+def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup pairs -> (doc_id, canonical_id) via connected components.
+
+    The final stage of a dedup pipeline: pairs from LSH+verify form an
+    undirected graph; each component keeps its minimum id as the
+    canonical survivor. The pair set is orders of magnitude smaller
+    than the corpus (only near-dups appear), so union-find runs
+    driver-side on the collected edges — the same driver-sized-result
+    pattern as the reference's order sink. For pathological corpora
+    where even the edge set is huge, the iterative label-propagation
+    (min-id broadcast) variant replaces this with K Spark joins.
+    """
+    edges = pairs.select(id_a, id_b).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so the canonical member is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for r in edges:
+        union(r[id_a], r[id_b])
+    mapping = [(x, find(x)) for x in parent]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(mapping, ["doc_id", "canonical_id"])
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
     """16-bit SimHash fingerprint from word md5s (JVM-side bit math).
 

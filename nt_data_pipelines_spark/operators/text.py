@@ -41,6 +41,15 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Cleaning normalization: lowercase, strip non-alphanumerics to
+    spaces, squeeze runs of whitespace, trim. The canonical form fed
+    to exact dedup so case/punctuation variants collapse."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append length / word / character-class quality features.
 

@@ -219,6 +219,22 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    doc="Cleaning normalization: lowercase, punctuation->space, squeeze "
+    "whitespace — the canonical form fed to exact dedup.",
+)
+def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.normalize_text("text").alias("norm_text"))
+
+
+@register(
     "t_token_totals",
     oracle="""
     SELECT source, lang,
