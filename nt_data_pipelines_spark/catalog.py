@@ -146,13 +146,15 @@ class Catalog:
 
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
         """Append rows; stamps a monotone _ingest_seq for upsert ordering."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         meta = self._meta(name)
         seq = self._state["next_seq"]
         self._state["next_seq"] = seq + 1
         self._save()
         cols = [f.name for f in meta.struct.fields]
         out = df.select(*cols).withColumn(INGEST_COL, F.lit(seq).cast("long"))
-        self._write(name, out, "append" if mode == "append" else "overwrite")
+        self._write(name, out, mode)
 
     def upsert(self, name: str, df: DataFrame) -> None:
         self.insert(name, df, mode="append")
@@ -171,7 +173,13 @@ class Catalog:
         # Dedup rank is GLOBAL over the PK (a key may have copies in
         # several partitions when the PK doesn't determine the
         # partition value — last write must win across all of them).
-        w = Window.partitionBy(*pks).orderBy(F.desc(INGEST_COL))
+        # Secondary sort on a content hash: duplicate PKs *within one
+        # inserted batch* share an ingest seq, and partition order
+        # alone would pick an arbitrary survivor.
+        payload = [f.name for f in meta.struct.fields]
+        w = Window.partitionBy(*pks).orderBy(
+            F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
+        )
         if meta.partition_keys:
             # partitions holding any copy of a duplicated key must be
             # rewritten (winners kept, losers dropped everywhere)

@@ -30,9 +30,14 @@ from nt_data_pipelines_spark.operators.text import words
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the min-id row per identical text; returns (survivor_id, n_dups, text_hash)."""
+    """Keep the min-id row per identical text; returns (survivor_id, n_dups, text_hash).
+
+    Null texts are excluded: md5(NULL) is NULL, which would otherwise
+    collapse every null-text document into one bogus duplicate group.
+    """
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -175,7 +180,11 @@ def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b")
         union(r[id_a], r[id_b])
     mapping = [(x, find(x)) for x in parent]
     spark = pairs.sparkSession
-    return spark.createDataFrame(mapping, ["doc_id", "canonical_id"])
+    # explicit schema: an empty mapping (clean corpus) cannot be inferred
+    id_type = dict(pairs.dtypes)[id_a]
+    return spark.createDataFrame(
+        mapping, f"doc_id {id_type}, canonical_id {id_type}"
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:

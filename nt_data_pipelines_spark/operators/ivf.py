@@ -98,16 +98,21 @@ def ivf_search(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 2,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query; exact re-rank inside.
 
     Returns (query_id, rank, neighbor_id, cosine) like the other ANN
-    tiers. The candidate join is an equi-join on cell — the shuffle
-    moves candidate cells, never the full corpus per query.
+    tiers. Pass ``indexed`` (the persisted output of
+    :func:`assign_cells`) for repeated searches — otherwise every call
+    re-pays the full corpus assignment, which is only acceptable for
+    one-shot queries. With a precomputed index the candidate join is
+    an equi-join on cell: the shuffle moves candidate cells, never the
+    full corpus per query.
     """
-    indexed = assign_cells(corpus, centroids, id_col, vec_col).withColumnsRenamed(
-        {id_col: "neighbor_id", "vec": "c_vec"}
-    )
+    if indexed is None:
+        indexed = assign_cells(corpus, centroids, id_col, vec_col)
+    indexed = indexed.withColumnsRenamed({id_col: "neighbor_id", "vec": "c_vec"})
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec"))
     q_cells = (
         q.crossJoin(F.broadcast(centroids))

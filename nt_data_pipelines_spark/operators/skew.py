@@ -55,7 +55,11 @@ def salted_join(
 
     ``salt_from`` defaults to every large-side column (maximally
     uniform); pass a high-cardinality id column to avoid hashing wide
-    rows. Result equals ``large.join(small, on, how)`` for inner and
+    rows. Caveat: byte-identical rows hash to the same salt, so a hot
+    key made of *duplicate* rows does not spread — give ``salt_from``
+    a unique row id in that case (determinism over spread is the
+    deliberate default; RNG salts break task-retry consistency).
+    Result equals ``large.join(small, on, how)`` for inner and
     left joins (small-side rows are replicated, so right/full
     semantics would double-count unmatched small rows — rejected).
     """
@@ -76,9 +80,12 @@ def salted_count(
     aggregations where the partial state itself would skew, e.g.
     collect-heavy aggs.)"""
     ks = _cols(keys)
-    partial = df.withColumn(
-        SALT_COL, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(factor))
-    )
+    # Salt from row content, NOT monotonically_increasing_id: the
+    # latter changes across task retries, which can double- or
+    # drop-count rows mid-shuffle. Byte-identical rows share a salt
+    # (no spread), which is harmless for counting — partial
+    # aggregation already collapses them map-side.
+    partial = df.withColumn(SALT_COL, F.pmod(F.hash(*df.columns), F.lit(factor)))
     return (
         partial.groupBy(*ks, SALT_COL)
         .agg(F.count(F.lit(1)).alias("__pc"))

@@ -37,16 +37,6 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
-OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ewma", T.DoubleType()),
-        T.StructField("n_seen", T.LongType()),
-    ]
-)
-
 
 def streaming_ewma(
     events: DataFrame,
@@ -55,38 +45,56 @@ def streaming_ewma(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """groupBy(key).applyInPandasWithState EWMA over a stream."""
+    """groupBy(key).applyInPandasWithState EWMA over a stream.
+
+    Output columns: (key_col, ts_col, value_col) with their input
+    types, plus ``ewma`` and the per-row running ``n_seen``.
+    """
     alpha = 1.0 - 0.5 ** (1.0 / half_life)
     decay = 1.0 - alpha
+    in_fields = {f.name: f for f in events.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[key_col],
+            in_fields[ts_col],
+            in_fields[value_col],
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         num, den, n = state.get if state.exists else (0.0, 0.0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            out_ewma = []
-            for x in pdf[value_col]:
-                num = float(x) + decay * num
-                den = 1.0 + decay * den
-                n += 1
-                out_ewma.append(num / den)
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf[key_col],
-                    "ts": pdf[ts_col],
-                    "value": pdf[value_col],
-                    "ewma": out_ewma,
-                    "n_seen": n,
-                }
-            )
+        # One micro-batch group can arrive as several Arrow chunks;
+        # sorting per chunk would interleave event time across chunk
+        # boundaries — concatenate first, sort once.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        out_ewma, out_seen = [], []
+        for x in pdf[value_col]:
+            num = float(x) + decay * num
+            den = 1.0 + decay * den
+            n += 1
+            out_ewma.append(num / den)
+            out_seen.append(n)
         state.update((num, den, n))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                ts_col: pdf[ts_col],
+                value_col: pdf[value_col],
+                "ewma": out_ewma,
+                "n_seen": out_seen,
+            }
+        )
 
     return (
         events.groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
