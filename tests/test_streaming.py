@@ -53,6 +53,54 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert all(r["n"] == 50 for r in got)
 
 
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """Rows older than (max event time - watermark) must be excluded
+    once their window is finalized — bounded state is the property
+    that keeps the stream runnable forever."""
+    src = str(tmp_path / "late_events")
+    # batch 1: hour-10 data; batch 2 advances the clock to hour 14
+    # (finalizing the hour-10 window); batch 3 delivers one very late
+    # hour-10 row that must be discarded
+    _write_events(spark, src, 10)
+    late = [(9999, dt.datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}")]
+    fresh = [
+        (8000 + i, dt.datetime(2024, 1, 1, 14, i % 60), i % 5, "view", 1.0, "{}")
+        for i in range(60)
+    ]
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = streaming_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_counts")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drain batch 1 (watermark -> 09:00)
+        spark.createDataFrame(fresh, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # clock advances; hour-10 window finalizes
+        spark.createDataFrame(late, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # late row arrives behind the watermark
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in spark.sql("select * from late_counts").collect()
+    }
+    # the finalized hour-10 window emitted WITHOUT the late row
+    hour10 = [v for (h, _t), v in got.items() if h == 10]
+    assert sum(hour10) == 100  # the original 100 events, late row dropped
+
+
 def test_streaming_upsert_sink_idempotent(spark, tmp_path):
     src = str(tmp_path / "events2")
     ckpt = str(tmp_path / "ckpt")
