@@ -125,6 +125,24 @@ class Engine:
             .sort("ticker", "date")
         )
 
+    # ---- SQL surface ----
+    def register_views(self) -> list[str]:
+        """Expose every catalog table as a temp view for spark.sql.
+
+        The reference has no SQL parser (Polars expressions only);
+        Spark gives us one for free — after this, any ANSI SQL over
+        the lakehouse tables runs through the same Catalyst plans as
+        the DataFrame accessors.
+        """
+        names = self.catalog.list_tables()
+        for t in names:
+            self.catalog.table(t).createOrReplaceTempView(t)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.catalog.spark.sql(query)
+
     # ---- calendar accessors (utils/calendar.py) ----
     def get_last_market_date(self) -> dt.date:
         return self.catalog.table("calendar").agg(F.max("date")).first()[0]

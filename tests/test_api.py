@@ -73,6 +73,27 @@ def test_columns_match_reference_surface(engine, span):
     assert engine.get_portfolio_weights(start, end).columns == ["date", "ticker", "weight"]
 
 
+def test_sql_surface(engine, span):
+    start, end = span
+    got = engine.sql(
+        """
+        SELECT u.ticker, COUNT(*) AS n_days
+        FROM universe u JOIN stock_returns r
+          ON u.date = r.date AND u.ticker = r.ticker
+        GROUP BY u.ticker ORDER BY u.ticker
+        """
+    )
+    rows = {r["ticker"]: r["n_days"] for r in got.collect()}
+    assert S.GHOST_TICKER not in rows  # SQL path hits the same gated tables
+    assert rows and all(n > 0 for n in rows.values())
+    # SQL inner join == the accessor's left join minus null-return rows
+    # (the reference accessor keeps universe rows with no return yet)
+    df_count = (
+        engine.get_universe_returns(start, end).filter(F.col("return").isNotNull()).count()
+    )
+    assert sum(rows.values()) == df_count
+
+
 def test_calendar_accessors(engine, span):
     start, end = span
     assert engine.get_last_market_date() == end
