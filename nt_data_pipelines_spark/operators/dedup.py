@@ -187,6 +187,58 @@ def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b")
     )
 
 
+def resolve_dup_groups_distributed(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Distributed connected components via min-label propagation.
+
+    The scale path for :func:`resolve_dup_groups` when the edge set
+    itself is too large to collect: every node starts labeled with its
+    own id; each round, a node adopts the minimum label among itself
+    and its neighbors. Converges in O(component diameter) rounds —
+    near-dup clusters are shallow (dozens of docs chained through
+    shared shingles), so a handful of joins suffices. Each round is
+    one shuffle on node id; stops early when no label changes.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        # materialize the round so the next join doesn't re-derive the
+        # whole lineage, and check convergence on the same pass
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
     """16-bit SimHash fingerprint from word md5s (JVM-side bit math).
 
