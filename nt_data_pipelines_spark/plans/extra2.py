@@ -1,0 +1,136 @@
+"""Final coverage batch: rollup, rolling extrema/median, and the
+composite corpus-cleaning pipeline (normalize -> dedup -> quality
+filter -> accounting) as one oracle-paired query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.text import normalize_text
+from nt_data_pipelines_spark.operators.windows import keyed_window
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+ROLL = 21
+
+
+@register(
+    "a_rollup_counts",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP grouping sets (hierarchical subtotals).",
+)
+def a_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "w_rolling_minmax",
+    oracle=f"""
+    SELECT user_id, ts, lo, hi FROM (
+      SELECT user_id, ts,
+        CASE WHEN COUNT(value) OVER w = {ROLL} THEN MIN(value) OVER w END AS lo,
+        CASE WHEN COUNT(value) OVER w = {ROLL} THEN MAX(value) OVER w END AS hi
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLL - 1} PRECEDING AND CURRENT ROW))
+    WHERE lo IS NOT NULL
+    """,
+    doc="Gated rolling extrema (drawdown/range monitoring primitives).",
+)
+def w_rolling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = keyed_window("user_id", ["ts", "event_id"]).rowsBetween(-(ROLL - 1), 0)
+    gate = F.count("value").over(w) == ROLL
+    out = ev.select(
+        "user_id",
+        "ts",
+        F.when(gate, F.min("value").over(w)).alias("lo"),
+        F.when(gate, F.max("value").over(w)).alias("hi"),
+    )
+    return out.filter(F.col("lo").isNotNull())
+
+
+@register(
+    "w_rolling_median",
+    oracle=f"""
+    SELECT user_id, ts, ROUND(med, 6) + 0.0 AS med FROM (
+      SELECT user_id, ts,
+        CASE WHEN COUNT(value) OVER w = {ROLL} THEN median(value) OVER w END AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLL - 1} PRECEDING AND CURRENT ROW))
+    WHERE med IS NOT NULL
+    """,
+    doc="Gated rolling exact median (interpolated; identical definition "
+    "in both engines, unlike approximate sketches).",
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = keyed_window("user_id", ["ts", "event_id"]).rowsBetween(-(ROLL - 1), 0)
+    gate = F.count("value").over(w) == ROLL
+    # Spark's median() rejects window frames; for an odd full window
+    # the median is exactly the middle order statistic of the frame.
+    mid = (ROLL + 1) // 2
+    med = F.element_at(F.array_sort(F.collect_list("value").over(w)), mid)
+    out = ev.select("user_id", "ts", F.when(gate, med).alias("med"))
+    return out.filter(F.col("med").isNotNull()).select(
+        "user_id", "ts", (F.round("med", 6) + 0.0).alias("med")
+    )
+
+
+@register(
+    "p_clean_corpus",
+    oracle="""
+    WITH normalized AS (
+      SELECT doc_id, lang, source,
+             TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM normalized GROUP BY md5(norm_text)
+    ),
+    kept AS (
+      SELECT n.* FROM normalized n JOIN survivors s ON n.doc_id = s.doc_id
+      WHERE LEN(string_split(norm_text, ' ')) >= 5
+        AND LENGTH(regexp_replace(norm_text, '[^a-z]', '', 'g'))
+              > 0.5 * LENGTH(norm_text)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split(norm_text, ' '))) AS BIGINT) AS total_words
+    FROM kept GROUP BY lang
+    """,
+    doc="The canonical training-data cleaning pipeline in one plan: "
+    "normalize -> exact-dedup survivors on normalized text -> quality "
+    "filter (length + alpha ratio) -> per-language accounting.",
+)
+def p_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = docs.select(
+        "doc_id", "lang", "source", normalize_text("text").alias("norm_text")
+    )
+    survivors = (
+        normalized.groupBy(F.md5("norm_text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    words = F.split(F.col("norm_text"), " ")
+    alpha_len = F.length(F.regexp_replace("norm_text", "[^a-z]", ""))
+    kept = (
+        normalized.join(survivors, "doc_id")
+        .filter(F.size(words) >= 5)
+        .filter(alpha_len > 0.5 * F.length("norm_text"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words)).alias("total_words"),
+    )
