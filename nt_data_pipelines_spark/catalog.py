@@ -26,15 +26,17 @@ Spark-first design:
 - metadata is a JSON sidecar per database directory (on a cluster
   this would be a metastore; the contract is identical).
 
-On object stores the rewrite would stage new files then swap a
-manifest; locally we stage to a temp dir and atomically rename.
+All file mutations go through the Hadoop FileSystem API, so the same
+code runs on file://, hdfs://, or s3a:// roots (on S3 the staging
+rename is a copy — a manifest-based commit like Delta's would remove
+that; the dedup plan itself is unchanged). Table metadata stays in a
+driver-local JSON sidecar standing in for a metastore.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,6 +88,23 @@ class Catalog:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # ---- filesystem (Hadoop FS API: works on file://, s3a://, hdfs://) ----
+    def _hfs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _fs_delete(self, path: str) -> None:
+        fs, p = self._hfs(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def _fs_rename(self, src: str, dst: str) -> None:
+        fs, psrc = self._hfs(src)
+        _, pdst = self._hfs(dst)
+        fs.rename(psrc, pdst)
+
     def exists(self, name: str) -> bool:
         return name in self._state["tables"]
 
@@ -107,7 +126,7 @@ class Catalog:
         if self.exists(name):
             if mode == "skip":
                 return
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            self._fs_delete(self._path(name))
         self._state["tables"][name] = {
             "name": name,
             "schema_json": json.dumps(schema.jsonValue()),
@@ -123,7 +142,7 @@ class Catalog:
         if self.exists(name):
             del self._state["tables"][name]
             self._save()
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            self._fs_delete(self._path(name))
 
     # ---- write path ----
     @staticmethod
@@ -213,9 +232,7 @@ class Catalog:
             ]
             self._rewrite_partitions(name, meta, deduped_dirty)
             for f in empty_files:
-                path = f.removeprefix("file://")
-                if os.path.exists(path):
-                    os.remove(path)
+                self._fs_delete(f)
             if empty_files:
                 self._refresh(name)
         else:
@@ -237,7 +254,7 @@ class Catalog:
         slashes / nulls land where scans expect them.
         """
         staging = self._path(name) + ".compact"
-        shutil.rmtree(staging, ignore_errors=True)
+        self._fs_delete(staging)
         deduped_dirty.write.mode("overwrite").parquet(staging)
         staged = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(staging)
         (
@@ -246,15 +263,15 @@ class Catalog:
             .partitionBy(*meta.partition_keys)
             .parquet(self._path(name))
         )
-        shutil.rmtree(staging, ignore_errors=True)
+        self._fs_delete(staging)
         self._refresh(name)
 
     def _rewrite_table(self, name: str, deduped: DataFrame) -> None:
         staging = self._path(name) + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
+        self._fs_delete(staging)
         deduped.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(self._path(name))
-        os.replace(staging, self._path(name))
+        self._fs_delete(self._path(name))
+        self._fs_rename(staging, self._path(name))
         self._refresh(name)
 
     # ---- read path ----
