@@ -27,7 +27,7 @@ STOPWORD_LEXICON: dict[str, list[str]] = {
 
 # A BPE-ish tokenizer regex: alphabetic runs, digit runs, single
 # non-alphanumeric marks. Compatible across Java regex and RE2.
-TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 
 def words(text: Column | str) -> Column:

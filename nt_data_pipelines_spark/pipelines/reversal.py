@@ -21,13 +21,17 @@ SIGNAL_NAME = "reversal"
 REVERSAL_WINDOW = 21
 
 
-def calculate_signals(stock_returns: DataFrame, signal_name: str = SIGNAL_NAME) -> DataFrame:
+def calculate_signals(
+    stock_returns: DataFrame,
+    signal_name: str = SIGNAL_NAME,
+    window: int = REVERSAL_WINDOW,
+) -> DataFrame:
     sig = rolling_sum(
         stock_returns,
         "ticker",
         "date",
         F.log1p(F.col("return")),
-        REVERSAL_WINDOW,
+        window,
         out_col="_rsum",
     )
     return (

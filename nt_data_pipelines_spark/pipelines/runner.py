@@ -128,8 +128,9 @@ def backfill_flow(
     try:
         # Empty-result guard — the reference's flows raise rather than
         # silently writing nothing (reversal_flow.py:189-190).
-        if cat.table("stock_prices").limit(1).count() == 0:
-            raise ValueError("No values found: stock_prices is empty")
+        for src in ("stock_prices", "etf_prices"):
+            if cat.table(src).limit(1).count() == 0:
+                raise ValueError(f"No values found: {src} is empty")
         stock_returns = compute_returns(cat.table("stock_prices"))
         cat.upsert("stock_returns", stock_returns)
         etf_returns = compute_returns(cat.table("etf_prices"))
@@ -175,16 +176,19 @@ def backfill_flow(
             cat.table("idio_vol"),
             FACTORS,
         ).cache()
-        cat.upsert(
-            "portfolio_weights",
-            weights.select(
-                "ticker", "date", F.year("date").cast("int").alias("year"), "weight"
-            ),
-        )
-        cat.upsert(
-            "portfolio_metrics",
-            weights.select("date", "lambda", "active_risk").distinct(),
-        )
+        try:
+            cat.upsert(
+                "portfolio_weights",
+                weights.select(
+                    "ticker", "date", F.year("date").cast("int").alias("year"), "weight"
+                ),
+            )
+            cat.upsert(
+                "portfolio_metrics",
+                weights.select("date", "lambda", "active_risk").distinct(),
+            )
+        finally:
+            weights.unpersist()
     except Exception:
         if on_failure is not None:
             on_failure()
@@ -222,11 +226,17 @@ def daily_flow(
         return False
     end = last_market_date(cal)
 
+    from nt_data_pipelines_spark.pipelines.calendar import trading_date_range
+
+    tail_starts: dict[int, object] = {}
+
     def tail(df, n_dates: int):
-        dates = (
-            cal.select("date").distinct().orderBy(F.desc("date")).limit(n_dates)
-        )
-        start = dates.agg(F.min("date")).first()[0]
+        # one driver action per distinct lookback size, cached
+        if n_dates not in tail_starts:
+            tail_starts[n_dates] = (
+                trading_date_range(cal, n_dates).agg(F.min("date")).first()[0]
+            )
+        start = tail_starts[n_dates]
         return df.filter((F.col("date") >= F.lit(start)) & (F.col("date") <= F.lit(end)))
 
     def only_end(df):
@@ -254,7 +264,15 @@ def daily_flow(
             ),
         )
 
-        signals = only_end(calculate_signals(tail(cat.table("stock_returns"), reversal_window)))
+        # NOTE: the reference's daily reversal flow uses exactly a
+        # 21-date lookback (get_trading_date_range(window=21)), so a
+        # ticker missing one of those dates loses its end-date signal —
+        # faithful zero-slack behavior, same as the reference.
+        signals = only_end(
+            calculate_signals(
+                tail(cat.table("stock_returns"), reversal_window), window=reversal_window
+            )
+        )
         if signals.limit(1).count() == 0:
             raise ValueError("No values found: empty daily signals")
         cat.upsert("signals", signals)
@@ -274,6 +292,8 @@ def daily_flow(
             )
             .filter(F.col("return").isNotNull())
         )
+        if uni_ret.limit(1).count() == 0:
+            raise ValueError("No values found: end-date universe returns are empty")
         bweights = calculate_benchmark_weights(uni_ret)
         cat.upsert("benchmark_weights", bweights)
         cat.upsert(
@@ -301,11 +321,14 @@ def daily_flow(
             only_end(cat.table("idio_vol")),
             FACTORS,
         ).cache()
-        cat.upsert(
-            "portfolio_weights",
-            weights.select("ticker", "date", F.year("date").cast("int").alias("year"), "weight"),
-        )
-        cat.upsert("portfolio_metrics", weights.select("date", "lambda", "active_risk").distinct())
+        try:
+            cat.upsert(
+                "portfolio_weights",
+                weights.select("ticker", "date", F.year("date").cast("int").alias("year"), "weight"),
+            )
+            cat.upsert("portfolio_metrics", weights.select("date", "lambda", "active_risk").distinct())
+        finally:
+            weights.unpersist()
         return True
     except Exception:
         if on_failure is not None:

@@ -78,6 +78,7 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = F.count("value").over(w) == ROLL
     # Spark's median() rejects window frames; for an odd full window
     # the median is exactly the middle order statistic of the frame.
+    assert ROLL % 2 == 1, "middle-element median shortcut requires an odd window"
     mid = (ROLL + 1) // 2
     med = F.element_at(F.array_sort(F.collect_list("value").over(w)), mid)
     out = ev.select("user_id", "ts", F.when(gate, med).alias("med"))

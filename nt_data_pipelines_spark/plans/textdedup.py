@@ -148,7 +148,7 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            LENGTH(regexp_replace(text, '[^ ]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE) AS q_space_ratio,
            LEN(list_filter(list_distinct(string_split(text, ' ')), x -> x IN ({_EN})))
              / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS q_en_stopword_distinct_ratio,
-           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS q_tokens
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS q_tokens
     FROM documents
     """,
     doc="Quality scoring: length/word/charclass/stopword/token features.",
@@ -239,7 +239,7 @@ def t_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))) AS BIGINT) AS total_tokens,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY source, lang
     """,
