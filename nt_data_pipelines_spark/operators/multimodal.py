@@ -60,6 +60,92 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Batch image resize via mapInPandas (binary in -> binary out).
+
+    The real decoder (PIL) is absent; the fake produces a
+    deterministic payload of exactly width*height bytes derived by
+    tiling the source bytes — byte-count semantics and the
+    Arrow-batched binary-in/binary-out contract are real and tested.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError("image codecs not installed; use decode_stub='fake'")
+            resized = [
+                bytes((b * (target // max(len(b), 1) + 1))[:target]) for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8, decode_stub: str = "fake"
+) -> DataFrame:
+    """Frame sampling via mapInPandas: one input row -> many frame rows.
+
+    A real implementation seeks keyframes with ffmpeg; the fake slices
+    the payload every ``every_n_bytes``. The one-to-many batch fan-out
+    (the part that matters to Spark: output rows != input rows per
+    Arrow batch) is real.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError("video codecs not installed; use decode_stub='fake'")
+            out = {"media_id": [], "frame_index": [], "frame_payload": [], "n_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    chunk = bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_payload"].append(chunk)
+                    out["n_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
     """Batch feature extraction over payload bytes via mapInPandas.
 

@@ -123,6 +123,30 @@ def test_multimodal_plumbing(spark, docs):
     assert 0 < r[1]["mean_byte"] < 255
 
 
+def test_multimodal_resize_contract(spark, docs):
+    media = M.documents_as_media(docs, "doc_id", "text")
+    resized = M.resize_images(media, width=8, height=4, decode_stub="fake").collect()
+    assert len(resized) == docs.count()
+    assert all(r["n_bytes"] == 8 * 4 for r in resized)  # exact target size
+    assert all(len(r["payload"]) == 32 for r in resized)
+    # deterministic: same input -> same bytes
+    again = M.resize_images(media, width=8, height=4, decode_stub="fake").collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_multimodal_frame_sampling_fanout(spark, docs):
+    media = M.documents_as_media(docs, "doc_id", "text")
+    frames = M.sample_frames(media, every_n_bytes=16, max_frames=3, decode_stub="fake")
+    got = frames.collect()
+    assert len(got) > docs.count()  # one-to-many fan-out happened
+    per = {}
+    for r in got:
+        per.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in per.values())
+
+
 def test_multimodal_error_stub(spark, docs):
     media = M.documents_as_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
