@@ -19,6 +19,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def trading_daily_flow(
+    catalog,
+    broker,
+    message_sink,
+    today,
+) -> dict:
+    """The query->action loop (reference: trading_flow.py:268-304).
+
+    Gate on market freshness, read the latest portfolio weights, diff
+    against held positions, close dead positions, place the delta
+    orders, and emit the daily summary. Broker/webhook transports are
+    the pluggable sinks from :mod:`nt_data_pipelines_spark.sinks`;
+    order polling/fill reconciliation stay driver-side against the
+    broker API exactly as in the reference.
+
+    Returns a small dict of what happened (for tests/logging).
+    """
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.pipelines.calendar import freshness_gate, last_market_date
+    from nt_data_pipelines_spark.sinks import close_positions, daily_summary, place_orders
+    from nt_data_pipelines_spark.sources.broker import load_positions
+
+    cal = catalog.table("calendar")
+    if not freshness_gate(cal, today):
+        return {"ran": False, "reason": "market closed"}
+    end = last_market_date(cal)
+
+    weights = (
+        catalog.table("portfolio_weights")
+        .filter(F.col("date") == F.lit(end))
+        .select("ticker", "weight")
+    )
+    if weights.limit(1).count() == 0:
+        raise ValueError("No values found: no portfolio weights for last market date")
+
+    equity = broker.account_equity()
+    positions = load_positions(catalog.spark, broker)
+    targets = target_notionals(weights, equity)
+    to_close = positions_to_close(targets, positions)
+    deltas = notional_deltas(targets, positions)
+
+    n_closed = close_positions(to_close, broker)
+    n_orders = place_orders(deltas, broker)
+    summary = daily_summary(deltas, equity, message_sink)
+    return {"ran": True, "closed": n_closed, "orders": n_orders, "summary": summary}
+
+
 def target_notionals(weights: DataFrame, equity: float) -> DataFrame:
     """(ticker, weight) -> (ticker, target_notional>=0, cents)."""
     return weights.select(

@@ -38,6 +38,49 @@ def test_universe_reconstruction_roundtrip(spark):
     assert got.filter(F.col("year") != F.year("date")).count() == 0
 
 
+def test_trading_daily_flow_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.pipelines.runner import ensure_tables
+    from nt_data_pipelines_spark.pipelines.trading import trading_daily_flow
+    from nt_data_pipelines_spark.sinks import RecordingBroker, RecordingMessageSink
+    from nt_data_pipelines_spark.sources.broker import SyntheticBroker
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    ensure_tables(cat)
+    cat.upsert("calendar", S.load_calendar(spark, 30))
+    last = cat.table("calendar").agg(F.max("date")).first()[0]
+    weights = spark.createDataFrame(
+        [("T00", last, last.year, 0.6), ("T01", last, last.year, 0.4)],
+        ["ticker", "date", "year", "weight"],
+    )
+    cat.upsert("portfolio_weights", weights)
+
+    class Broker(SyntheticBroker, RecordingBroker):
+        def __init__(self):
+            SyntheticBroker.__init__(self, equity=100_000.0, holdings=[("T01", 70_000.0), ("T09", 5_000.0)])
+            RecordingBroker.__init__(self)
+
+    broker, slack = Broker(), RecordingMessageSink()
+
+    # gate: market not fresh -> no action
+    skipped = trading_daily_flow(cat, broker, slack, today=last + dt.timedelta(days=5))
+    assert skipped == {"ran": False, "reason": "market closed"}
+    assert broker.orders == []
+
+    result = trading_daily_flow(cat, broker, slack, today=last + dt.timedelta(days=1))
+    assert result["ran"] is True
+    # T09 held with no target -> sold via delta (target 0 not listed -> deltas)
+    placed = dict(broker.orders)
+    assert placed["T00"] == 60_000.0  # buy to target
+    assert placed["T01"] == -30_000.0  # trim 70k -> 40k
+    assert placed["T09"] == -5_000.0  # full exit
+    assert slack.messages and "equity: 100,000.00" in slack.messages[0]
+
+
 def test_target_notionals_clip_round(spark):
     w = spark.createDataFrame([("A", 0.6004), ("B", -0.2), ("C", 0.4)], ["ticker", "weight"])
     got = {r["ticker"]: r["target_notional"] for r in target_notionals(w, 1000.0).collect()}
