@@ -69,10 +69,12 @@ def solve_qp_long_only(alphas: np.ndarray, sigma: np.ndarray, lam: float) -> np.
             sol, *_ = np.linalg.lstsq(kkt, rhs, rcond=None)
         w_free, nu = sol[:k], sol[k]
         if (w_free < -1e-12).any():
-            # clamp the most negative coordinate and retry
+            # block-clamp every negative coordinate and retry: one
+            # variable per pass would mean O(n) dense solves on a
+            # mostly-clamped cross-section (~2s/solve at n=500);
+            # block clamping converges in a handful of passes.
             idx = np.where(free)[0]
-            worst = idx[np.argmin(w_free)]
-            free[worst] = False
+            free[idx[w_free < -1e-12]] = False
             continue
         w = np.zeros(n)
         w[free] = np.clip(w_free, 0.0, None)
