@@ -104,7 +104,20 @@ TABLES: dict[str, dict] = {
         "schema": _st(("date", _DT), ("lambda", _D), ("active_risk", _D)),
         "partition": None, "pk": ["date"],
     },
+    # per-minute equity curve from the broker (portfolio_history_flow.py:74-83)
+    "portfolio_history": {
+        "schema": _st(("timestamp", T.TimestampType()), ("equity", _D)),
+        "partition": None, "pk": ["timestamp"],
+    },
 }
+
+
+def ingest_portfolio_history(spark: SparkSession, cat: Catalog, broker) -> None:
+    """S11 ingestion: broker equity curve -> PK-upserted table
+    (reference: portfolio_history_flow.py:44-86)."""
+    from nt_data_pipelines_spark.sources.broker import load_portfolio_history
+
+    cat.upsert("portfolio_history", load_portfolio_history(spark, broker))
 
 
 def ensure_tables(cat: Catalog) -> None:

@@ -20,6 +20,26 @@ def test_positions_and_empty(spark):
     assert [f.name for f in empty.schema.fields] == ["ticker", "notional"]
 
 
+def test_portfolio_history_ingestion_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.pipelines.runner import ensure_tables, ingest_portfolio_history
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    ensure_tables(cat)
+    epoch = int(dt.datetime(2024, 1, 2, 14, 30, tzinfo=dt.timezone.utc).timestamp())
+    broker = SyntheticBroker(history=[(epoch, 100.0), (epoch + 60, 101.0)])
+    ingest_portfolio_history(spark, cat, broker)
+    assert cat.table("portfolio_history").count() == 2
+    # re-ingesting an overlapping curve upserts (PK = timestamp)
+    broker.history = [(epoch + 60, 999.0), (epoch + 120, 102.0)]
+    ingest_portfolio_history(spark, cat, broker)
+    got = {r["timestamp"]: r["equity"] for r in cat.table("portfolio_history").collect()}
+    assert len(got) == 3
+    assert got[dt.datetime(2024, 1, 2, 14, 31)] == 999.0  # last write won
+
+
 def test_portfolio_history_epoch_to_utc(spark):
     # 2024-01-02 14:30:00 UTC
     epoch = int(dt.datetime(2024, 1, 2, 14, 30, tzinfo=dt.timezone.utc).timestamp())
