@@ -63,6 +63,33 @@ def streaming_event_counts(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time sessionization with the native session window.
+
+    The streaming twin of the batch lag-gap cumsum (plans/timeseries
+    t_sessionize): a session closes after ``gap`` of inactivity per
+    key, state bounded by the watermark. Session windows merge as
+    late-but-in-watermark events arrive — logic a hand-rolled
+    stateful op would have to reimplement.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def upsert_foreach_batch(catalog, table: str):
     """foreachBatch sink: each micro-batch append+optimize upserts.
 

@@ -14,7 +14,7 @@ from nt_data_pipelines_spark.streaming import (
     streaming_event_counts,
     upsert_foreach_batch,
 )
-from nt_data_pipelines_spark.streaming.incremental import EVENT_SCHEMA
+from nt_data_pipelines_spark.streaming.incremental import EVENT_SCHEMA, streaming_sessions
 
 
 def _write_events(spark, path, start_hour):
@@ -99,6 +99,38 @@ def test_watermark_drops_late_rows_in_append(spark, tmp_path):
     # the finalized hour-10 window emitted WITHOUT the late row
     hour10 = [v for (h, _t), v in got.items() if h == 10]
     assert sum(hour10) == 100  # the original 100 events, late row dropped
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    src = str(tmp_path / "sess_events")
+    base = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    # user 1: two bursts separated by > 30min gap -> two sessions
+    for i in range(5):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "view", 1.0, "{}"))
+    for i in range(3):
+        rows.append((100 + i, base + dt.timedelta(minutes=90 + i), 1, "view", 1.0, "{}"))
+    # user 2: one continuous session
+    for i in range(4):
+        rows.append((200 + i, base + dt.timedelta(minutes=10 * i), 2, "view", 2.0, "{}"))
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from sessions").collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [3, 5]  # two sessions
+    assert per_user[2] == [4]  # one merged session (gaps < 30min)
 
 
 def test_streaming_upsert_sink_idempotent(spark, tmp_path):
