@@ -85,6 +85,52 @@ def test_upsert_idempotent_under_replay(spark, tmp_path_factory, rows, replays):
     assert got.count() == df.select("k", "date").distinct().count()
 
 
+@given(rows=ROWS, factor=st.integers(min_value=2, max_value=6))
+@settings(**_SETTINGS)
+def test_salted_join_equivalence(spark, rows, factor):
+    from nt_data_pipelines_spark.operators.skew import salted_join
+
+    large = _df(spark, rows)
+    keys = sorted({k for k, _, _ in rows})
+    small = spark.createDataFrame([(k, f"d{k}") for k in keys[::2]], "k int, label string")
+    plain = sorted(map(tuple, large.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(large, small, "k", factor=factor, salt_from="x").collect()))
+    assert salted == plain
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_minhash_candidates_superset_of_exact_dups(spark, rows):
+    """Byte-identical texts always collide in every LSH band."""
+    from nt_data_pipelines_spark.operators.dedup import minhash_lsh_candidates
+
+    # build texts from the integer rows; force at least one exact dup
+    texts = [(i, f"w{k} w{d % 7} w{int(abs(v)) % 5}") for i, (k, d, v) in enumerate(rows)]
+    texts.append((len(texts), texts[0][1]))  # duplicate of doc 0
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    dup_pair = (0, len(texts) - 1)
+    assert dup_pair in cands
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_ewma_bounded_by_input_range(spark, rows):
+    from nt_data_pipelines_spark.operators.ewma import ewm_mean
+
+    df = _df(spark, rows)
+    out = ewm_mean(df, "k", "date", "x", half_life=5.0, out_col="e").collect()
+    by_key: dict = {}
+    for k, _, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for r in out:
+        lo, hi = min(by_key[r["k"]]), max(by_key[r["k"]])
+        assert lo - 1e-9 <= r["e"] <= hi + 1e-9  # convex combination stays in range
+
+
 @given(rows=ROWS)
 @settings(**_SETTINGS)
 def test_zscore_moments(spark, rows):
