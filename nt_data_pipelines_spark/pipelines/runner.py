@@ -256,10 +256,14 @@ def daily_flow(
         return df.filter(F.col("date") == F.lit(end))
 
     try:
-        # returns: need the previous close for the end-date pct change
-        stock_ret = only_end(compute_returns(tail(cat.table("stock_prices"), 5)))
+        # returns recompute over FULL price history, like the reference
+        # (returns_flow.py has only a full-replace variant, no tail) —
+        # so a ticker resuming after any gap still gets its end-date
+        # return from the last available close; only the end date is
+        # upserted.
+        stock_ret = only_end(compute_returns(cat.table("stock_prices")))
         cat.upsert("stock_returns", stock_ret)
-        etf_ret = only_end(compute_returns(tail(cat.table("etf_prices"), 5)))
+        etf_ret = only_end(compute_returns(cat.table("etf_prices")))
         cat.upsert("etf_returns", etf_ret)
 
         stock_returns = tail(cat.table("stock_returns"), 2 * window)
