@@ -148,6 +148,32 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose SimHash fingerprints differ in at most
+    ``max_hamming`` bits.
+
+    Quadratic in corpus size as written (fingerprints are tiny longs,
+    so the pair scan is cheap JVM bit math); the scale path blocks on
+    fingerprint *bands* first — split the 16 bits into chunks and
+    equi-join on any equal chunk, which guarantees recall for
+    max_hamming < n_chunks by pigeonhole.
+    """
+    a = fingerprints.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"))
+    b = fingerprints.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_id) via connected components.
 

@@ -136,6 +136,52 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text", bits=16)
 
 
+_SIMHASH_CTE = """
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS h
+      FROM shingles
+    ),
+    weights AS (
+      SELECT doc_id, {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM weights)
+""".format(
+    bit_sums=", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w_{b}"
+        for b in range(16)
+    ),
+    fingerprint=" + ".join(
+        f"CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    ),
+)
+
+
+@register(
+    "d_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup candidate pairs: hamming distance <= 3 over the "
+    "16-bit fingerprints (JVM bit math on both engines).",
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "doc_id", "text", bits=16)
+    return D.simhash_near_pairs(fps, "doc_id", "simhash", max_hamming=3)
+
+
 @register(
     "t_quality_features",
     oracle=f"""
