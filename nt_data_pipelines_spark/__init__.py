@@ -25,3 +25,21 @@ strategy, and Python touches data only through Arrow-batched
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing pyspark at package
+    # import time for tools that only want __version__).
+    if name == "Catalog":
+        from nt_data_pipelines_spark.catalog import Catalog
+
+        return Catalog
+    if name == "Engine":
+        from nt_data_pipelines_spark.api import Engine
+
+        return Engine
+    if name == "get_spark":
+        from nt_data_pipelines_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
