@@ -9,6 +9,8 @@ Each module covers one operator family from SURVEY.md §2:
 - :mod:`dedup` — exact / MinHash-LSH / SimHash / n-gram-Jaccard /
   embedding-cosine deduplication (training-data ops)
 - :mod:`similarity` — brute-force and LSH-bucketed cosine top-k
+- :mod:`ivf` — deterministic k-means coarse quantizer + cell-probe ANN
+- :mod:`skew` — salted joins / two-phase aggregation for hot keys
 - :mod:`text` — language-ID, quality scoring, token counting,
   fingerprinting
 - :mod:`multimodal` — binary-column plumbing with stubbed decoders
