@@ -88,6 +88,32 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS right_value, r.ts AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="Cross-table as-of join: each purchase picks the latest prior-or-"
+    "simultaneous view per user. Spark side is the union+carry-forward "
+    "operator (operators/asof.py); oracle is DuckDB's native ASOF JOIN.",
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(purchases, views, on="ts", by="user_id").select(
+        "event_id", "user_id", "ts", "value", "right_value", "right_ts"
+    )
+
+
+@register(
     "p_clean_corpus",
     oracle="""
     WITH normalized AS (
