@@ -17,6 +17,14 @@ brute-force and too dense for hash-bucket LSH:
 Deterministic: initial centroids are the first ``n_cells`` vectors by
 id (no RNG), iteration count is fixed, and ties break on cell id —
 same inputs give byte-identical indexes on any cluster size.
+
+Engine-stable, too: assignment argmins compare cosines ROUNDED to 6
+decimals (ties to the lowest cell id), and centroid means are exact
+DECIMAL(38,9) sums divided in double — so a different engine (the
+DuckDB oracle unrolls these exact iterations in SQL) reproduces the
+identical codebook and index bit-for-bit. Unrounded float argmins
+would let a 1-ulp summation difference flip an assignment and cascade
+through the remaining iterations.
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: 
     """(id, vec, cell): nearest centroid by cosine, ties to lowest cell."""
     v = corpus.select(F.col(id_col), as_double_array(vec_col).alias("vec"))
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", cosine(F.col("vec"), F.col("centroid"))
+        "sim", F.round(cosine(F.col("vec"), F.col("centroid")), 6) + 0.0
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return (
@@ -71,7 +79,9 @@ def kmeans_train(
         means = (
             assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
+            # exact decimal sum, double divide: order-independent AND
+            # bit-reproducible by the SQL oracle (see module docstring)
+            .agg((F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1))).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
             .select("cell", F.expr("transform(pairs, p -> p.m)").alias("centroid"))
@@ -116,7 +126,7 @@ def ivf_search(
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec"))
     q_cells = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6) + 0.0)
         .withColumn(
             "__rk",
             F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))),

@@ -116,20 +116,99 @@ def s_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=TOP_K, num_planes=N_PLANES, dim=DIM)
 
 
+N_CELLS = 8
+KMEANS_ITERS = 3
+N_PROBE = 2
+
+
+def _ivf_oracle(
+    n_cells: int = N_CELLS,
+    iterations: int = KMEANS_ITERS,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+    dim: int = DIM,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """Unroll the ENTIRE IVF pipeline — Lloyd's training included — in SQL.
+
+    The Spark side (operators/ivf.py) is engine-stable by construction:
+    round-6 cosine argmins with lowest-cell tiebreaks, exact
+    DECIMAL(38,9) centroid sums divided in double. That makes each
+    Lloyd's iteration a deterministic function of the data, so a fixed
+    number of iterations unrolls into chained CTEs and DuckDB
+    reproduces the identical codebook, index, and search result.
+    """
+
+    def cos(a: str, b: str) -> str:
+        return _SQL_COS.format(a=a, b=b)
+
+    def assign_sql(cent: str, out_cols: str = "vec_id, vec, cell") -> str:
+        return f"""(
+      SELECT {out_cols} FROM (
+        SELECT v.vec_id, v.vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos('v.vec', 'c.centroid')} DESC, c.cell) AS rk
+        FROM v CROSS JOIN {cent} c)
+      WHERE rk = 1)"""
+
+    ctes = [
+        f"v AS (SELECT vec_id, {_dbl('embedding')} AS vec FROM embeddings)",
+        f"""cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vec AS centroid
+      FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_cells}))""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"assign{i} AS {assign_sql(f'cent{i-1}')}")
+        ctes.append(f"""means{i} AS (
+      SELECT cell, g.dim AS dim,
+             CAST(SUM(CAST(vec[g.dim + 1] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM assign{i} CROSS JOIN (SELECT UNNEST(range({dim})) AS dim) g
+      GROUP BY cell, g.dim)""")
+        ctes.append(f"""cent{i} AS (
+      SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM cent{i-1} p
+      LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS centroid
+                 FROM means{i} GROUP BY cell) n ON p.cell = n.cell)""")
+    final = f"cent{iterations}"
+    ctes.append(f"idx AS {assign_sql(final)}")
+    ctes.append(f"""qc AS (
+      SELECT query_id, q_vec, cell FROM (
+        SELECT q.vec_id AS query_id, q.vec AS q_vec, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos('q.vec', 'c.centroid')} DESC, c.cell) AS rk
+        FROM v q CROSS JOIN {final} c WHERE q.vec_id < {n_queries})
+      WHERE rk <= {n_probe})""")
+    ctes.append(f"""cand AS (
+      SELECT qc.query_id, i.vec_id AS neighbor_id,
+             {cos('qc.q_vec', 'i.vec')} AS cosine
+      FROM qc JOIN idx i ON qc.cell = i.cell AND qc.query_id != i.vec_id)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "s_ivf_search_topk",
-    oracle=None,  # iterative k-means is not SQL-expressible; rows-only check
+    oracle=_ivf_oracle(),
     doc="IVF ANN tier: deterministic Lloyd's k-means coarse quantizer "
     "(8 cells, 3 iterations), then probe the 2 nearest cells per query "
-    "and re-rank exactly — the shuffle key is the cell, never the corpus.",
+    "and re-rank exactly — the shuffle key is the cell, never the corpus. "
+    "The oracle unrolls the identical training iterations in SQL (the "
+    "operator is engine-stable: round-6 argmins + exact decimal means).",
 )
 def s_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.ivf import ivf_search, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_train(emb, n_cells=8, iterations=3)
+    centroids = kmeans_train(emb, n_cells=N_CELLS, iterations=KMEANS_ITERS)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_search(emb, queries, centroids, k=TOP_K, n_probe=2)
+    return ivf_search(emb, queries, centroids, k=TOP_K, n_probe=N_PROBE)
 
 
 @register(
