@@ -158,10 +158,9 @@ def simhash_near_pairs(
     ``max_hamming`` bits.
 
     Quadratic in corpus size as written (fingerprints are tiny longs,
-    so the pair scan is cheap JVM bit math); the scale path blocks on
-    fingerprint *bands* first — split the 16 bits into chunks and
-    equi-join on any equal chunk, which guarantees recall for
-    max_hamming < n_chunks by pigeonhole.
+    so the pair scan is cheap JVM bit math) — kept as the verify-tier /
+    oracle form. The scale path is :func:`simhash_banded_pairs`, which
+    produces the identical pair set via a pigeonhole chunk equi-join.
     """
     a = fingerprints.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"))
     b = fingerprints.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
@@ -169,6 +168,70 @@ def simhash_near_pairs(
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         pairs.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_banded_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Scale path for :func:`simhash_near_pairs` — same result, no pair scan.
+
+    Pigeonhole blocking: split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` contiguous chunks. Two fingerprints within
+    ``max_hamming`` bits of each other differ in at most ``max_hamming``
+    chunks, so at least one chunk is EQUAL — candidates are an
+    equi-join on (chunk index, chunk value) with guaranteed recall,
+    then an exact hamming verify on the (small) candidate set. The
+    shuffle key is the chunk bucket; nothing is quadratic in corpus
+    size. Same contract as the O(n²) scan: (id_a, id_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"fingerprint has only {bits} bits"
+        )
+    # nearly-equal chunk widths; boundaries fixed by (bits, n_chunks)
+    base, extra = divmod(bits, n_chunks)
+    bounds, lo = [], 0
+    for i in range(n_chunks):
+        hi = lo + base + (1 if i < extra else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    chunk_cols = [
+        (F.floor(F.col(fp_col) / (1 << lo)) % (1 << (hi - lo)))
+        .cast("long")
+        .alias(f"c_{i}")
+        for i, (lo, hi) in enumerate(bounds)
+    ]
+    chunked = fingerprints.select(F.col(id_col), F.col(fp_col), *chunk_cols)
+    long = chunked.unpivot(
+        ids=[id_col, fp_col],
+        values=[f"c_{i}" for i in range(n_chunks)],
+        variableColumnName="chunk",
+        valueColumnName="chunk_val",
+    )
+    a = long.select(
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "chunk", "chunk_val"
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"), "chunk", "chunk_val"
+    )
+    cand = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -183,6 +183,28 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_simhash_banded",
+    oracle=_SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="Banded SimHash near-dup pairs — the SCALE path: the 16-bit "
+    "fingerprint splits into max_hamming+1=4 chunks; pigeonhole "
+    "guarantees any pair within hamming 3 agrees on >=1 chunk, so "
+    "candidates come from an equi-join on (chunk, value), never a pair "
+    "scan. The oracle is deliberately the O(n^2) scan: hash equality "
+    "proves the banded plan recovers exactly the full pair set.",
+)
+def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "doc_id", "text", bits=16)
+    return D.simhash_banded_pairs(fps, "doc_id", "simhash", max_hamming=3, bits=16)
+
+
+@register(
     "t_quality_features",
     oracle=f"""
     SELECT doc_id,

@@ -51,6 +51,36 @@ def test_simhash_identical_and_distant(docs):
     assert hamming > 0
 
 
+def test_simhash_banded_equals_pair_scan(spark):
+    # Adversarial fingerprints: exact dup, 1/3/4-bit flips across
+    # different chunk positions, plus far-away values. The banded
+    # equi-join must reproduce the O(n^2) scan's pair set exactly
+    # (pigeonhole recall) and find nothing beyond it (verify step).
+    fps = spark.createDataFrame(
+        [
+            (1, 0b1010_1100_0011_0101),
+            (2, 0b1010_1100_0011_0101),  # hamming 0 vs 1
+            (3, 0b1010_1100_0011_0100),  # hamming 1 vs 1 (chunk 0 differs)
+            (4, 0b0010_1100_1011_0101),  # hamming 2 vs 1, bits in chunks 1 & 3
+            (5, 0b1010_0100_0011_1111),  # hamming 3 vs 1, spread over 3 chunks
+            (6, 0b0101_0011_1100_1010),  # complement of 1: hamming 16
+            (7, 0b1110_1100_0011_0111),  # hamming 2 vs 1, bits in chunks 0 & 3
+        ],
+        "doc_id int, simhash long",
+    )
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_pairs(fps, "doc_id", "simhash", max_hamming=3).collect()
+    }
+    banded_df = D.simhash_banded_pairs(fps, "doc_id", "simhash", max_hamming=3, bits=16)
+    banded = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded_df.collect()}
+    assert banded == full and (1, 2, 0) in full and (1, 5, 3) in full
+    assert not any(p[0] == 6 or p[1] == 6 for p in full)  # far doc never pairs
+    # the scale property: candidates come from an equi-join, not a pair scan
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_quality_features_values(spark):
     df = spark.createDataFrame([(1, "ab cd 12!")], ["doc_id", "text"])
     r = TX.quality_features(df, "text").collect()[0]
