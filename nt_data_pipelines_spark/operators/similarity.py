@@ -96,6 +96,44 @@ def near_dup_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for :func:`near_dup_pairs` — LSH candidates, exact verify.
+
+    Candidates are pairs sharing a random-hyperplane bucket (equi-join
+    on the signature; the cross product never materializes), then the
+    exact cosine check keeps pairs at/above ``threshold``. Same output
+    contract as the quadratic form, restricted to bucket-cohabiting
+    pairs — the standard recall/cost trade of hash-blocked dedup
+    (more planes → smaller buckets → cheaper + lower recall).
+    """
+    sig = lsh_signatures(corpus, id_col, vec_col, num_planes, dim)
+    a = sig.select(F.col(id_col).alias("id_a"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vec_b"))
+    cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6) + 0.0
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from md5 parity.
 

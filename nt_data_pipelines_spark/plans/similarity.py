@@ -116,6 +116,53 @@ def s_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=TOP_K, num_planes=N_PLANES, dim=DIM)
 
 
+DEDUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal; 0.3 keeps real pairs
+
+
+@register(
+    "s_lsh_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE v AS (SELECT vec_id, {_dbl('embedding')} AS vec FROM embeddings),
+    sigs AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM v),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN v x ON x.vec_id = cand.id_a
+      JOIN v y ON y.vec_id = cand.id_b
+      WHERE {_SQL_COS.format(a='x.vec', b='y.vec')} >= {DEDUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+      UNION SELECT id_a, id_a FROM verified
+      UNION SELECT id_b, id_b FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src
+    """,
+    doc="The composed embedding-dedup SCALE path: LSH bucket candidates -> "
+    "exact cosine verify -> distributed min-label-propagation connected "
+    "components. The oracle recomputes the same pipeline with a recursive "
+    "transitive closure for the component step.",
+)
+def s_lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.dedup import resolve_dup_groups_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=DEDUP_THRESHOLD, num_planes=N_PLANES, dim=DIM,
+    )
+    return resolve_dup_groups_distributed(pairs, "id_a", "id_b")
+
+
 N_CELLS = 8
 KMEANS_ITERS = 3
 N_PROBE = 2

@@ -144,6 +144,34 @@ def test_lsh_ann_recall_on_clusters(spark):
     assert recall >= 0.75  # tight clusters land in shared buckets
 
 
+def test_lsh_near_dup_composition_on_clusters(spark):
+    # Clustered vectors: the LSH-blocked pairs must (a) be a subset of
+    # the exact quadratic pairs, (b) recover nearly all of them (tight
+    # clusters land in one bucket), and (c) feed group resolution to
+    # the same components the exact pairs produce.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(4, 16)) * 3
+    rows = [
+        (c * 25 + i, [float(x) for x in base[c] + rng.normal(0, 0.03, 16)])
+        for c in range(4)
+        for i in range(25)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    exact = SIM.near_dup_pairs(corpus, threshold=0.95)
+    blocked = SIM.lsh_near_dup_pairs(corpus, threshold=0.95, num_planes=4, dim=16)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    assert b <= e and len(e) > 0
+    assert len(b) / len(e) >= 0.9  # tight clusters: near-total recall
+    groups = D.resolve_dup_groups_distributed(blocked, "id_a", "id_b")
+    canon = {r["doc_id"]: r["canonical_id"] for r in groups.collect()}
+    # every clustered doc resolves to its cluster's minimum id
+    for doc, root in canon.items():
+        assert root == min(x for x in canon if x // 25 == doc // 25)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = M.documents_as_media(docs, "doc_id", "text")
     feats = M.extract_features(media, decode_stub="fake").collect()
