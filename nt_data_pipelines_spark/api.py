@@ -34,10 +34,23 @@ class Engine:
 
     # ---- internals ----
     def _between(self, df: DataFrame, start: dt.date, end: dt.date) -> DataFrame:
-        return df.filter(F.col("date").between(F.lit(start), F.lit(end)))
+        out = df.filter(F.col("date").between(F.lit(start), F.lit(end)))
+        if "year" in df.columns:
+            # Catalyst cannot infer year bounds from the date
+            # predicate; stating them explicitly turns the date range
+            # into PartitionFilters on the year-partitioned tables, so
+            # a one-month read touches one year's files, not all of
+            # them — the pruning the reference gets from its hive
+            # layout (stock_prices_flow.py:112).
+            out = out.filter(F.col("year").between(start.year, end.year))
+        return out
 
     def _gated(self, table: str, start: dt.date, end: dt.date) -> DataFrame:
-        universe = self.catalog.table("universe").select("date", "ticker")
+        # range-filter the universe BEFORE the join: the gate drops
+        # universe.year in the select, so pruning must happen here
+        universe = self._between(self.catalog.table("universe"), start, end).select(
+            "date", "ticker"
+        )
         joined = universe.join(self.catalog.table(table), ["date", "ticker"], "left")
         return self._between(joined, start, end)
 

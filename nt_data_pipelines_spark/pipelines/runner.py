@@ -45,7 +45,7 @@ def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
 
 
 PRICE_SCHEMA = _st(
-    ("ticker", _S), ("date", _DT), ("open", _D), ("high", _D), ("low", _D),
+    ("ticker", _S), ("date", _DT), ("year", _I), ("open", _D), ("high", _D), ("low", _D),
     ("close", _D), ("volume", _D), ("trade_count", _D), ("vwap", _D),
 )
 RETURN_SCHEMA = _st(("ticker", _S), ("date", _DT), ("year", _I), ("return", _D))
@@ -57,8 +57,10 @@ TABLES: dict[str, dict] = {
         "schema": _st(("date", _DT), ("year", _I), ("ticker", _S)),
         "partition": ["year"], "pk": ["date", "ticker"],
     },
-    "stock_prices": {"schema": PRICE_SCHEMA, "partition": None, "pk": ["date", "ticker"]},
-    "etf_prices": {"schema": PRICE_SCHEMA, "partition": None, "pk": ["date", "ticker"]},
+    # year-partitioned like the reference (stock_prices_flow.py:112-113,
+    # etf_prices_flow.py:101): date-ranged scans prune whole years
+    "stock_prices": {"schema": PRICE_SCHEMA, "partition": ["year"], "pk": ["date", "ticker"]},
+    "etf_prices": {"schema": PRICE_SCHEMA, "partition": ["year"], "pk": ["date", "ticker"]},
     "stock_returns": {"schema": RETURN_SCHEMA, "partition": ["year"], "pk": ["ticker", "date"]},
     "etf_returns": {"schema": RETURN_SCHEMA, "partition": ["year"], "pk": ["ticker", "date"]},
     "factor_loadings": {

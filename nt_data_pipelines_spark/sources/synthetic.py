@@ -23,6 +23,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.config import FACTORS
 
@@ -141,11 +142,15 @@ def load_calendar(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
 
 
 def load_stock_prices(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
-    return spark.createDataFrame(stock_prices_pdf(n_days))
+    # year derived on the write path (stock_prices_flow.py:112-113):
+    # the prices tables partition by it, so ranged reads prune years
+    return spark.createDataFrame(stock_prices_pdf(n_days)).withColumn(
+        "year", F.year("date")
+    )
 
 
 def load_etf_prices(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
-    return spark.createDataFrame(etf_prices_pdf(n_days))
+    return spark.createDataFrame(etf_prices_pdf(n_days)).withColumn("year", F.year("date"))
 
 
 def load_universe(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:

@@ -59,3 +59,36 @@ def test_events_scan_prunes_columns(spark):
     plan = _explain(spark, "w1_pct_change")
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "props" not in read and "event_type" not in read
+
+
+def test_price_scan_prunes_year_partitions(spark, tmp_path):
+    """A date-ranged get_prices read must hit PartitionFilters on year.
+
+    The prices tables are year-partitioned on write (the reference's
+    hive layout); the Engine adds explicit year bounds because
+    Catalyst cannot derive them from the date predicate. At 100x data
+    this is the difference between scanning one year and every year.
+    """
+    import datetime as dt
+
+    from nt_data_pipelines_spark.api import Engine
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.pipelines.runner import ensure_tables
+    from nt_data_pipelines_spark.sources import synthetic as S
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    ensure_tables(cat)
+    cat.upsert("stock_prices", S.load_stock_prices(spark, 600))  # spans >1 year
+    cat.upsert("universe", S.load_universe(spark, 600))
+    years = sorted(
+        r["year"] for r in cat.table("stock_prices").select("year").distinct().collect()
+    )
+    assert len(years) >= 2  # the fixture must actually span years
+    lo = dt.date(years[-1], 1, 5)
+    df = Engine(cat).get_prices(lo, lo + dt.timedelta(days=30))
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # both scans (prices + universe) carry year partition filters
+    assert len(scan_lines) >= 2
+    assert all(f"year#" in ln or "year" in ln for ln in scan_lines)
+    assert f"(year" in plan  # non-empty filter, not PartitionFilters: []
