@@ -17,8 +17,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def last_market_date(calendar: DataFrame) -> dt.date:
-    return calendar.agg(F.max("date").alias("d")).first()["d"]
+def last_market_date(calendar: DataFrame, before: dt.date | None = None) -> dt.date:
+    """Most recent market date, optionally strictly before ``before``
+    (trading_flow.py:240-249 filters the schedule to dates < today)."""
+    df = calendar if before is None else calendar.filter(F.col("date") < F.lit(before))
+    return df.agg(F.max("date").alias("d")).first()["d"]
+
+
+def market_is_open(calendar: DataFrame, today: dt.date) -> bool:
+    """True when ``today`` is a trading date (trading_flow.py:262-266).
+
+    Distinct from :func:`freshness_gate`: the trading flow runs on any
+    open market day (Monday trades using Friday's weights), while the
+    data flows gate on the calendar being ingested up to yesterday.
+    Requires the calendar table to cover ``today`` (the S9 calendar
+    ingestion loads the exchange schedule, which includes the current
+    day) — an un-ingested calendar reads as closed, never as a trade.
+    """
+    return calendar.filter(F.col("date") == F.lit(today)).limit(1).count() > 0
 
 
 def trading_date_range(calendar: DataFrame, window: int) -> DataFrame:

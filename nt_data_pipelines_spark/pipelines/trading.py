@@ -38,14 +38,18 @@ def trading_daily_flow(
     """
     from pyspark.sql import functions as F
 
-    from nt_data_pipelines_spark.pipelines.calendar import freshness_gate, last_market_date
+    from nt_data_pipelines_spark.pipelines.calendar import last_market_date, market_is_open
     from nt_data_pipelines_spark.sinks import close_positions, daily_summary, place_orders
     from nt_data_pipelines_spark.sources.broker import load_positions
 
     cal = catalog.table("calendar")
-    if not freshness_gate(cal, today):
+    # Gate on today being a TRADING date, not on data freshness: the
+    # reference trades every open market day, reading the weights of
+    # the last market date strictly before today (Monday uses
+    # Friday's; Saturday never runs). trading_flow.py:262-276.
+    if not market_is_open(cal, today):
         return {"ran": False, "reason": "market closed"}
-    end = last_market_date(cal)
+    end = last_market_date(cal, before=today)
 
     weights = (
         catalog.table("portfolio_weights")

@@ -52,9 +52,11 @@ def test_trading_daily_flow_end_to_end(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "lake"))
     ensure_tables(cat)
     cat.upsert("calendar", S.load_calendar(spark, 30))
-    last = cat.table("calendar").agg(F.max("date")).first()[0]
+    # trade on the latest trading date, with weights from the one before
+    cal_dates = sorted(r["date"] for r in cat.table("calendar").collect())
+    today, prev = cal_dates[-1], cal_dates[-2]
     weights = spark.createDataFrame(
-        [("T00", last, last.year, 0.6), ("T01", last, last.year, 0.4)],
+        [("T00", prev, prev.year, 0.6), ("T01", prev, prev.year, 0.4)],
         ["ticker", "date", "year", "weight"],
     )
     cat.upsert("portfolio_weights", weights)
@@ -66,12 +68,13 @@ def test_trading_daily_flow_end_to_end(spark, tmp_path):
 
     broker, slack = Broker(), RecordingMessageSink()
 
-    # gate: market not fresh -> no action
-    skipped = trading_daily_flow(cat, broker, slack, today=last + dt.timedelta(days=5))
+    # gate: a non-trading day (not in the calendar) -> no action
+    skipped = trading_daily_flow(cat, broker, slack, today=today + dt.timedelta(days=5))
     assert skipped == {"ran": False, "reason": "market closed"}
     assert broker.orders == []
 
-    result = trading_daily_flow(cat, broker, slack, today=last + dt.timedelta(days=1))
+    # an open market day trades with the PREVIOUS market date's weights
+    result = trading_daily_flow(cat, broker, slack, today=today)
     assert result["ran"] is True
     # T09 held with no target -> sold via delta (target 0 not listed -> deltas)
     placed = dict(broker.orders)
