@@ -32,18 +32,26 @@ def _as_list(x: Sequence[str] | str) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
-def _rolling_ols_numpy(y: np.ndarray, X: np.ndarray, window: int) -> np.ndarray:
+def _rolling_ols_numpy(
+    y: np.ndarray, X: np.ndarray, window: int, min_valid: int | None = None
+) -> np.ndarray:
     """Coefficients of OLS(y, X) over each trailing ``window`` rows.
 
     Returns (n, k) array, NaN rows until the window is full. Uses
     cumulative cross-products so each output row costs one k x k solve.
 
     Rows with any non-finite value are excluded from the cumulative
-    sums (zero-filled) and tracked with a validity counter: windows
-    containing a bad row emit NaN, but later clean windows recover —
-    a raw NaN would otherwise poison every subsequent prefix sum.
+    sums (zero-filled) and tracked with a validity counter — a raw NaN
+    would otherwise poison every subsequent prefix sum. A window keeps
+    its estimate as long as it holds at least ``min_valid`` valid rows
+    (default: k, the minimum to identify the fit), solved on the valid
+    subset — the semantics of statsmodels RollingOLS(missing='drop')
+    the reference uses (factor_model_flow.py:23-57). Pass
+    ``min_valid=window`` for the strict variant where any bad row
+    NaNs the window.
     """
     n, k = X.shape
+    mv = k if min_valid is None else min_valid
     out = np.full((n, k), np.nan)
     if n < window:
         return out
@@ -58,8 +66,8 @@ def _rolling_ols_numpy(y: np.ndarray, X: np.ndarray, window: int) -> np.ndarray:
     c_xy = np.concatenate([np.zeros((1, k)), np.cumsum(xy, axis=0)])
     c_valid = np.concatenate([[0], np.cumsum(valid)])
     for t in range(window - 1, n):
-        if c_valid[t + 1] - c_valid[t + 1 - window] < window:
-            continue  # window contains an invalid row -> NaN
+        if c_valid[t + 1] - c_valid[t + 1 - window] < mv:
+            continue  # too few valid rows in the window -> NaN
         a = c_xx[t + 1] - c_xx[t + 1 - window]
         b = c_xy[t + 1] - c_xy[t + 1 - window]
         try:
@@ -80,6 +88,7 @@ def rolling_ols(
     const_name: str = "const",
     coef_prefix: str = "beta_",
     drop_partial: bool = True,
+    min_valid: int | None = None,
 ) -> DataFrame:
     """Append rolling OLS coefficient columns per key.
 
@@ -89,7 +98,11 @@ def rolling_ols(
     (factor_model_flow.py:29-39 builds then discards their frame).
     ``drop_partial`` controls only whether a qualifying key's first
     ``window - 1`` rows (null coefficients) are kept for downstream
-    EWMA null-head semantics.
+    EWMA null-head semantics. ``min_valid`` (default: number of
+    regressors) sets how many finite rows a window needs to keep its
+    estimate — non-finite rows are dropped from the fit like
+    statsmodels RollingOLS(missing='drop'); ``min_valid=window``
+    restores the strict any-bad-row-is-null behavior.
     """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
@@ -109,7 +122,7 @@ def rolling_ols(
         X = pdf[xs].to_numpy(dtype=np.float64)
         if add_const:
             X = np.column_stack([np.ones(n), X])
-        coefs = _rolling_ols_numpy(y, X, window)
+        coefs = _rolling_ols_numpy(y, X, window, min_valid)
         for i, c in enumerate(coef_cols):
             pdf[c] = coefs[:, i]
         if drop_partial:

@@ -26,11 +26,20 @@ def calculate_signals(
     signal_name: str = SIGNAL_NAME,
     window: int = REVERSAL_WINDOW,
 ) -> DataFrame:
+    # Spark log1p(-1) returns NULL, which the full-window count gate
+    # would silently drop; Polars yields -inf, which survives the
+    # reference's drop_nulls and produces an inf signal
+    # (reversal_flow.py:33-43). Map the -100%-return case explicitly
+    # so a ticker whose price hits zero matches the reference.
+    # (return < -1 cannot occur for simple returns.)
+    log_ret = F.when(
+        F.col("return") == -1, F.lit(float("-inf"))
+    ).otherwise(F.log1p(F.col("return")))
     sig = rolling_sum(
         stock_returns,
         "ticker",
         "date",
-        F.log1p(F.col("return")),
+        log_ret,
         window,
         out_col="_rsum",
     )

@@ -84,6 +84,32 @@ def test_rolling_ols_numpy_matches_lstsq():
         np.testing.assert_allclose(got[t], want, rtol=1e-8)
 
 
+def test_rolling_ols_missing_drop_semantics():
+    # statsmodels RollingOLS(missing='drop'): a non-finite row is
+    # dropped from the fit, the window still estimates from the valid
+    # subset. min_valid=window restores the strict NULL behavior.
+    rng = np.random.RandomState(17)
+    n, w = 40, 20
+    X = np.column_stack([np.ones(n), rng.normal(size=n)])
+    beta = np.array([0.5, 2.0])
+    y = X @ beta + rng.normal(0, 0.01, n)
+    y_bad = y.copy()
+    y_bad[25] = np.nan  # inside the tail windows
+    got = _rolling_ols_numpy(y_bad, X, w)
+    t = n - 1  # window [20, 39] contains the bad row 25
+    mask = np.ones(n, bool)
+    mask[25] = False
+    rows = np.arange(t - w + 1, t + 1)
+    rows = rows[mask[rows]]
+    want, *_ = np.linalg.lstsq(X[rows], y[rows], rcond=None)
+    np.testing.assert_allclose(got[t], want, rtol=1e-8)
+    # strict variant: the same window is NaN
+    strict = _rolling_ols_numpy(y_bad, X, w, min_valid=w)
+    assert np.isnan(strict[t]).all()
+    # clean windows agree between the two modes
+    np.testing.assert_allclose(strict[w - 1 : 25], got[w - 1 : 25], rtol=1e-12)
+
+
 def test_rolling_ols_spark_kernel(spark):
     rng = np.random.RandomState(13)
     frames = []

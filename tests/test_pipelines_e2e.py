@@ -186,3 +186,24 @@ def test_ewma_of_constant_is_constant(spark):
     pdf = pd.DataFrame({"k": "a", "t": range(50), "x": 3.14})
     out = ewm_mean(spark.createDataFrame(pdf), "k", "t", "x", 10.0, out_col="e").collect()
     assert all(r["e"] == pytest.approx(3.14, rel=1e-12) for r in out)
+
+
+def test_reversal_total_loss_return_matches_polars_inf(spark):
+    """A -100% return maps to -inf log-return (Polars log1p parity):
+    windows containing it emit an inf signal row instead of being
+    silently dropped by the null gate."""
+    import numpy as np
+    import pandas as pd
+
+    dates = pd.date_range("2024-01-01", periods=25).date
+    pdf = pd.DataFrame(
+        {
+            "ticker": "Z",
+            "date": dates,
+            "return": [0.01] * 10 + [-1.0] + [0.01] * 14,
+        }
+    )
+    sig = calculate_signals(spark.createDataFrame(pdf), window=21).toPandas()
+    # every 21-row window over 25 rows contains the -1 at position 10
+    assert len(sig) == 5
+    assert np.isinf(sig["value"]).all() and (sig["value"] > 0).all()
