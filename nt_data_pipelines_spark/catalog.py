@@ -267,16 +267,48 @@ class Catalog:
         self._refresh(name)
 
     def _rewrite_table(self, name: str, deduped: DataFrame) -> None:
+        """Full-table rewrite via rename-aside commit.
+
+        Protocol: write staging -> rename live aside (.old) -> rename
+        staging into place -> delete .old. Every intermediate crash
+        state keeps a COMPLETE copy of the table on disk: before the
+        second rename the data lives in .old (and :meth:`_recover`
+        restores it on next open); after it, the new table is live and
+        .old is garbage. The earlier delete-then-rename left a window
+        where the only complete copy sat in .staging with nothing at
+        the table path. Note FS rename is only atomic per-rename on
+        HDFS/posix; on S3 it's copy+delete, where a manifest-commit
+        layer is the real answer — documented in docs/SCALE.md.
+        """
         staging = self._path(name) + ".staging"
+        old = self._path(name) + ".old"
         self._fs_delete(staging)
+        self._fs_delete(old)
         deduped.write.mode("overwrite").parquet(staging)
-        self._fs_delete(self._path(name))
+        self._fs_rename(self._path(name), old)
         self._fs_rename(staging, self._path(name))
+        self._fs_delete(old)
         self._refresh(name)
+
+    def _recover(self, name: str) -> None:
+        """Heal a crash inside :meth:`_rewrite_table`'s commit window.
+
+        If the table path is missing but ``.old`` exists, the crash hit
+        between the two renames — the aside copy is complete and
+        current-before-rewrite, so restore it. (If both exist, the
+        crash hit after the commit; the leftover ``.old`` is stale and
+        removable — handled lazily by the next rewrite's cleanup.)
+        """
+        fs, live = self._hfs(self._path(name))
+        _, old = self._hfs(self._path(name) + ".old")
+        if not fs.exists(live) and fs.exists(old):
+            fs.rename(old, live)
+            self._refresh(name)
 
     # ---- read path ----
     def _raw_table(self, name: str) -> DataFrame:
         meta = self._meta(name)
+        self._recover(name)  # heal an interrupted rewrite commit, if any
         df = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(self._path(name))
         # partition columns come back typed by the declared schema
         return df
