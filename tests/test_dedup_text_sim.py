@@ -205,6 +205,45 @@ def test_multimodal_frame_sampling_fanout(spark, docs):
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 3 for v in per.values())
 
 
+def test_multimodal_fake_path_bit_stable(spark):
+    # The fake decode feeds oracle hash checks, so it must be
+    # BIT-stable: fixed input -> fixed output digest, across runs.
+    import hashlib
+
+    media = spark.createDataFrame(
+        [(1, b"abc", "image/png", 3, "x"), (2, b"0123456789", "image/png", 10, "y")],
+        M.MEDIA_SCHEMA,
+    )
+    runs = []
+    for _ in range(2):
+        rows = M.resize_images(media, 4, 3, decode_stub="fake").orderBy("media_id").collect()
+        runs.append([hashlib.sha256(bytes(r["payload"])).hexdigest() for r in rows])
+        assert all(r["n_bytes"] == 12 for r in rows)
+    assert runs[0] == runs[1]
+    # pinned goldens: tiling 'abc' / '0123456789' to 12 bytes
+    assert runs[0][0] == hashlib.sha256(b"abcabcabcabc").hexdigest()
+    assert runs[0][1] == hashlib.sha256(b"012345678901").hexdigest()
+
+
+def test_multimodal_auto_resolution(spark, docs):
+    # 'auto' must resolve to the real codec iff it is installed;
+    # in this container that means the deterministic fake.
+    media = M.documents_as_media(docs).limit(1)
+    if M.HAS_PIL:
+        import pytest as _pytest
+
+        # text bytes are not a decodable image: PIL path must raise
+        with _pytest.raises(Exception):
+            M.resize_images(media, 2, 2, decode_stub="auto").collect()
+    else:
+        got = M.resize_images(media, 2, 2, decode_stub="auto").collect()
+        assert got and got[0]["n_bytes"] == 4
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            M.resize_images(media, 2, 2, decode_stub="pil")
+
+
 def test_multimodal_error_stub(spark, docs):
     media = M.documents_as_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
