@@ -1,7 +1,13 @@
 from nt_data_pipelines_spark.streaming.incremental import (
+    dedup_foreach_batch,
     run_available_now,
     streaming_event_counts,
     upsert_foreach_batch,
 )
 
-__all__ = ["streaming_event_counts", "upsert_foreach_batch", "run_available_now"]
+__all__ = [
+    "streaming_event_counts",
+    "upsert_foreach_batch",
+    "run_available_now",
+    "dedup_foreach_batch",
+]

@@ -104,6 +104,59 @@ def upsert_foreach_batch(catalog, table: str):
     return write_batch
 
 
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("survivor_id", T.LongType()),
+    ]
+)
+
+
+def dedup_foreach_batch(catalog, table: str, id_col: str = "doc_id", text_col: str = "text"):
+    """foreachBatch sink: incremental exact-dedup over a document stream.
+
+    The state table (PK ``text_hash``) maps each content hash to the
+    minimum document id seen so far. Each micro-batch reduces to its
+    per-hash min id, merges with the current state via ``least``, and
+    PK-upserts. Because min is idempotent and commutative, replayed,
+    reordered, or overlapping batches all converge to the same fixed
+    point — the global min id per content, exactly the batch
+    :func:`~nt_data_pipelines_spark.operators.dedup.exact_dedup`
+    survivor set (T4 for the documents corpus).
+
+    Deliberately NOT tracked: per-hash duplicate counts. A count is
+    not replay-idempotent on a non-transactional sink (a retried batch
+    would double-count); the survivor mapping is the dedup contract.
+
+    Create the state table as::
+
+        catalog.create(table, DEDUP_STATE_SCHEMA, None, ["text_hash"])
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_min = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.md5(F.col(text_col)).alias("text_hash"),
+                F.col(id_col).cast("long").alias("survivor_id"),
+            )
+            .groupBy("text_hash")
+            .agg(F.min("survivor_id").alias("survivor_id"))
+        )
+        existing = catalog.table(table).select(
+            "text_hash", F.col("survivor_id").alias("__prev_id")
+        )
+        merged = batch_min.join(existing, "text_hash", "left").select(
+            "text_hash",
+            F.least(
+                F.col("survivor_id"), F.coalesce("__prev_id", F.col("survivor_id"))
+            ).alias("survivor_id"),
+        )
+        catalog.upsert(table, merged)
+
+    return write_batch
+
+
 def run_available_now(
     stream_df: DataFrame, sink_fn, checkpoint: str, output_mode: str = "update"
 ) -> StreamingQuery:

@@ -163,3 +163,47 @@ def test_streaming_upsert_sink_idempotent(spark, tmp_path):
     run_available_now(counts, sink, str(tmp_path / "ckpt2"))
     got2 = {r["event_type"]: r["n"] for r in cat.table("event_counts").collect()}
     assert got2 == got
+
+
+def test_streaming_dedup_converges_to_batch_result(spark, tmp_path):
+    """Overlapping document batches through the dedup sink converge to
+    the batch exact_dedup survivor set — including on batch REPLAY."""
+    from nt_data_pipelines_spark.operators.dedup import exact_dedup
+    from nt_data_pipelines_spark.streaming import dedup_foreach_batch, run_available_now
+    from nt_data_pipelines_spark.streaming.incremental import DEDUP_STATE_SCHEMA
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "docs")
+    # batch 1: ids 10..14; batch 2 OVERLAPS content (same texts, higher
+    # and LOWER ids) so the survivor must settle on the global min id
+    b1 = [(10, "alpha"), (11, "beta"), (12, "gamma"), (13, "alpha"), (14, None)]
+    b2 = [(5, "alpha"), (20, "beta"), (21, "delta"), (22, "gamma")]
+    spark.createDataFrame(b1, doc_schema).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, doc_schema).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    cat.create("doc_dedup", DEDUP_STATE_SCHEMA, None, ["text_hash"])
+    sink = dedup_foreach_batch(cat, "doc_dedup")
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_available_now(stream, sink, str(tmp_path / "ckpt"), output_mode="append")
+
+    full = spark.createDataFrame(b1 + b2, doc_schema)
+    want = {
+        (r["text_hash"], r["survivor_id"])
+        for r in exact_dedup(full, "doc_id").select("text_hash", "survivor_id").collect()
+    }
+    got = {
+        (r["text_hash"], r["survivor_id"]) for r in cat.table("doc_dedup").collect()
+    }
+    assert got == want  # alpha->5, beta->11, gamma->12, delta->21; null text dropped
+
+    # simulate a failure retry: re-apply batch 2 directly — idempotent
+    sink(spark.createDataFrame(b2, doc_schema), epoch_id=99)
+    got2 = {
+        (r["text_hash"], r["survivor_id"]) for r in cat.table("doc_dedup").collect()
+    }
+    assert got2 == want
