@@ -47,16 +47,24 @@ def materialize(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # Latency profile for sub-second queries: AQE's between-stage
-    # re-optimization costs 2-3x at this scale (measured: 57ms vs 23ms
-    # for top-k dates), so bench runs with it off; shuffle=16 won a
-    # 4/8/16/32 sweep at sf0.1. Batch jobs at real scale keep the
-    # session defaults (AQE on) — see session.py / docs/SCALE.md.
-    spark = get_spark(
-        "bench",
-        shuffle_partitions=16,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
-    )
+    profile = os.environ.get("SPARK_GRAFT_BENCH_SESSION", "latency")
+    if profile == "prod":
+        # The config a real batch job ships with: AQE on, default
+        # shuffle sizing. Use for sf>=1 runs (scripts/make_benchdata.py)
+        # where the work dwarfs AQE's re-planning overhead — the
+        # headline number at that scale is the production config's.
+        spark = get_spark("bench")
+    else:
+        # Latency profile for sub-second queries: AQE's between-stage
+        # re-optimization costs 2-3x at this scale (measured: 57ms vs
+        # 23ms for top-k dates), so bench runs with it off; shuffle=16
+        # won a 4/8/16/32 sweep at sf0.1. Batch jobs at real scale keep
+        # the session defaults (AQE on) — see session.py / docs/SCALE.md.
+        spark = get_spark(
+            "bench",
+            shuffle_partitions=16,
+            extra_conf={"spark.sql.adaptive.enabled": "false"},
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
