@@ -1,0 +1,74 @@
+"""Interval (range) join — points matched into containing intervals.
+
+Spark has no native range-join optimization: a raw
+``point.ts BETWEEN i.start AND i.end`` join condition plans as a
+nested-loop (BroadcastNestedLoopJoin or cartesian) — quadratic work
+that dies at corpus scale. The standard distributed shape is
+bucketing:
+
+1. quantize time into fixed buckets of ``bucket_seconds``;
+2. each point lands in exactly ONE bucket; each interval EXPLODES to
+   every bucket it overlaps (cheap: intervals are short relative to
+   the bucket size, so the fan-out is 1-2 rows);
+3. equi-join on the bucket (plus any ``by`` keys) — a plain shuffled
+   hash join;
+4. verify exact containment on the candidates.
+
+A point inside an interval shares at least the bucket containing the
+point (the interval overlaps that bucket by construction), so recall
+is exact; because a point has one bucket, no pair appears twice and
+no distinct is needed. Bucket size trades shuffle width (smaller ->
+more interval clones) against candidate precision (bigger -> more
+false candidates filtered in step 4); a good default is the median
+interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    point_id: str | None = None,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    Output: all point columns + all interval columns (caller aliases
+    collisions beforehand). ``by`` adds equality keys (e.g. user_id)
+    to the bucket join. ``how='left'`` keeps unmatched points with
+    null interval columns and needs ``point_id`` — a unique point key
+    for the anti-join that recovers them.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and not point_id:
+        raise ValueError("how='left' needs point_id (a unique point key)")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    b = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def to_bucket(c):
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp_ltz")) / b)
+
+    p = points.withColumn("__bucket", to_bucket(point_ts))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(to_bucket(start_col), to_bucket(end_col))),
+    )
+    cond = F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    matched = p.join(i, [*keys, "__bucket"]).filter(cond).drop("__bucket")
+    if how == "inner":
+        return matched
+    unmatched = points.join(matched.select(point_id), point_id, "left_anti")
+    for c in intervals.columns:
+        if c not in unmatched.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(unmatched)

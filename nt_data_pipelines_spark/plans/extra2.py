@@ -114,6 +114,68 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS right_value, r.ts AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    doc="Forward as-of join: each purchase picks the EARLIEST "
+    "at-or-after view per user (direction='forward'); oracle is "
+    "DuckDB's native forward ASOF JOIN (l.ts <= r.ts).",
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(purchases, views, on="ts", by="user_id", direction="forward").select(
+        "event_id", "user_id", "ts", "value", "right_value", "right_ts"
+    )
+
+
+@register(
+    "j_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS iv_user, MIN(ts) AS start_ts,
+             MIN(ts) + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, iv.iv_user, iv.start_ts, iv.end_ts
+    FROM p JOIN iv ON p.ts BETWEEN iv.start_ts AND iv.end_ts
+    """,
+    doc="Interval (range) join via bucketed equi-join: purchases matched "
+    "into each low-id user's first-2h activity window. A raw BETWEEN "
+    "join would plan as a nested loop; the operator quantizes time, "
+    "explodes intervals to overlapped buckets, equi-joins on the "
+    "bucket, and verifies containment (operators/interval.py).",
+)
+def j_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return interval_join(p, iv, "ts", "start_ts", "end_ts", bucket_seconds=3600).select(
+        "event_id", "user_id", "ts", "iv_user", "start_ts", "end_ts"
+    )
+
+
+@register(
     "p_clean_corpus",
     oracle="""
     WITH normalized AS (
