@@ -37,6 +37,28 @@ def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (each single dimension + grand total) — "
+    "the general form CUBE/ROLLUP specialize; Catalyst expands all "
+    "sets into one aggregate pass.",
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@register(
     "o1_multisort_limit",
     oracle="""
     SELECT user_id, ts, event_id, event_type, value

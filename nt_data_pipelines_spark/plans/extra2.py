@@ -140,6 +140,33 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_asof_tolerance",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS right_value,
+           CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.ts END AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join with a 1-hour tolerance: matches older than the "
+    "allowance null out (ALL carried columns together, keyed off the "
+    "matched row). Oracle: native ASOF JOIN + an age cutoff.",
+)
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, views, on="ts", by="user_id", tolerance_seconds=3600
+    ).select("event_id", "user_id", "ts", "right_value", "right_ts")
+
+
+@register(
     "j_interval_join",
     oracle="""
     WITH iv AS (
