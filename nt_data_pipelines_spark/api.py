@@ -46,13 +46,21 @@ class Engine:
         return out
 
     def _gated(self, table: str, start: dt.date, end: dt.date) -> DataFrame:
-        # range-filter the universe BEFORE the join: the gate drops
-        # universe.year in the select, so pruning must happen here
+        # Prune BOTH sides before the join, never after: the right
+        # table carries a `year` partition column, and a post-join
+        # `year BETWEEN` would drop unmatched universe rows (their
+        # year is NULL), silently turning the reference's left join
+        # into an inner one (utils/data.py keeps those rows with null
+        # measures). Pruning the right side pre-join is semantics-
+        # preserving — out-of-range rows cannot match an in-range
+        # universe key — and keeps PartitionFilters on both scans.
+        # No post-join filter is needed: the joined `date` is the
+        # universe's, already range-bound.
         universe = self._between(self.catalog.table("universe"), start, end).select(
             "date", "ticker"
         )
-        joined = universe.join(self.catalog.table(table), ["date", "ticker"], "left")
-        return self._between(joined, start, end)
+        right = self._between(self.catalog.table(table), start, end)
+        return universe.join(right, ["date", "ticker"], "left")
 
     # ---- accessors (utils/data.py order) ----
     def get_universe(self, start: dt.date, end: dt.date) -> DataFrame:

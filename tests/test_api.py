@@ -94,6 +94,35 @@ def test_sql_surface(engine, span):
     assert sum(rows.values()) == df_count
 
 
+def test_gate_keeps_unmatched_universe_rows(spark, tmp_path):
+    """Left-join semantics survive partition pruning (ADVICE r2, high).
+
+    A universe member with NO row at all in the measure table must come
+    back from the gated accessor with a null measure — the reference's
+    left join (utils/data.py:21-29) keeps it. A post-join
+    `year BETWEEN` filter would silently drop it (its year is NULL),
+    so the pruning must be applied per-side, pre-join.
+    """
+    from nt_data_pipelines_spark.pipelines.runner import TABLES
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    for name in ("universe", "stock_returns"):
+        spec = TABLES[name]
+        cat.create(name, spec["schema"], spec["partition"], spec["pk"])
+    d = dt.date(2024, 3, 4)
+    cat.upsert(
+        "universe",
+        spark.createDataFrame([(d, 2024, "AAA"), (d, 2024, "ZZZ")], TABLES["universe"]["schema"]),
+    )
+    cat.upsert(
+        "stock_returns",
+        spark.createDataFrame([("AAA", d, 2024, 0.01)], TABLES["stock_returns"]["schema"]),
+    )
+    eng = Engine(cat)
+    got = {r["ticker"]: r["return"] for r in eng.get_universe_returns(d, d).collect()}
+    assert got == {"AAA": 0.01, "ZZZ": None}
+
+
 def test_calendar_accessors(engine, span):
     start, end = span
     assert engine.get_last_market_date() == end
