@@ -282,6 +282,11 @@ class Catalog:
         """
         staging = self._path(name) + ".staging"
         old = self._path(name) + ".old"
+        # Heal first: if a prior rewrite crashed between its two
+        # renames, .old holds the ONLY complete copy — deleting it
+        # below would lose the table. After _recover, any surviving
+        # .old is provably stale garbage.
+        self._recover(name)
         self._fs_delete(staging)
         self._fs_delete(old)
         deduped.write.mode("overwrite").parquet(staging)

@@ -204,12 +204,20 @@ def simhash_banded_pairs(
         hi = lo + base + (1 if i < extra else 0)
         bounds.append((lo, hi))
         lo = hi
-    chunk_cols = [
-        (F.floor(F.col(fp_col) / (1 << lo)) % (1 << (hi - lo)))
-        .cast("long")
-        .alias(f"c_{i}")
-        for i, (lo, hi) in enumerate(bounds)
-    ]
+    # Integer bit ops, not float division: floor(fp / 2^lo) % 2^w is
+    # only exact for non-negative fingerprints inside a double's 53-bit
+    # mantissa — at bits=64 (signed long simhash) it computes wrong
+    # chunks and silently misses near-dup pairs. shiftrightunsigned +
+    # mask is exact for the full 64-bit range, negatives included.
+    fp_long = F.col(fp_col).cast("long")
+
+    def _chunk(lo: int, hi: int):
+        shifted = F.shiftrightunsigned(fp_long, lo)
+        if hi - lo >= 64:  # whole word; the mask literal would overflow
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1).cast("long"))
+
+    chunk_cols = [_chunk(lo, hi).alias(f"c_{i}") for i, (lo, hi) in enumerate(bounds)]
     chunked = fingerprints.select(F.col(id_col), F.col(fp_col), *chunk_cols)
     long = chunked.unpivot(
         ids=[id_col, fp_col],

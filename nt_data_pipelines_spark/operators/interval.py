@@ -36,9 +36,10 @@ def interval_join(
     start_col: str,
     end_col: str,
     by: str | list[str] | None = None,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
     how: str = "inner",
     point_id: str | None = None,
+    max_fanout: int = 4096,
 ) -> DataFrame:
     """Join each point row to every interval row containing it.
 
@@ -47,22 +48,51 @@ def interval_join(
     to the bucket join. ``how='left'`` keeps unmatched points with
     null interval columns and needs ``point_id`` — a unique point key
     for the anti-join that recovers them.
+
+    ``bucket_seconds=None`` (default) auto-sizes from the data: one
+    cheap pre-pass takes the approximate median interval length, the
+    sweet spot between interval clone fan-out (bucket too small) and
+    false candidates (bucket too big). Pass an explicit value to skip
+    the pre-pass in latency-critical paths.
+
+    Invalid intervals (``end < start``) contain no point by definition
+    and are dropped before bucketing — otherwise Spark's ``sequence``
+    would silently emit a DESCENDING bucket list for them. An interval
+    overlapping more than ``max_fanout`` buckets fails the job loudly
+    (raise_error) instead of exploding the candidate set / tripping
+    sequence's element cap; re-run with a larger ``bucket_seconds``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if how == "left" and not point_id:
         raise ValueError("how='left' needs point_id (a unique point key)")
     keys = [by] if isinstance(by, str) else list(by or [])
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
+    if bucket_seconds is None:
+        length_us = F.unix_micros(F.col(end_col).cast("timestamp_ltz")) - F.unix_micros(
+            F.col(start_col).cast("timestamp_ltz")
+        )
+        med = intervals.select(F.percentile_approx(length_us, F.lit(0.5))).first()[0]
+        bucket_seconds = max(1, round((med or 3600 * 1_000_000) / 1_000_000))
     b = F.lit(int(bucket_seconds) * 1_000_000)
 
     def to_bucket(c):
         return F.floor(F.unix_micros(F.col(c).cast("timestamp_ltz")) / b)
 
     p = points.withColumn("__bucket", to_bucket(point_ts))
-    i = intervals.withColumn(
-        "__bucket",
-        F.explode(F.sequence(to_bucket(start_col), to_bucket(end_col))),
+    lo_b, hi_b = to_bucket(start_col), to_bucket(end_col)
+    span = hi_b - lo_b + F.lit(1)
+    buckets = F.when(span <= max_fanout, F.sequence(lo_b, hi_b)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: interval spans "),
+                span.cast("string"),
+                F.lit(f" buckets (> max_fanout={max_fanout}); "
+                      f"raise bucket_seconds (now {bucket_seconds}) or max_fanout"),
+            )
+        )
     )
+    i = intervals.withColumn("__bucket", F.explode(buckets))
     cond = F.col(point_ts).between(F.col(start_col), F.col(end_col))
     matched = p.join(i, [*keys, "__bucket"]).filter(cond).drop("__bucket")
     if how == "inner":

@@ -127,6 +127,26 @@ def test_unpartitioned_optimize(cat, spark):
     assert len(got) == 1 and got[0]["close"] == 2.0
 
 
+def test_rewrite_heals_stale_crash_state_before_deleting_aside(cat, spark):
+    """A rewrite landing on an unhealed crash state must not destroy
+    the .old aside (ADVICE r2): before the fix, _rewrite_table deleted
+    .old — the only complete copy — then failed renaming the missing
+    live path, losing the table. _recover at the top heals first."""
+    import os
+
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    live, old = cat._path("m"), cat._path("m") + ".old"
+    # forge the mid-commit crash state: live gone, .old holds the table
+    cat._fs_rename(live, old)
+    assert not os.path.exists(live) and os.path.exists(old)
+    # a rewrite driven without any prior read in this process
+    cat._rewrite_table("m", _rows(spark, [("A", D1, 9.0)]))
+    got = cat.table("m").collect()
+    assert [(r["ticker"], r["close"]) for r in got] == [("A", 9.0)]
+    assert os.path.exists(live) and not os.path.exists(old)
+
+
 def test_rewrite_crash_window_leaves_complete_copy(cat, spark):
     """Simulated crash between the two commit renames: the pre-rewrite
     table survives in the .old aside and the next read self-heals."""

@@ -81,6 +81,40 @@ def test_simhash_banded_equals_pair_scan(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_simhash_banded_64bit_negative_fingerprints(spark):
+    """Full-width signed simhashes (ADVICE r2): chunk extraction must
+    be exact integer bit ops — float division loses bits past the
+    53-bit mantissa and mangles negatives, silently missing pairs."""
+    def s64(u):  # wrap to signed 64-bit like a JVM long
+        u &= (1 << 64) - 1
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    x1 = -1  # all 64 bits set
+    fps = spark.createDataFrame(
+        [
+            (1, x1),
+            (2, s64(x1 ^ 1)),                        # hamming 1, low chunk
+            (3, s64(x1 ^ (1 << 40) ^ (1 << 12))),    # hamming 2, two chunks
+            (4, s64(x1 ^ (1 << 63))),                # hamming 1, sign bit chunk
+            (5, 0x0F0F0F0F0F0F0F0F),                 # far away (hamming 32)
+        ],
+        "doc_id int, simhash long",
+    )
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_pairs(fps, "doc_id", "simhash", max_hamming=3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_banded_pairs(
+            fps, "doc_id", "simhash", max_hamming=3, bits=64
+        ).collect()
+    }
+    assert banded == full
+    assert (1, 2, 1) in full and (1, 3, 2) in full and (1, 4, 1) in full
+    assert not any(5 in (a, b) for a, b, _ in full)
+
+
 def test_quality_features_values(spark):
     df = spark.createDataFrame([(1, "ab cd 12!")], ["doc_id", "text"])
     r = TX.quality_features(df, "text").collect()[0]

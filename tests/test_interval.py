@@ -74,6 +74,27 @@ def test_interval_join_by_key_and_bucket_sizes(spark, data):
         assert {(r["pid"], r["iid"]) for r in alt.collect()} == _naive(points, intervals)
 
 
+def test_interval_join_auto_bucket_and_guards(spark, data):
+    points, intervals = data
+    # auto-sized bucket (median interval length) gives the exact result
+    auto = interval_join(points, intervals, "ts", "start_ts", "end_ts")
+    assert {(r["pid"], r["iid"]) for r in auto.collect()} == _naive(points, intervals)
+    # invalid intervals (end < start) are dropped, not silently bucketed
+    bad = intervals.union(
+        spark.createDataFrame([(999, _ts(50), _ts(10), "u1")], intervals.schema)
+    )
+    got = interval_join(points, bad, "ts", "start_ts", "end_ts", bucket_seconds=600)
+    assert not any(r["iid"] == 999 for r in got.collect())
+    # pathological long interval vs tiny bucket fails loudly, not OOM
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="max_fanout"):
+        interval_join(
+            points, intervals, "ts", "start_ts", "end_ts",
+            bucket_seconds=1, max_fanout=100,
+        ).collect()
+
+
 def test_interval_join_left_keeps_unmatched_points(spark, data):
     points, intervals = data
     out = interval_join(
