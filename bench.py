@@ -36,12 +36,86 @@ HEADLINE = {
 
 WARMUP_RUNS = 2
 TIMED_RUNS = 7
+SF1_DIR = str(Path(__file__).resolve().parent / "benchdata" / "sf1")
 
 
 def materialize(df) -> int:
     # Arrow-batched transfer = the "fetchall" equivalent; row-based
     # collect() would benchmark Py4J serialization, not the engine.
     return len(df.toPandas())
+
+
+def _time_queries(run_one, warmup: int, timed: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for label, qname in HEADLINE.items():
+        prepared = run_one(qname)
+        for _ in range(warmup):
+            prepared()
+        runs = []
+        for _ in range(timed):
+            t0 = time.perf_counter()
+            prepared()
+            runs.append(time.perf_counter() - t0)
+        timings[label] = round(statistics.median(runs), 4)
+    return timings
+
+
+def _sf1_production_block(spark) -> dict | None:
+    """Headline queries at sf1 (10x the driver's sf0.1) in production
+    config, Spark vs the same DuckDB oracles on the same parquet.
+
+    The sf0.1 latency numbers sit inside local-mode's ~25 ms per-job
+    scheduling floor for the cheap queries; at sf1 real work dominates
+    and the engine's actual ratio vs DuckDB becomes visible. Emitted
+    into the one-line artifact so the official bench reflects the
+    engine, not the scheduler.
+    """
+    if not os.path.isdir(SF1_DIR):
+        return None
+    # production config for this pass: AQE on, environment-sized shuffle
+    from nt_data_pipelines_spark.session import default_parallelism
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+
+    def spark_one(qname):
+        df = plans.REGISTRY[qname].fn(spark, SF1_DIR)
+        return lambda: materialize(df)
+
+    spark_t = _time_queries(spark_one, warmup=1, timed=3)
+
+    import duckdb
+
+    from nt_data_pipelines_spark.sources.testdata import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(SF1_DIR, f"{t}.parquet")
+        glob = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    # scaled benchdata stores events.ts as int64 nanos (make_benchdata.py)
+    (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"]
+    if ts_type == "BIGINT":
+        ev = os.path.join(SF1_DIR, "events.parquet")
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{ev}/*.parquet')"
+        )
+
+    def duck_one(qname):
+        sql = plans.REGISTRY[qname].oracle
+        return lambda: con.execute(sql).fetch_arrow_table()
+
+    duck_t = _time_queries(duck_one, warmup=1, timed=3)
+    spark_total, duck_total = round(sum(spark_t.values()), 4), round(sum(duck_t.values()), 4)
+    return {
+        "config": "prod(aqe=on)",
+        "value": spark_total,
+        "queries": spark_t,
+        "duckdb_value": duck_total,
+        "duckdb_queries": duck_t,
+        "ratio_vs_duckdb": round(spark_total / duck_total, 4) if duck_total else None,
+    }
 
 
 def main() -> None:
@@ -67,33 +141,31 @@ def main() -> None:
         )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    for label, qname in HEADLINE.items():
-        # Build the logical plan once and time repeated executions —
-        # the DuckDB baseline likewise re-runs a parsed query; Python-
-        # side DataFrame re-construction (~100ms of py4j chatter) is
-        # API overhead, not engine time.
+    # Build each logical plan once and time repeated executions — the
+    # DuckDB baseline likewise re-runs a parsed query; Python-side
+    # DataFrame re-construction (~100ms of py4j chatter) is API
+    # overhead, not engine time.
+    def spark_one(qname):
         df = plans.REGISTRY[qname].fn(spark, sf_dir)
-        for _ in range(WARMUP_RUNS):
-            materialize(df)
-        runs = []
-        for _ in range(TIMED_RUNS):
-            t0 = time.perf_counter()
-            materialize(df)
-            runs.append(time.perf_counter() - t0)
-        timings[label] = round(statistics.median(runs), 4)
+        return lambda: materialize(df)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_median_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    timings = _time_queries(spark_one, WARMUP_RUNS, TIMED_RUNS)
+
+    out = {
+        "metric": "headline_median_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The 10x-scale production-config result rides in the same line
+    # (the driver contract is ONE JSON line). Skip when this invocation
+    # already targets the sf1 dir explicitly.
+    if os.path.realpath(sf_dir) != os.path.realpath(SF1_DIR):
+        sf1 = _sf1_production_block(spark)
+        if sf1 is not None:
+            out["sf1_prod"] = sf1
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
