@@ -24,23 +24,35 @@ def trading_daily_flow(
     broker,
     message_sink,
     today,
+    max_wait_minutes: float = 10,
+    check_interval_seconds: float = 60,
+    sleep=None,
 ) -> dict:
     """The query->action loop (reference: trading_flow.py:268-304).
 
     Gate on market freshness, read the latest portfolio weights, diff
     against held positions, close dead positions, place the delta
-    orders, and emit the daily summary. Broker/webhook transports are
-    the pluggable sinks from :mod:`nt_data_pipelines_spark.sinks`;
-    order polling/fill reconciliation stay driver-side against the
-    broker API exactly as in the reference.
+    orders, poll until the orders fill (10-min budget, reference
+    trading_flow.py:137-170), then reconcile: fetch today's ACTUAL
+    fills and emit the fill summary alongside the intent summary
+    (trading_flow.py:173-244). Brokers without order-status queries
+    skip the polling tier. ``sleep`` is injectable for tests.
 
     Returns a small dict of what happened (for tests/logging).
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from nt_data_pipelines_spark.pipelines.calendar import last_market_date, market_is_open
-    from nt_data_pipelines_spark.sinks import close_positions, daily_summary, place_orders
-    from nt_data_pipelines_spark.sources.broker import load_positions
+    from nt_data_pipelines_spark.sinks import (
+        close_positions,
+        daily_summary,
+        fills_summary,
+        place_orders,
+        wait_for_orders_to_fill,
+    )
+    from nt_data_pipelines_spark.sources.broker import load_fills, load_positions
 
     cal = catalog.table("calendar")
     # Gate on today being a TRADING date, not on data freshness: the
@@ -68,7 +80,18 @@ def trading_daily_flow(
     n_closed = close_positions(to_close, broker)
     n_orders = place_orders(deltas, broker)
     summary = daily_summary(deltas, equity, message_sink)
-    return {"ran": True, "closed": n_closed, "orders": n_orders, "summary": summary}
+    result = {"ran": True, "closed": n_closed, "orders": n_orders, "summary": summary}
+    if hasattr(broker, "open_orders") and hasattr(broker, "filled_orders"):
+        result["all_filled"] = wait_for_orders_to_fill(
+            broker,
+            max_wait_minutes=max_wait_minutes,
+            check_interval_seconds=check_interval_seconds,
+            sleep=sleep or _time.sleep,
+        )
+        fills = load_fills(catalog.spark, broker)
+        result["fills"] = fills.count()
+        result["fill_summary"] = fills_summary(fills, equity, message_sink)
+    return result
 
 
 def target_notionals(weights: DataFrame, equity: float) -> DataFrame:

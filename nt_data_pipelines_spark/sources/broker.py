@@ -61,6 +61,41 @@ class SyntheticBroker:
         return list(self.history)
 
 
+FILL_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType()),
+        T.StructField("ticker", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("filled_qty", T.DoubleType()),
+        T.StructField("filled_avg_price", T.DoubleType()),
+        T.StructField("filled_at", T.TimestampType()),
+    ]
+)
+
+
+def load_fills(spark: SparkSession, client) -> DataFrame:
+    """Today's filled orders -> DataFrame with computed notional
+    (reference trading_flow.py:173-221: closed orders since market
+    open, kept when filled_at is set and filled_qty > 0, notional =
+    qty x avg price). The broker returns a driver-sized list; the
+    filter/derive runs engine-side."""
+    rows = [
+        (
+            str(o["order_id"]),
+            o["ticker"],
+            o["side"],
+            float(o["filled_qty"] or 0),
+            float(o["filled_avg_price"] or 0),
+            o["filled_at"],
+        )
+        for o in client.filled_orders()
+    ]
+    raw = spark.createDataFrame(rows or [], FILL_SCHEMA)
+    return raw.filter(F.col("filled_at").isNotNull() & (F.col("filled_qty") > 0)).withColumn(
+        "notional", F.round(F.col("filled_qty") * F.col("filled_avg_price"), 2)
+    )
+
+
 def load_positions(spark: SparkSession, client: BrokerClient) -> DataFrame:
     return spark.createDataFrame(client.positions() or [], POSITION_SCHEMA)
 

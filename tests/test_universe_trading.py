@@ -82,6 +82,44 @@ def test_trading_daily_flow_end_to_end(spark, tmp_path):
     assert placed["T01"] == -30_000.0  # trim 70k -> 40k
     assert placed["T09"] == -5_000.0  # full exit
     assert slack.messages and "equity: 100,000.00" in slack.messages[0]
+    # instant-fill broker: polling tier reconciles every placed order
+    assert result["all_filled"] is True and result["fills"] == 3
+    assert "fills: 3" in result["fill_summary"]
+    assert "filled buy T00 60,000.00" in slack.messages[1]
+
+
+def test_order_fill_polling_and_timeout(spark):
+    """Slow-fill broker exercises the poll loop; a never-filling one
+    exercises the 10-min budget (reference trading_flow.py:137-221)."""
+    from nt_data_pipelines_spark.sinks import (
+        RecordingBroker,
+        RecordingMessageSink,
+        fills_summary,
+        wait_for_orders_to_fill,
+    )
+    from nt_data_pipelines_spark.sources.broker import load_fills
+
+    slow = RecordingBroker(fill_after_polls=3)
+    slow.market_order("T00", 1000.0)
+    slow.market_order("T01", -250.0)
+    sleeps: list[float] = []
+    assert wait_for_orders_to_fill(slow, 10, 60, sleep=sleeps.append) is True
+    assert sleeps == [60, 60, 60]  # polled 4 times, slept between
+
+    fills = load_fills(spark, slow)
+    got = {r["ticker"]: (r["side"], r["filled_qty"], r["notional"]) for r in fills.collect()}
+    assert got == {"T00": ("buy", 10.0, 1000.0), "T01": ("sell", 2.5, 250.0)}
+    sink = RecordingMessageSink()
+    text = fills_summary(fills, 50_000.0, sink)
+    assert "fills: 2" in text and "filled sell T01 250.00" in text
+
+    # never fills inside the budget -> False after budget/interval polls
+    stuck = RecordingBroker(fill_after_polls=10_000)
+    stuck.market_order("T02", 500.0)
+    sleeps = []
+    assert wait_for_orders_to_fill(stuck, 10, 60, sleep=sleeps.append) is False
+    assert len(sleeps) == 10  # 10 minutes / 60s interval
+    assert load_fills(spark, stuck).count() == 0  # nothing filled
 
 
 def test_target_notionals_clip_round(spark):
