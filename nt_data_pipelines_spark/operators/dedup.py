@@ -105,20 +105,19 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*[_minhash_component(s) for s in range(num_hashes)])
 
 
-def minhash_lsh_candidates(
+def banded_minhash(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
+    """(id, band, band_hash) — the long-form LSH bucket relation.
 
-    Signature split into ``bands`` bands of k/bands rows; documents
-    colliding on any band's hash become a candidate pair. The
-    pair-generation join is an equi-join on (band, band_hash): that is
-    the whole point — at scale the shuffle key is the bucket, never
-    the cross product.
+    Signature split into ``bands`` bands of k/bands rows, each band
+    hashed to one bucket key. This is the join-able form both the
+    batch candidate generator and the streaming signature state table
+    share: equality on (band, band_hash) == band collision.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -132,12 +131,29 @@ def minhash_lsh_candidates(
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     banded = sigs.select(id_col, *band_cols)
-    long = banded.unpivot(
+    return banded.unpivot(
         ids=[id_col],
         values=[f"band_{b}" for b in range(bands)],
         variableColumnName="band",
         valueColumnName="band_hash",
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Documents colliding on any band's hash become a candidate pair.
+    The pair-generation join is an equi-join on (band, band_hash):
+    that is the whole point — at scale the shuffle key is the bucket,
+    never the cross product.
+    """
+    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
     a = long.withColumnsRenamed({id_col: "id_a"})
     b_ = long.withColumnsRenamed({id_col: "id_b"})
     return (

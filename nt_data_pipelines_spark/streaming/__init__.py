@@ -1,6 +1,8 @@
 from nt_data_pipelines_spark.streaming.incremental import (
     dedup_foreach_batch,
+    minhash_foreach_batch,
     run_available_now,
+    streaming_dup_groups,
     streaming_event_counts,
     upsert_foreach_batch,
 )
@@ -10,4 +12,6 @@ __all__ = [
     "upsert_foreach_batch",
     "run_available_now",
     "dedup_foreach_batch",
+    "minhash_foreach_batch",
+    "streaming_dup_groups",
 ]

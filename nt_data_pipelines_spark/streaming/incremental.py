@@ -157,6 +157,92 @@ def dedup_foreach_batch(catalog, table: str, id_col: str = "doc_id", text_col: s
     return write_batch
 
 
+MINHASH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("band_hash", T.StringType()),
+    ]
+)
+
+DUP_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+
+def minhash_foreach_batch(
+    catalog,
+    sig_table: str,
+    pairs_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """foreachBatch sink: incremental NEAR-dup candidates over a
+    document stream — the streaming tier of MinHash-LSH.
+
+    Per micro-batch:
+
+    1. compute the batch's banded MinHash signatures and PK-upsert
+       them into ``sig_table`` (PK (doc_id, band)) — the accumulated
+       signature state for the whole corpus seen so far;
+    2. equi-join the batch's bands against the (now updated) state on
+       (band, band_hash) — candidates are batch-vs-everything, never
+       all-pairs, so per-batch cost is proportional to the batch, not
+       the corpus;
+    3. normalize pairs to (min, max) and PK-upsert into
+       ``pairs_table``.
+
+    Every step is an idempotent PK upsert of deterministic values
+    (md5-seeded MinHash), so replayed/reordered batches converge to
+    exactly the batch :func:`minhash_lsh_candidates` pair set over the
+    union of all batches, and group resolution over the accumulated
+    pairs (:func:`streaming_dup_groups`) matches the batch run — a
+    near-duplicate arriving days later lands in its group.
+
+    Create the state tables as::
+
+        catalog.create(sig_table, MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+        catalog.create(pairs_table, DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    """
+    from nt_data_pipelines_spark.operators.dedup import banded_minhash
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        bands_long = banded_minhash(
+            batch_df.filter(F.col(text_col).isNotNull()),
+            id_col, text_col, num_hashes, bands,
+        ).select(F.col(id_col).cast("long").alias("doc_id"), "band", "band_hash")
+        catalog.upsert(sig_table, bands_long)
+        state = catalog.table(sig_table)
+        a = bands_long.select(F.col("doc_id").alias("__a"), "band", "band_hash")
+        b = state.select(F.col("doc_id").alias("__b"), "band", "band_hash")
+        new_pairs = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("__a") != F.col("__b"))
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+            )
+            .distinct()
+        )
+        catalog.upsert(pairs_table, new_pairs)
+
+    return write_batch
+
+
+def streaming_dup_groups(catalog, pairs_table: str) -> DataFrame:
+    """(doc_id, canonical_id) over the accumulated streaming pair set —
+    the same connected-components resolution as the batch tier, so the
+    streaming corpus' groups equal a from-scratch batch run."""
+    from nt_data_pipelines_spark.operators.dedup import resolve_dup_groups
+
+    return resolve_dup_groups(catalog.table(pairs_table))
+
+
 def run_available_now(
     stream_df: DataFrame, sink_fn, checkpoint: str, output_mode: str = "update"
 ) -> StreamingQuery:

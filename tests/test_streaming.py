@@ -165,6 +165,75 @@ def test_streaming_upsert_sink_idempotent(spark, tmp_path):
     assert got2 == got
 
 
+def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
+    """A near-duplicate arriving in a LATER batch lands in the same dup
+    group the from-scratch batch LSH run produces — and replays are
+    idempotent (incremental signature upsert + band-bucket join)."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        resolve_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming import (
+        minhash_foreach_batch,
+        run_available_now,
+        streaming_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    # identical word SETS (order/multiplicity differ) collide on every
+    # band; distinct texts never share a bucket
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words entirely here"),
+        (7, None),
+    ]
+    b2 = [
+        (3, "lazy dog the quick brown fox jumps over"),  # near-dup of 1, later batch
+        (4, "words completely entirely different here"),  # near-dup of 2
+        (5, "nothing in common with any other document"),
+    ]
+    src = str(tmp_path / "nd_docs")
+    spark.createDataFrame(b1, doc_schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "nd_lake"))
+    cat.create("mh_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("mh_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    sink = minhash_foreach_batch(cat, "mh_sigs", "mh_pairs")
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_available_now(stream, sink, str(tmp_path / "nd_ckpt"), output_mode="append")
+
+    full = spark.createDataFrame(b1 + b2, doc_schema).filter(F.col("text").isNotNull())
+    want_pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(full, "doc_id").collect()
+    }
+    got_pairs = {(r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()}
+    assert got_pairs == want_pairs and (1, 3) in got_pairs and (2, 4) in got_pairs
+
+    want_groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in resolve_dup_groups(minhash_lsh_candidates(full, "doc_id")).collect()
+    }
+    got_groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in streaming_dup_groups(cat, "mh_pairs").collect()
+    }
+    assert got_groups == want_groups
+    assert (3, 1) in got_groups and (4, 2) in got_groups  # cross-batch grouping
+
+    # failure retry: re-apply batch 2 directly — state unchanged
+    sink(spark.createDataFrame(b2, doc_schema), epoch_id=99)
+    assert {(r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()} == want_pairs
+
+
 def test_streaming_dedup_converges_to_batch_result(spark, tmp_path):
     """Overlapping document batches through the dedup sink converge to
     the batch exact_dedup survivor set — including on batch REPLAY."""
