@@ -59,9 +59,24 @@ class TableMeta:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, commit_mode: str = "rename"):
+        """``commit_mode`` picks the full-rewrite commit protocol:
+
+        - ``"rename"`` (default): rename-aside commit — atomic on
+          HDFS/posix where FS rename is atomic; see _rewrite_table.
+        - ``"manifest"``: generation dirs + a one-file manifest commit
+          (the Delta/Iceberg-log idea): each rewrite lands in a fresh
+          ``<table>.g<N>`` dir, then commits by creating manifest file
+          ``N.json`` — a single small-object write, atomic on S3-class
+          stores where rename is copy+delete. Readers resolve the max
+          valid manifest; a crashed commit leaves garbage, never a
+          torn table.
+        """
+        if commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"commit_mode must be rename|manifest, got {commit_mode!r}")
         self.spark = spark
         self.root = root
+        self.commit_mode = commit_mode
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "_catalog.json")
         self._state = self._load()
@@ -87,6 +102,76 @@ class Catalog:
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    # ---- manifest commit (commit_mode="manifest") ----
+    def _manifest_dir(self, name: str) -> str:
+        return self._path(name) + "._manifest"
+
+    def _current_gen(self, name: str) -> int:
+        """Highest generation with a VALID manifest file, or -1 (the
+        pre-manifest plain table dir). A torn manifest (crash mid-
+        write) parses as invalid JSON and is skipped — the previous
+        generation stays current."""
+        fs, mdir = self._hfs(self._manifest_dir(name))
+        if not fs.exists(mdir):
+            return -1
+        gens = []
+        for st in fs.listStatus(mdir):
+            fname = st.getPath().getName()
+            if fname.endswith(".json"):
+                try:
+                    gens.append(int(fname[: -len(".json")]))
+                except ValueError:
+                    continue
+        for g in sorted(gens, reverse=True):
+            if self._read_manifest(name, g) is not None:
+                return g
+        return -1
+
+    def _gen_dir(self, name: str, gen: int) -> str:
+        return self._path(name) if gen < 0 else f"{self._path(name)}.g{gen}"
+
+    def _read_manifest(self, name: str, gen: int) -> dict | None:
+        fs, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            doc = json.loads(raw)
+        except ValueError:
+            return None
+        return doc if isinstance(doc, dict) and doc.get("generation") == gen else None
+
+    def _commit_manifest(self, name: str, gen: int) -> None:
+        """THE commit: create manifest file ``gen.json`` exclusively.
+
+        One small-object write — a single PUT on S3-class stores, so
+        the commit is atomic where directory rename is not. create
+        with overwrite=False can never clobber a committed generation
+        (gen = max+1 by construction)."""
+        fs, mdir = self._hfs(self._manifest_dir(name))
+        if not fs.exists(mdir):
+            fs.mkdirs(mdir)
+        _, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
+        payload = json.dumps({"generation": gen, "dir": os.path.basename(self._gen_dir(name, gen))})
+        out = fs.create(p, False)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _data_path(self, name: str) -> str:
+        """Where the table's files live RIGHT NOW. In manifest mode
+        this resolves through the manifest log (one LIST per call —
+        a metastore would cache this on a real deployment); in rename
+        mode it is the plain table dir."""
+        if self.commit_mode == "manifest":
+            return self._gen_dir(name, self._current_gen(name))
+        return self._path(name)
 
     # ---- filesystem (Hadoop FS API: works on file://, s3a://, hdfs://) ----
     def _hfs(self, path: str):
@@ -126,7 +211,7 @@ class Catalog:
         if self.exists(name):
             if mode == "skip":
                 return
-            self._fs_delete(self._path(name))
+            self._delete_all_data(name)
         self._state["tables"][name] = {
             "name": name,
             "schema_json": json.dumps(schema.jsonValue()),
@@ -142,7 +227,17 @@ class Catalog:
         if self.exists(name):
             del self._state["tables"][name]
             self._save()
-            self._fs_delete(self._path(name))
+            self._delete_all_data(name)
+
+    def _delete_all_data(self, name: str) -> None:
+        """Remove every artifact of a table: the plain dir, and in
+        manifest mode all generation dirs + the manifest log."""
+        self._fs_delete(self._path(name))
+        fs, _ = self._hfs(self.root)
+        jvm = self.spark._jvm
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
+            fs.delete(st.getPath(), True)
+        self._fs_delete(self._manifest_dir(name))
 
     # ---- write path ----
     @staticmethod
@@ -154,14 +249,14 @@ class Catalog:
         writer = df.write.mode(mode)
         if meta.partition_keys:
             writer = writer.partitionBy(*meta.partition_keys)
-        writer.parquet(self._path(name))
+        writer.parquet(self._data_path(name))
         self._refresh(name)
 
     def _refresh(self, name: str) -> None:
         # Spark caches parquet file listings per path; a rewrite that
         # deletes files would otherwise poison later scans in the same
         # session (FAILED_READ_FILE.FILE_NOT_EXIST).
-        self.spark.catalog.refreshByPath(self._path(name))
+        self.spark.catalog.refreshByPath(self._data_path(name))
 
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
         """Append rows; stamps a monotone _ingest_seq for upsert ordering."""
@@ -261,7 +356,7 @@ class Catalog:
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*meta.partition_keys)
-            .parquet(self._path(name))
+            .parquet(self._data_path(name))
         )
         self._fs_delete(staging)
         self._refresh(name)
@@ -280,6 +375,9 @@ class Catalog:
         HDFS/posix; on S3 it's copy+delete, where a manifest-commit
         layer is the real answer — documented in docs/SCALE.md.
         """
+        if self.commit_mode == "manifest":
+            self._rewrite_table_manifest(name, deduped)
+            return
         staging = self._path(name) + ".staging"
         old = self._path(name) + ".old"
         # Heal first: if a prior rewrite crashed between its two
@@ -295,6 +393,35 @@ class Catalog:
         self._fs_delete(old)
         self._refresh(name)
 
+    def _rewrite_table_manifest(self, name: str, deduped: DataFrame) -> None:
+        """Full-table rewrite committed by one manifest-file write.
+
+        Protocol: write the new data into a FRESH generation dir ->
+        create manifest ``gen.json`` (THE commit: one small-object
+        write, atomic even where rename is copy+delete) -> best-effort
+        GC of the previous generation. Crash windows: before the
+        manifest write, readers resolve the old generation and the
+        half-written dir is invisible garbage the next rewrite clears;
+        after it, the new generation is committed and at worst the old
+        dir lingers until the next rewrite's GC. No window tears the
+        table."""
+        cur_gen = self._current_gen(name)
+        gen = cur_gen + 1
+        new_dir = self._gen_dir(name, gen)
+        self._fs_delete(new_dir)  # leftover from a crashed attempt
+        deduped.write.mode("overwrite").parquet(new_dir)
+        self._commit_manifest(name, gen)
+        # GC every superseded generation (incl. orphans a previous
+        # post-commit crash left behind); a crash here leaves garbage,
+        # never loss — the manifest already points at new_dir.
+        fs, _ = self._hfs(self.root)
+        jvm = self.spark._jvm
+        self._fs_delete(self._path(name))  # the pre-manifest plain dir
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
+            if st.getPath().toUri().getPath() != os.path.abspath(new_dir):
+                fs.delete(st.getPath(), True)
+        self._refresh(name)
+
     def _recover(self, name: str) -> None:
         """Heal a crash inside :meth:`_rewrite_table`'s commit window.
 
@@ -304,6 +431,8 @@ class Catalog:
         crash hit after the commit; the leftover ``.old`` is stale and
         removable — handled lazily by the next rewrite's cleanup.)
         """
+        if self.commit_mode == "manifest":
+            return  # manifest commits never leave a headless state
         fs, live = self._hfs(self._path(name))
         _, old = self._hfs(self._path(name) + ".old")
         if not fs.exists(live) and fs.exists(old):
@@ -314,7 +443,7 @@ class Catalog:
     def _raw_table(self, name: str) -> DataFrame:
         meta = self._meta(name)
         self._recover(name)  # heal an interrupted rewrite commit, if any
-        df = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(self._path(name))
+        df = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(self._data_path(name))
         # partition columns come back typed by the declared schema
         return df
 

@@ -182,3 +182,74 @@ def test_rewrite_crash_window_leaves_complete_copy(cat, spark):
     cat.optimize("m")
     got = cat.table("m").sort("ticker").collect()
     assert [(r["ticker"], r["close"]) for r in got] == [("A", 2.0), ("B", 5.0)]
+
+
+def test_manifest_commit_mode_end_to_end(spark, tmp_path):
+    """commit_mode='manifest': generation dirs + one-file manifest
+    commit. Both crash windows leave a readable, untorn table, a torn
+    manifest is skipped, and a fresh reader resolves the same state."""
+    import os
+
+    mroot = str(tmp_path / "mlake")
+    cat = Catalog(spark, mroot, commit_mode="manifest")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 5.0)]))
+    cat.insert("m", _rows(spark, [("A", D1, 2.0)]))  # dup PK -> rewrite
+
+    # window 1: crash AFTER writing the new generation dir, BEFORE the
+    # manifest commit -> readers still resolve the old generation
+    real_commit = cat._commit_manifest
+    cat._commit_manifest = lambda name, gen: (_ for _ in ()).throw(
+        RuntimeError("simulated crash pre-commit")
+    )
+    with pytest.raises(RuntimeError, match="pre-commit"):
+        cat.optimize("m")
+    cat._commit_manifest = real_commit
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 1.0), ("A", 2.0), ("B", 5.0)]  # pre-rewrite state intact
+
+    # rerunning the interrupted optimize converges (clears the orphan
+    # generation dir, commits g0, GCs the plain dir)
+    cat.optimize("m")
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 2.0), ("B", 5.0)]
+    assert os.path.exists(os.path.join(mroot, "m.g0"))
+    assert not os.path.exists(os.path.join(mroot, "m"))
+
+    # window 2: crash AFTER the manifest commit, BEFORE old-gen GC ->
+    # the NEW generation is committed; the stale dir is garbage
+    cat.insert("m", _rows(spark, [("A", D1, 3.0)]))  # dup again
+    real_delete = cat._fs_delete
+    calls = {"n": 0}
+
+    def crashing_delete(path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # 1st call clears the new dir; 2nd is the GC
+            raise RuntimeError("simulated crash post-commit")
+        real_delete(path)
+
+    cat._fs_delete = crashing_delete
+    with pytest.raises(RuntimeError, match="post-commit"):
+        cat.optimize("m")
+    cat._fs_delete = real_delete
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 3.0), ("B", 5.0)]  # new generation is the truth
+    assert os.path.exists(os.path.join(mroot, "m.g0"))  # stale, pending GC
+
+    # a torn manifest (crash mid-write) is skipped by readers
+    with open(os.path.join(mroot, "m._manifest", "99.json"), "w") as f:
+        f.write('{"generation": 99')  # truncated JSON
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 3.0), ("B", 5.0)]
+
+    # an independent reader on the same root resolves identically
+    reader = Catalog(spark, mroot, commit_mode="manifest")
+    got = sorted((r["ticker"], r["close"]) for r in reader.table("m").collect())
+    assert got == [("A", 3.0), ("B", 5.0)]
+
+    # next rewrite GCs the stale generation and the table keeps working
+    reader.insert("m", _rows(spark, [("A", D1, 4.0)]))
+    reader.optimize("m")
+    got = sorted((r["ticker"], r["close"]) for r in reader.table("m").collect())
+    assert got == [("A", 4.0), ("B", 5.0)]
+    assert not os.path.exists(os.path.join(mroot, "m.g0"))
