@@ -31,9 +31,20 @@ except Exception:  # pragma: no cover - container has no PIL
     _PILImage = None
     HAS_PIL = False
 
+import shutil as _shutil
 
-def _resolve_stub(decode_stub: str, allowed=("fake", "error", "pil", "auto")) -> str:
-    """'auto' picks the real codec when present, else the fake.
+HAS_FFMPEG = _shutil.which("ffmpeg") is not None
+
+_REAL_CODEC_PRESENT = {"pil": lambda: HAS_PIL, "ffmpeg": lambda: HAS_FFMPEG}
+
+
+def _resolve_stub(
+    decode_stub: str,
+    allowed=("fake", "error", "pil", "auto"),
+    auto_real: str = "pil",
+) -> str:
+    """'auto' picks the real codec (``auto_real``) when present, else
+    the fake.
 
     The fake stays the DEFAULT everywhere: it is bit-deterministic
     (golden-tested), so CI results and oracle hash checks never depend
@@ -42,13 +53,36 @@ def _resolve_stub(decode_stub: str, allowed=("fake", "error", "pil", "auto")) ->
     if decode_stub not in allowed:
         raise ValueError(f"decode_stub must be one of {allowed}, got {decode_stub!r}")
     if decode_stub == "auto":
-        return "pil" if HAS_PIL else "fake"
-    if decode_stub == "pil" and not HAS_PIL:
+        return auto_real if _REAL_CODEC_PRESENT[auto_real]() else "fake"
+    if decode_stub in _REAL_CODEC_PRESENT and not _REAL_CODEC_PRESENT[decode_stub]():
+        codec = {"pil": "PIL", "ffmpeg": "ffmpeg"}[decode_stub]
         raise NotImplementedError(
-            "decode_stub='pil' requested but PIL is not installed; "
+            f"decode_stub={decode_stub!r} requested but {codec} is not installed; "
             "use 'fake' (deterministic) or 'auto' (falls back)"
         )
     return decode_stub
+
+
+def _ffmpeg_keyframes(payload: bytes, max_frames: int) -> list[bytes]:
+    """Real keyframe sampling: pipe the payload through ffmpeg, keep
+    only keyframes, emit each as a PNG byte string. Only reachable
+    when ffmpeg is on PATH (HAS_FFMPEG)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".media") as f:
+        f.write(payload)
+        f.flush()
+        out = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-skip_frame", "nokey", "-i", f.name,
+                "-frames:v", str(max_frames), "-f", "image2pipe", "-vcodec", "png", "-",
+            ],
+            capture_output=True,
+            check=True,
+        ).stdout
+    sig = b"\x89PNG\r\n\x1a\n"
+    return [sig + p for p in out.split(sig) if p]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -161,12 +195,15 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling via mapInPandas: one input row -> many frame rows.
 
-    A real implementation seeks keyframes with ffmpeg; the fake slices
-    the payload every ``every_n_bytes``. The one-to-many batch fan-out
-    (the part that matters to Spark: output rows != input rows per
-    Arrow batch) is real.
+    ``decode_stub='ffmpeg'`` (or ``'auto'`` where ffmpeg is on PATH)
+    seeks real keyframes and emits each as PNG bytes; the default
+    ``'fake'`` slices the payload every ``every_n_bytes``. The
+    one-to-many batch fan-out (the part that matters to Spark: output
+    rows != input rows per Arrow batch) is identical either way.
     """
-    decode_stub = _resolve_stub(decode_stub, allowed=("fake", "error"))
+    decode_stub = _resolve_stub(
+        decode_stub, allowed=("fake", "error", "ffmpeg", "auto"), auto_real="ffmpeg"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,8 +211,16 @@ def sample_frames(
                 raise NotImplementedError("video codecs not installed; use decode_stub='fake'")
             out = {"media_id": [], "frame_index": [], "frame_payload": [], "n_bytes": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
-                    chunk = bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                if decode_stub == "ffmpeg":
+                    frames = _ffmpeg_keyframes(bytes(payload), max_frames)
+                else:
+                    frames = [
+                        bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                        for i in range(
+                            min(max_frames, max(1, len(payload) // every_n_bytes))
+                        )
+                    ]
+                for i, chunk in enumerate(frames):
                     out["media_id"].append(mid)
                     out["frame_index"].append(i)
                     out["frame_payload"].append(chunk)

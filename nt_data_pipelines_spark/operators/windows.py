@@ -228,3 +228,70 @@ def lag_col(
     return df.withColumn(
         out_col, F.lag(value_col, n).over(keyed_window(partition_by, order_by))
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    window_size: int,
+    out_col: str = "med",
+    method: str = "auto",
+    max_sort_window: int = 64,
+) -> DataFrame:
+    """Gated rolling exact median per key (full windows only).
+
+    Two physical strategies with identical results:
+
+    - ``"sort"``: ``element_at(array_sort(collect_list(x) over w), mid)``
+      — pure JVM expression, one shuffle, but O(W log W) work per ROW,
+      so it is refused above ``max_sort_window`` (the cost at W=252
+      is ~40x the W=21 plan the registry benchmarks).
+    - ``"grouped"``: Arrow-batched ``applyInPandas`` per key running
+      pandas ``rolling(W).median()`` — an incremental skiplist kernel,
+      O(log W) per row, the right plan for large windows. Needs each
+      key's full series in one task (bounded for per-user/per-ticker
+      series: days x 1), the same contract as the grouped-map
+      RollingOLS kernel (rolling_ols.py).
+
+    ``"auto"`` picks sort for W <= max_sort_window, else grouped.
+    The sort form requires an odd window (middle order statistic ==
+    interpolated median only when W is odd); grouped handles both.
+    """
+    keys, order = _cols(partition_by), _cols(order_by)
+    if method == "auto":
+        method = "sort" if window_size <= max_sort_window else "grouped"
+    if method == "sort":
+        if window_size > max_sort_window:
+            raise ValueError(
+                f"method='sort' resorts the whole {window_size}-row frame per row "
+                f"(O(W log W)); use method='grouped' above max_sort_window="
+                f"{max_sort_window}, or raise max_sort_window explicitly"
+            )
+        if window_size % 2 != 1:
+            raise ValueError("method='sort' needs an odd window (middle order statistic)")
+        w = keyed_window(keys, order).rowsBetween(-(window_size - 1), 0)
+        gate = F.count(value_col).over(w) == window_size
+        med = F.element_at(
+            F.array_sort(F.collect_list(value_col).over(w)), (window_size + 1) // 2
+        )
+        return df.withColumn(out_col, F.when(gate, med))
+
+    if method != "grouped":
+        raise ValueError(f"method must be auto|sort|grouped, got {method!r}")
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pdf[out_col] = (
+            pdf[value_col].rolling(window_size, min_periods=window_size).median()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(kernel, out_schema)

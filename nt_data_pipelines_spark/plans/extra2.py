@@ -73,15 +73,14 @@ def w_rolling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in both engines, unlike approximate sketches).",
 )
 def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.windows import rolling_median
+
     ev = load_table(spark, sf_dir, "events")
-    w = keyed_window("user_id", ["ts", "event_id"]).rowsBetween(-(ROLL - 1), 0)
-    gate = F.count("value").over(w) == ROLL
-    # Spark's median() rejects window frames; for an odd full window
-    # the median is exactly the middle order statistic of the frame.
-    assert ROLL % 2 == 1, "middle-element median shortcut requires an odd window"
-    mid = (ROLL + 1) // 2
-    med = F.element_at(F.array_sort(F.collect_list("value").over(w)), mid)
-    out = ev.select("user_id", "ts", F.when(gate, med).alias("med"))
+    # Spark's median() rejects window frames; the operator's sort path
+    # takes the middle order statistic of the full odd window. W=21 is
+    # inside the sort form's cost envelope; rolling_median switches to
+    # the grouped pandas kernel past max_sort_window (W=252-class).
+    out = rolling_median(ev, "user_id", ["ts", "event_id"], "value", ROLL, method="sort")
     return out.filter(F.col("med").isNotNull()).select(
         "user_id", "ts", (F.round("med", 6) + 0.0).alias("med")
     )

@@ -278,6 +278,24 @@ def test_multimodal_auto_resolution(spark, docs):
             M.resize_images(media, 2, 2, decode_stub="pil")
 
 
+def test_sample_frames_ffmpeg_probe(spark, docs):
+    """'auto' resolves to real keyframe sampling iff ffmpeg is on
+    PATH; otherwise the deterministic fake (golden unchanged) and an
+    explicit 'ffmpeg' request fails loudly."""
+    media = M.documents_as_media(docs, "doc_id", "text").limit(2)
+    if M.HAS_FFMPEG:
+        # text bytes are not decodable media: the real path must raise
+        with pytest.raises(Exception):
+            M.sample_frames(media, decode_stub="auto").collect()
+    else:
+        got = M.sample_frames(media, every_n_bytes=16, max_frames=3, decode_stub="auto")
+        fake = M.sample_frames(media, every_n_bytes=16, max_frames=3, decode_stub="fake")
+        key = lambda r: (r["media_id"], r["frame_index"], bytes(r["frame_payload"]))
+        assert sorted(map(key, got.collect())) == sorted(map(key, fake.collect()))
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.sample_frames(media, decode_stub="ffmpeg")
+
+
 def test_multimodal_error_stub(spark, docs):
     media = M.documents_as_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):

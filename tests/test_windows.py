@@ -95,3 +95,52 @@ def test_zscore_per_partition(series):
 def test_partition_count(series):
     got = W.partition_count(series, "k", out_col="n").select("k", "n").distinct().collect()
     assert {(r["k"], r["n"]) for r in got} == {("a", 5), ("b", 3)}
+
+
+def test_rolling_median_grouped_matches_sort_and_pandas(spark):
+    """The two physical strategies agree at small W; at large W the
+    sort form refuses (O(W log W) per row) and the grouped kernel
+    matches a driver-side pandas golden."""
+    import pandas as pd
+    import pytest
+
+    from nt_data_pipelines_spark.operators.windows import rolling_median
+
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(120):
+            # key 'a' carries sparse nulls (exercises the gate); b/c are
+            # dense so large windows produce non-null medians too
+            v = None if k == "a" and i in (30, 77) else float((i * 31 + ord(k)) % 97)
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+
+    small_sort = rolling_median(df, "key", "seq", "value", 21, method="sort")
+    small_grp = rolling_median(df, "key", "seq", "value", 21, method="grouped")
+    want = {(r["key"], r["seq"]): r["med"] for r in small_sort.collect()}
+    got = {(r["key"], r["seq"]): r["med"] for r in small_grp.collect()}
+    assert set(got) == set(want)
+    assert all(
+        (got[k] is None and want[k] is None) or got[k] == pytest.approx(want[k])
+        for k in want
+    )
+    assert any(v is not None for v in want.values())
+
+    # large W: sort path refuses with guidance; auto picks grouped
+    with pytest.raises(ValueError, match="grouped"):
+        rolling_median(df, "key", "seq", "value", 101, method="sort")
+    big = rolling_median(df, "key", "seq", "value", 101, method="auto")
+    got_big = {(r["key"], r["seq"]): r["med"] for r in big.collect()}
+    pdf = pd.DataFrame(rows, columns=["key", "seq", "value"]).sort_values(["key", "seq"])
+    pdf["med"] = (
+        pdf.groupby("key")["value"].transform(lambda s: s.rolling(101, min_periods=101).median())
+    )
+    n_real = 0
+    for r in pdf.itertuples():
+        g = got_big[(r.key, r.seq)]
+        if pd.isna(r.med):
+            assert g is None
+        else:
+            assert g == pytest.approx(r.med)
+            n_real += 1
+    assert n_real > 0  # the golden actually exercised full windows
