@@ -90,7 +90,21 @@ def trading_daily_flow(
         )
         fills = load_fills(catalog.spark, broker)
         result["fills"] = fills.count()
-        result["fill_summary"] = fills_summary(fills, equity, message_sink)
+        if hasattr(message_sink, "send_blocks"):
+            # rich Block-Kit-style summary with positions, for sinks
+            # that support it (utils/slack_daily_summary.py:47-202)
+            from nt_data_pipelines_spark.summary import send_daily_trading_summary
+
+            pos = (
+                load_positions(catalog.spark, broker)
+                if hasattr(broker, "positions")
+                else None
+            )
+            result["fill_summary"], _ = send_daily_trading_summary(
+                fills, equity, message_sink, positions=pos
+            )
+        else:
+            result["fill_summary"] = fills_summary(fills, equity, message_sink)
     return result
 
 

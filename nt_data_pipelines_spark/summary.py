@@ -1,0 +1,156 @@
+"""Rich daily trading summary (reference: utils/slack_daily_summary.py).
+
+The reference formats Slack Block-Kit from today's fills, the account
+value, and the open positions (slack_daily_summary.py:47-202). Here
+the block construction is a PURE function over driver-sized collected
+rows — no messaging SDK — and the transport stays a pluggable sink:
+sinks that understand structured blocks get them verbatim, plain-text
+sinks get a faithful text rendering. Block structure reproduced:
+
+- header + four summary fields (portfolio value, day P&L or trade
+  count, total volume, open-position count),
+- buys/sells totals section,
+- top-3 buys and top-3 sells (qty @ price = notional),
+- top-5 positions by value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+class BlockMessageSink(Protocol):
+    def send_blocks(self, text: str, blocks: list[dict]) -> None: ...
+
+
+@dataclass
+class RecordingBlockSink:
+    sent: list[tuple[str, list[dict]]] = field(default_factory=list)
+
+    def send_blocks(self, text: str, blocks: list[dict]) -> None:
+        self.sent.append((text, blocks))
+
+
+def _mrkdwn(text: str) -> dict:
+    return {"type": "section", "text": {"type": "mrkdwn", "text": text}}
+
+
+def build_daily_summary_blocks(
+    fills: list[dict],
+    account_value: float,
+    positions: list[dict] | None = None,
+    previous_account_value: float | None = None,
+) -> tuple[str, list[dict]]:
+    """(headline text, Block-Kit blocks) from collected rows.
+
+    Mirrors slack_daily_summary.py:27-44 (categorize) and 93-198
+    (block layout), including the empty-day short form (60-76).
+    """
+    if not fills:
+        return (
+            "No trades executed today",
+            [
+                _mrkdwn(
+                    "*No trades executed today*\n\n"
+                    f"Portfolio value: ${account_value:,.2f}"
+                )
+            ],
+        )
+    positions = sorted(positions or [], key=lambda p: p["value"], reverse=True)
+    buys = sorted(
+        (o for o in fills if o["side"] == "buy"), key=lambda o: o["notional"], reverse=True
+    )
+    sells = sorted(
+        (o for o in fills if o["side"] == "sell"), key=lambda o: o["notional"], reverse=True
+    )
+    total_buys = sum(o["notional"] for o in buys)
+    total_sells = sum(o["notional"] for o in sells)
+    total = total_buys + total_sells
+
+    if previous_account_value:
+        pnl = account_value - previous_account_value
+        pnl_field = f"*Day P&L*\n${pnl:,.2f} ({pnl / previous_account_value * 100:+.2f}%)"
+    else:
+        pnl_field = f"*Trades Executed*\n{len(fills)}"
+    blocks: list[dict] = [
+        {"type": "header", "text": {"type": "plain_text", "text": "Daily Trading Summary"}},
+        {
+            "type": "section",
+            "fields": [
+                {"type": "mrkdwn", "text": f"*Portfolio Value*\n${account_value:,.2f}"},
+                {"type": "mrkdwn", "text": pnl_field},
+                {"type": "mrkdwn", "text": f"*Total Volume*\n${total:,.2f}"},
+                {"type": "mrkdwn", "text": f"*Positions*\n{len(positions)} open"},
+            ],
+        },
+        {"type": "divider"},
+    ]
+    trade_lines = []
+    if buys:
+        trade_lines.append(f"*Buys:* {len(buys)} · ${total_buys:,.2f}")
+    if sells:
+        trade_lines.append(f"*Sells:* {len(sells)} · ${total_sells:,.2f}")
+    if trade_lines:
+        blocks.append(_mrkdwn("\n".join(trade_lines)))
+        blocks.append({"type": "divider"})
+    for title, side_rows in (("*Top 3 Buys*", buys[:3]), ("*Top 3 Sells*", sells[:3])):
+        if side_rows:
+            lines = [
+                f"{i}. {o['filled_qty']:.2f} `{o['ticker']}` @ "
+                f"${o['filled_avg_price']:.2f} = ${o['notional']:,.2f}"
+                for i, o in enumerate(side_rows, 1)
+            ]
+            blocks.append(_mrkdwn(title + "\n" + "\n".join(lines)))
+    if positions:
+        top5 = positions[:5]
+        lines = [f"*Top {len(top5)} Positions*"] + [
+            f"{i}. `{p['ticker']}`: ${p['value']:,.2f}" for i, p in enumerate(top5, 1)
+        ]
+        blocks.append({"type": "divider"})
+        blocks.append(_mrkdwn("\n".join(lines)))
+    return "Daily Trading Summary", blocks
+
+
+def render_blocks_text(blocks: list[dict]) -> str:
+    """Plain-text rendering for sinks without block support."""
+    out = []
+    for b in blocks:
+        if b["type"] == "header":
+            out.append(b["text"]["text"])
+        elif b["type"] == "divider":
+            out.append("---")
+        elif b["type"] == "section":
+            if "text" in b:
+                out.append(b["text"]["text"])
+            if "fields" in b:
+                out.extend(f["text"] for f in b["fields"])
+    return "\n".join(out)
+
+
+def send_daily_trading_summary(
+    fills: DataFrame,
+    account_value: float,
+    sink,
+    positions: DataFrame | None = None,
+    previous_account_value: float | None = None,
+) -> tuple[str, list[dict]]:
+    """Collect the (driver-sized) fills/positions frames, build the
+    blocks, and deliver through whichever interface the sink has —
+    ``send_blocks(text, blocks)`` preferred, ``send(text)`` fallback."""
+    fill_rows = [r.asDict() for r in fills.collect()]
+    pos_rows = (
+        [{"ticker": r["ticker"], "value": float(r["notional"])} for r in positions.collect()]
+        if positions is not None
+        else []
+    )
+    text, blocks = build_daily_summary_blocks(
+        fill_rows, account_value, pos_rows, previous_account_value
+    )
+    if hasattr(sink, "send_blocks"):
+        sink.send_blocks(text, blocks)
+    else:
+        sink.send(render_blocks_text(blocks))
+    return text, blocks

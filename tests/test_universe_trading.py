@@ -146,3 +146,58 @@ def test_notional_deltas_full_outer(spark):
     # A: buy 500 (target only); B: sell 200; C: sell 50 (held only); E: <$1 dropped
     assert got == {"A": 500.0, "B": -200.0, "C": -50.0}
     assert "E" not in got
+
+
+def test_block_summary_structure(spark):
+    """Block-Kit-shaped daily summary: header + fields, buys/sells
+    totals, top-3 per side, top-5 positions, empty-day short form
+    (reference utils/slack_daily_summary.py:47-202)."""
+    from nt_data_pipelines_spark.summary import (
+        RecordingBlockSink,
+        build_daily_summary_blocks,
+        render_blocks_text,
+        send_daily_trading_summary,
+    )
+
+    fills = [
+        {"ticker": t, "side": s, "filled_qty": q, "filled_avg_price": p, "notional": q * p}
+        for t, s, q, p in [
+            ("A", "buy", 10.0, 100.0), ("B", "buy", 5.0, 50.0), ("C", "buy", 2.0, 30.0),
+            ("D", "buy", 1.0, 10.0), ("E", "sell", 4.0, 25.0),
+        ]
+    ]
+    positions = [{"ticker": f"P{i}", "value": float(1000 - i)} for i in range(7)]
+    text, blocks = build_daily_summary_blocks(fills, 123_456.0, positions, 120_000.0)
+    assert text == "Daily Trading Summary"
+    assert blocks[0]["type"] == "header"
+    fields = [f["text"] for f in blocks[1]["fields"]]
+    assert any("$123,456.00" in f for f in fields)
+    assert any("Day P&L" in f and "+2.88%" in f for f in fields)  # 3456/120000
+    assert any("7 open" in f for f in fields)
+    joined = render_blocks_text(blocks)
+    assert "*Buys:* 4 · $1,320.00" in joined and "*Sells:* 1 · $100.00" in joined
+    top_buys = next(b for b in blocks if "Top 3 Buys" in str(b))
+    assert top_buys["text"]["text"].index("`A`") < top_buys["text"]["text"].index("`B`")
+    assert "`D`" not in top_buys["text"]["text"]  # only top 3
+    top_pos = next(b for b in blocks if "Top 5 Positions" in str(b))
+    assert "`P5`" not in top_pos["text"]["text"]  # only top 5 by value
+
+    # empty day short form
+    text0, blocks0 = build_daily_summary_blocks([], 99_000.0)
+    assert text0 == "No trades executed today" and len(blocks0) == 1
+
+    # transport: block sink gets blocks, plain sink gets rendered text
+    from nt_data_pipelines_spark.sinks import RecordingMessageSink
+    from nt_data_pipelines_spark.sources.broker import FILL_SCHEMA
+
+    import datetime as _dt
+
+    fdf = spark.createDataFrame(
+        [("o1", "A", "buy", 10.0, 100.0, _dt.datetime(2024, 1, 2, 14, 30))], FILL_SCHEMA
+    ).withColumn("notional", F.col("filled_qty") * F.col("filled_avg_price"))
+    bsink = RecordingBlockSink()
+    send_daily_trading_summary(fdf, 1000.0, bsink)
+    assert bsink.sent and bsink.sent[0][0] == "Daily Trading Summary"
+    tsink = RecordingMessageSink()
+    send_daily_trading_summary(fdf, 1000.0, tsink)
+    assert tsink.messages and "*Top 3 Buys*" in tsink.messages[0]
