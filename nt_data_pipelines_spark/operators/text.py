@@ -130,3 +130,146 @@ def bigram_fingerprint(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     return df.select(
         id_col, F.coalesce(fp, F.md5(F.col(text_col))).alias("fingerprint")
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features per document.
+
+    Quality-filtering signals from "Scaling Language Models" (Rae et
+    al. 2021, §A1.1 repetition filters), computed relationally:
+
+    - ``dup_word_ratio``: fraction of word occurrences that are
+      repeats (1 - distinct/total),
+    - ``top_word_ratio``: frequency share of the single most common
+      word,
+    - ``dup_bigram_ratio``: same as dup_word_ratio over word bigrams.
+
+    Array expressions handle the per-row set sizes (no shuffle); the
+    top-word count is the wordcount shape — explode + two-level agg,
+    linear with map-side partial aggregation. High values mark
+    boilerplate/spam for corpus filtering.
+    """
+    ws = words(text_col)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("__dw"),
+        F.size(bigrams).alias("__tb"),
+        F.size(F.array_distinct(bigrams)).alias("__db"),
+    )
+    top = (
+        df.select(id_col, F.explode(ws).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("top_word_count"))
+    )
+    r6 = lambda c: F.round(c, 6) + 0.0  # noqa: E731 (parity rounding)
+    return base.join(top, id_col).select(
+        id_col,
+        "n_words",
+        r6(1 - F.col("__dw") / F.col("n_words").cast("double")).alias("dup_word_ratio"),
+        r6(F.col("top_word_count") / F.col("n_words").cast("double")).alias("top_word_ratio"),
+        r6(
+            F.when(F.col("__tb") > 0, 1 - F.col("__db") / F.col("__tb").cast("double"))
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling that is REPRODUCIBLE across engines/runs.
+
+    ``Bernoulli(p)`` via content hashing, not RNG: a row survives iff
+    ``md5(id) mod 10000 < p * 10000``. Any engine computing the same
+    md5 keeps the same rows — resumable backfills and train/eval
+    splits stay stable under retries, repartitioning, and engine
+    swaps (unlike ``df.sampleBy``, whose seed is partition-dependent).
+    Pure codegen expression; no shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    frac = F.lit(default_fraction)
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(frac)
+    return df.filter(bucket < frac * 10000)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    capacity: int = 512,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Greedy contiguous sequence packing for training batches.
+
+    Documents are tokenized (``token_count``), sharded by hash, and
+    packed within each shard by cumulative token count in ``id_col``
+    order: a document whose running offset crosses a ``capacity``
+    boundary starts that bin. Output: (id, shard, n_tokens, bin_id).
+
+    One window per shard — the cumsum never needs a global order, so
+    the plan is a single hash shuffle on shard followed by an
+    in-partition sort: embarrassingly parallel at corpus scale, and
+    deterministic (hash shard + id order), so re-runs pack
+    identically. Documents longer than ``capacity`` still get a bin
+    (they span several capacities; downstream splits them).
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long"),
+        F.lit(num_shards),
+    )
+    toks = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / capacity).alias("bin_id"),
+    )
+
+
+# PII scrub patterns — conservative, identical semantics in Java
+# regex and RE2 (no lookaround, no backrefs).
+PII_EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_LONG_DIGITS_REGEX = "[0-9][0-9 -]{6,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Redact emails and long digit runs (phone/account numbers).
+
+    Order matters: emails first (their local part may contain digits),
+    then 8+-char digit/space/dash runs. Pure codegen regexp_replace —
+    linear scan, no Python.
+    """
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, PII_EMAIL_REGEX, "[EMAIL]")
+    scrubbed = F.regexp_replace(scrubbed, PII_LONG_DIGITS_REGEX, "[NUMBER]")
+    return df.withColumn(out_col, scrubbed)

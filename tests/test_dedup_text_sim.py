@@ -300,3 +300,81 @@ def test_multimodal_error_stub(spark, docs):
     media = M.documents_as_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         M.extract_features(media, decode_stub="error").collect()
+
+
+def test_repetition_stats_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # all one word
+            (2, "a b c d"),                        # no repetition
+            (3, "x y x y x y"),                    # repeated bigrams
+            (4, "solo"),                           # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.repetition_stats(df, "doc_id").collect()}
+    assert got[1]["dup_word_ratio"] == pytest.approx(0.75)
+    assert got[1]["top_word_ratio"] == 1.0
+    assert got[1]["dup_bigram_ratio"] == pytest.approx(2 / 3)
+    assert got[2]["dup_word_ratio"] == 0.0 and got[2]["dup_bigram_ratio"] == 0.0
+    assert got[3]["dup_bigram_ratio"] == pytest.approx(1 - 2 / 5)
+    assert got[4]["dup_bigram_ratio"] is None  # no bigrams -> null, not 0/0
+
+
+def test_deterministic_stratified_sample(spark):
+    rows = [(i, "view" if i % 2 else "click") for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    got = TX.deterministic_stratified_sample(
+        df, "event_type", "event_id", {"view": 0.2, "click": 0.8}
+    )
+    again = TX.deterministic_stratified_sample(
+        df.repartition(7), "event_type", "event_id", {"view": 0.2, "click": 0.8}
+    )
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == sorted(r["event_id"] for r in again.collect())  # repartition-stable
+    by_type = {"view": 0, "click": 0}
+    for r in got.collect():
+        by_type[r["event_type"]] += 1
+    assert by_type["view"] == pytest.approx(0.2 * 1000, rel=0.2)
+    assert by_type["click"] == pytest.approx(0.8 * 1000, rel=0.1)
+    # unlisted strata default to dropped
+    extra = spark.createDataFrame([(99999, "other")], "event_id long, event_type string")
+    assert TX.deterministic_stratified_sample(
+        extra, "event_type", "event_id", {"view": 1.0}
+    ).count() == 0
+
+
+def test_pack_sequences_properties(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (10 + i % 50))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    got = TX.pack_sequences(docs, "doc_id", capacity=100, num_shards=8).collect()
+    assert len(got) == 300
+    per_shard: dict = {}
+    for r in got:
+        per_shard.setdefault(r["shard"], []).append((r["doc_id"], r["n_tokens"], r["bin_id"]))
+    for shard, rows in per_shard.items():
+        rows.sort()
+        offset = 0
+        for _doc, n, b in rows:
+            assert b == offset // 100  # bin = starting offset // capacity
+            offset += n
+    # deterministic across runs
+    again = TX.pack_sequences(docs.repartition(5), "doc_id", capacity=100, num_shards=8)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_scrub_pii_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@example.co.uk for details"),
+            (2, "call 555-123-4567 or 4111 1111 1111 1111 now"),
+            (3, "clean text with short 123 number"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in TX.scrub_pii(df, "text").collect()}
+    assert got[1] == "contact [EMAIL] for details"
+    assert got[2] == "call [NUMBER] or [NUMBER] now"
+    assert got[3] == "clean text with short 123 number"  # short digits untouched
