@@ -273,3 +273,66 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     scrubbed = F.regexp_replace(t, PII_EMAIL_REGEX, "[EMAIL]")
     scrubbed = F.regexp_replace(scrubbed, PII_LONG_DIGITS_REGEX, "[NUMBER]")
     return df.withColumn(out_col, scrubbed)
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Array of word n-grams (space-joined); empty for short docs."""
+    ws = words(text_col)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing word
+    n-grams with a benchmark corpus.
+
+    The standard contamination check (GPT-3 appendix C / PaLM-class
+    n-gram overlap): a training document whose n-grams overlap a held-
+    out benchmark is leakage and must be dropped before training.
+    Output per corpus doc: distinct n-gram count, how many also occur
+    anywhere in the benchmark, and the overlap ratio.
+
+    Scale shape: both sides explode to DISTINCT n-grams; the join key
+    is the gram, so the shuffle is gram-bucketed (never doc x doc).
+    Benchmarks are small by nature — Spark/AQE broadcasts that side,
+    making the probe map-side.
+    """
+    grams = _word_ngrams(text_col, n)
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    totals = corpus.select(
+        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("n_grams")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        (
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams").cast("double"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("overlap_ratio"),
+    )

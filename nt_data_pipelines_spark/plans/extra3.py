@@ -129,3 +129,56 @@ def t_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("__scrubbed")).alias("scrubbed_md5"),
         F.length("__scrubbed").cast("long").alias("scrubbed_len"),
     )
+
+
+@register(
+    "t_contamination",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+    bench AS (SELECT * FROM documents WHERE source = 'src0'),
+    cg AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2])
+      )) AS gram FROM corpus
+    ),
+    bg AS (
+      SELECT DISTINCT UNNEST(
+        list_transform(range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2])
+      ) AS gram FROM bench
+    ),
+    totals AS (
+      SELECT doc_id, CAST(len(list_distinct(
+        list_transform(range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2])
+      )) AS BIGINT) AS n_grams FROM corpus
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_grams,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CASE WHEN n_grams > 0
+                 THEN COALESCE(n_contaminated, 0) / CAST(n_grams AS DOUBLE) END, 6) + 0.0
+             AS overlap_ratio
+    FROM totals t LEFT JOIN hits USING (doc_id)
+    """,
+    doc="Eval-set decontamination: word-3-gram overlap of each training "
+    "doc against a benchmark slice (source='src0'); gram-bucketed "
+    "shuffle, benchmark side broadcast.",
+)
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return benchmark_contamination(corpus, bench, "doc_id", n=3)

@@ -378,3 +378,23 @@ def test_scrub_pii_redacts(spark):
     assert got[1] == "contact [EMAIL] for details"
     assert got[2] == "call [NUMBER] or [NUMBER] now"
     assert got[3] == "clean text with short 123 number"  # short digits untouched
+
+
+def test_benchmark_contamination_crafted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 'the quick brown', 'quick brown fox'
+            (2, "totally unrelated training text here"),
+            (3, "a b"),                              # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TX.benchmark_contamination(corpus, bench, "doc_id").collect()}
+    assert got[1]["n_grams"] == 4
+    assert got[1]["n_contaminated"] == 2  # 'the quick brown', 'quick brown fox'
+    assert got[1]["overlap_ratio"] == pytest.approx(0.5)
+    assert got[2]["n_contaminated"] == 0 and got[2]["overlap_ratio"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["overlap_ratio"] is None
