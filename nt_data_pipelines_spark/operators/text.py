@@ -13,7 +13,7 @@ delimiter regex for real corpora).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny public stopword lexicons (top function words per language).
@@ -335,4 +335,86 @@ def benchmark_contamination(
             )
             + 0.0
         ).alias("overlap_ratio"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = in-doc count / doc word count; idf = ln(N / df).  Ranking is
+    by the INTEGER triple (count desc, doc-frequency asc, word asc) —
+    equivalent to ranking by tf-idf within a document (tf-idf is
+    monotone in count and anti-monotone in df for fixed doc length)
+    but exactly reproducible across engines, where ranking on the
+    float score itself could flip near-ties on 1-ulp libm differences.
+
+    Scale: two shuffles — (doc, word) count, then word df — both on
+    high-cardinality keys with map-side partial aggregation; N is a
+    scalar broadcast.  The final top-k window partitions by doc.
+    """
+    n_docs = df.count()
+    exploded = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    )
+    wc = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    doc_len = wc.groupBy(id_col).agg(F.sum("c").alias("n_words"))
+    dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        wc.join(dfreq, "word")
+        .join(doc_len, id_col)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "word",
+            "rank",
+            F.col("c").alias("term_count"),
+            F.col("df").alias("doc_freq"),
+            (
+                F.round(
+                    F.col("c")
+                    / F.col("n_words")
+                    * F.log(F.lit(float(n_docs)) / F.col("df")),
+                    6,
+                )
+                + 0.0
+            ).alias("tfidf"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    posting_cap: int = 20,
+) -> DataFrame:
+    """Word -> (doc frequency, capped sorted posting list).
+
+    The posting list is ``sort_array(collect_set(...))`` truncated to
+    ``posting_cap`` ids — deterministic regardless of shuffle order.
+    Scale: one shuffle on the word key; collect_set is bounded per
+    word only by df, so genuinely building a full-corpus index would
+    swap the capped list for an exploded (word, doc) postings TABLE —
+    this operator is the summary/lookup tier.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("word")
+    )
+    return (
+        exploded.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_set(id_col)), 1, posting_cap).alias(
+                "postings"
+            ),
+        )
     )

@@ -1,0 +1,151 @@
+"""Coverage batch 4: sessionization, OHLC resampling, TF-IDF,
+inverted index, exact grouped quantiles — oracle-paired."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.sessions import resample_ohlc, session_stats
+from nt_data_pipelines_spark.operators.text import inverted_index, tfidf_top_terms
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+
+@register(
+    "w_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM t GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity) with per-session "
+    "count/duration/value aggregates; one shuffle on the user key "
+    "shared by the window and the groupBy.",
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", "event_id", "value", gap_seconds=1800)
+
+
+@register(
+    "w_ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="OHLC bar resampling per (event_type, day): open/close via "
+    "tie-broken row_number (deterministic under duplicate ts), "
+    "decimal-exact volume.",
+)
+def w_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bars = resample_ohlc(ev, ["event_type"], "ts", "value", "event_id", freq="day")
+    return bars.withColumn("bucket", F.to_date("bucket"))
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle="""
+    WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, SUM(c) AS n_words FROM wc GROUP BY doc_id),
+    dfr AS (SELECT word, COUNT(*) AS df FROM wc GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    r AS (
+      SELECT wc.doc_id, wc.word, c, dfr.df, dl.n_words,
+             ROW_NUMBER() OVER (PARTITION BY wc.doc_id
+                                ORDER BY c DESC, dfr.df ASC, wc.word ASC) AS rank
+      FROM wc JOIN dfr USING (word) JOIN dl USING (doc_id)
+    )
+    SELECT doc_id, word, CAST(rank AS BIGINT) AS rank,
+           CAST(c AS BIGINT) AS term_count, CAST(df AS BIGINT) AS doc_freq,
+           ROUND(c / CAST(n_words AS DOUBLE)
+                 * ln(n_docs / CAST(df AS DOUBLE)), 6) + 0.0 AS tfidf
+    FROM r, n WHERE rank <= 5
+    """,
+    doc="Top-5 characteristic terms per document by TF-IDF, ranked on "
+    "the integer (count, df, word) triple for cross-engine determinism.",
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", k=5)
+
+
+@register(
+    "t_inverted_index",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS word
+      FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings
+    FROM w GROUP BY word
+    """,
+    doc="Inverted index summary: word -> document frequency + capped "
+    "sorted posting list; one shuffle on the word key.",
+)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    idx = inverted_index(docs, "doc_id", posting_cap=20)
+    # string-join the posting array so the cross-engine schema compare
+    # sees one canonical type (same convention as a_collect_list)
+    return idx.withColumn("postings", F.array_join("postings", ","))
+
+
+@register(
+    "a_exact_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) + 0.0 AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) + 0.0 AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) + 0.0 AS p75
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact linear-interpolation quartiles per group (Spark "
+    "percentile == DuckDB quantile_cont); the scale path swaps in "
+    "approx_percentile at a documented error bound.",
+)
+def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("__p25"),
+        F.percentile("value", F.lit(0.50)).alias("__p50"),
+        F.percentile("value", F.lit(0.75)).alias("__p75"),
+    )
+    return q.select(
+        "event_type",
+        (F.round("__p25", 6) + 0.0).alias("p25"),
+        (F.round("__p50", 6) + 0.0).alias("p50"),
+        (F.round("__p75", 6) + 0.0).alias("p75"),
+    )
