@@ -113,11 +113,13 @@ def resample_ohlc(
     bucketed = df.withColumn("bucket", _bucket(ts_col, freq))
     keys = [*key_cols, "bucket"]
     asc = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
-    desc = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    whole = Window.partitionBy(*keys)
     v = F.col(value_col)
+    # close = the row where rn_asc == partition count: one ascending
+    # sort serves both ends of the bar (no second descending sort)
     return (
         bucketed.withColumn("__rn_a", F.row_number().over(asc))
-        .withColumn("__rn_d", F.row_number().over(desc))
+        .withColumn("__rn_d", (F.count(F.lit(1)).over(whole) - F.col("__rn_a") + 1))
         .groupBy(*keys)
         .agg(
             F.max(F.when(F.col("__rn_a") == 1, v)).alias("open"),

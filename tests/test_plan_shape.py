@@ -92,3 +92,18 @@ def test_price_scan_prunes_year_partitions(spark, tmp_path):
     assert len(scan_lines) >= 2
     assert all(f"year#" in ln or "year" in ln for ln in scan_lines)
     assert f"(year" in plan  # non-empty filter, not PartitionFilters: []
+
+
+def test_sessionize_single_shuffle(spark):
+    # window (lag + cumsum) and the per-session groupBy share the
+    # user-key hash partitioning: exactly one exchange end-to-end
+    plan = _explain(spark, "w_sessionize")
+    assert _op_count(plan, "Exchange") == 1
+
+
+def test_ohlc_single_shuffle_single_sort(spark):
+    # open and close both derive from ONE ascending sort (close via
+    # rn == partition count), so the bar query is 1 exchange + 1 sort
+    plan = _explain(spark, "w_ohlc_resample")
+    assert _op_count(plan, "Exchange") == 1
+    assert len(re.findall(r"^\(\d+\) Sort", plan, flags=re.M)) == 1
