@@ -418,3 +418,72 @@ def inverted_index(
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word chunks for training.
+
+    Chunks start every ``chunk_size - overlap`` words; the final chunk
+    is clipped.  Emits (id, chunk_start, n_chunk_words, chunk_text) —
+    chunk_start doubles as the stable in-doc chunk key, so no
+    ordinality pass is needed.  Scale: pure per-row array expressions
+    plus one explode — no shuffle at all; fan-out is bounded by
+    doc length / step.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    ws = words(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(F.col(id_col), ws.alias("__ws"), F.explode(starts).alias("chunk_start"))
+        .withColumn("__ws", F.slice("__ws", F.col("chunk_start") + 1, chunk_size))
+        .select(
+            id_col,
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size("__ws").cast("long").alias("n_chunk_words"),
+            F.array_join("__ws", " ").alias("chunk_text"),
+        )
+    )
+
+
+def mix_sources_to_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_budget_per_source: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Down-sample each source to roughly a per-source token budget.
+
+    Data-mixing tier: sources over budget keep a deterministic
+    md5-bucketed fraction of documents (rate = budget / source total);
+    sources under budget pass through whole.  Content hashing makes
+    the sample identical across engines, retries and repartitioning.
+    Scale: per-source totals are a tiny aggregate broadcast back onto
+    the corpus — the corpus itself never shuffles.
+    """
+    toks = df.withColumn("__t", token_count(text_col).cast("long"))
+    totals = toks.groupBy(source_col).agg(F.sum("__t").alias("__total"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(token_budget_per_source)) / F.col("__total")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    # explicit FLOOR: Spark's double->int cast truncates but DuckDB's
+    # rounds, so the threshold must be floored before comparing
+    return (
+        toks.join(F.broadcast(totals), source_col)
+        .filter(bucket < F.floor(rate * 10000))
+        .drop("__total")
+        .withColumnRenamed("__t", "n_tokens")
+    )

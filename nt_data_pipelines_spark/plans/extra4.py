@@ -149,3 +149,57 @@ def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("__p50", 6) + 0.0).alias("p50"),
         (F.round("__p75", 6) + 0.0).alias("p75"),
     )
+
+
+_TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+@register(
+    "t_chunk_documents",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws, UNNEST(range(0, GREATEST(len(ws), 1), 48)) AS st FROM w)
+    SELECT doc_id, CAST(st AS BIGINT) AS chunk_start,
+           CAST(len(ws[st + 1 : st + 64]) AS BIGINT) AS n_chunk_words,
+           md5(array_to_string(ws[st + 1 : st + 64], ' ')) AS chunk_md5
+    FROM s
+    """,
+    doc="Overlapping 64-word / 16-overlap training chunks per doc; "
+    "chunk_start is the stable in-doc key, chunk text digest-verified. "
+    "No shuffle — per-row array exprs + one explode.",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", chunk_size=64, overlap=16)
+    return chunks.select(
+        "doc_id", "chunk_start", "n_chunk_words",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@register(
+    "p_mix_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens) AS total FROM toks GROUP BY source)
+    SELECT doc_id, source, n_tokens
+    FROM toks JOIN tot USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000
+          < FLOOR(LEAST(1.0, 1300 / CAST(total AS DOUBLE)) * 10000)
+    """,
+    doc="Data mixing: down-sample each source to a ~1300-token budget "
+    "via content-hash buckets (deterministic across engines/retries); "
+    "per-source totals broadcast back, corpus never shuffles.",
+)
+def p_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import mix_sources_to_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_sources_to_budget(docs, "source", "doc_id", 1300)
+    return mixed.select("doc_id", "source", "n_tokens")

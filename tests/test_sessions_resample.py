@@ -121,3 +121,47 @@ def test_inverted_index_sorted_capped(spark):
     assert got["b"]["postings"] == [3, 7]  # sorted, capped at 2
     assert got["a"]["postings"] == [10]
     assert got["c"]["df"] == 1
+
+
+def test_chunk_documents_sliding_window(spark):
+    from nt_data_pipelines_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(1, 11))  # 10 words
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        chunk_documents(df, "doc_id", chunk_size=4, overlap=1).collect(),
+        key=lambda r: r["chunk_start"],
+    )
+    # step = 3 -> starts 0,3,6,9; last chunk clipped to one word
+    assert [(r["chunk_start"], r["n_chunk_words"], r["chunk_text"]) for r in got] == [
+        (0, 4, "w1 w2 w3 w4"),
+        (3, 4, "w4 w5 w6 w7"),
+        (6, 4, "w7 w8 w9 w10"),
+        (9, 1, "w10"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from nt_data_pipelines_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", chunk_size=4, overlap=4)
+
+
+def test_mix_sources_budget_branches(spark):
+    from nt_data_pipelines_spark.operators.text import mix_sources_to_budget
+
+    rows = [(i, "small", "three tokens here") for i in range(3)] + [
+        (100 + i, "big", "lots and lots of tokens in this document right here") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # budget 30: "small" (9 tokens) passes whole; "big" (500) is sampled
+    got = mix_sources_to_budget(df, "source", "doc_id", 30).collect()
+    small = [r for r in got if r["source"] == "small"]
+    big = [r for r in got if r["source"] == "big"]
+    assert len(small) == 3  # under budget: everything kept
+    assert 0 < len(big) < 50  # over budget: strict deterministic subset
+    # deterministic: second run returns the identical id set
+    again = mix_sources_to_budget(df, "source", "doc_id", 30).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
