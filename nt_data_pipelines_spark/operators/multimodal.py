@@ -260,3 +260,82 @@ def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _pcm_stats(samples) -> tuple[int, float, float]:
+    """(n, rms, zero-crossing rate) over a signed-sample sequence."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return 0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    return n, rms, zc
+
+
+def _ffmpeg_pcm(payload: bytes, sample_rate: int):
+    """Decode any audio container to mono s16le PCM via ffmpeg."""
+    import subprocess
+
+    import numpy as np
+
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "s16le", "-ac", "1",
+         "-ar", str(sample_rate), "pipe:1"],
+        input=payload, capture_output=True, check=True,
+    )
+    return np.frombuffer(proc.stdout, dtype=np.int16).astype(np.float64) / 32768.0
+
+
+def audio_features(
+    media: DataFrame, sample_rate: int = 16000, decode_stub: str = "fake"
+) -> DataFrame:
+    """Per-clip audio features (RMS loudness, zero-crossing rate).
+
+    ``decode_stub='ffmpeg'`` (or ``'auto'`` with ffmpeg on PATH)
+    decodes the container to mono PCM; the deterministic ``'fake'``
+    path interprets payload bytes directly as centered 8-bit PCM so
+    the Arrow-batched plumbing and feature math are fully testable
+    without codecs.  Scale: mapInPandas, embarrassingly parallel, no
+    shuffle; feature math is numpy over each batch.
+    """
+    decode_stub = _resolve_stub(
+        decode_stub, allowed=("fake", "error", "ffmpeg", "auto"), auto_real="ffmpeg"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "audio codecs not installed; use decode_stub='fake'"
+                )
+            out = {"media_id": [], "n_samples": [], "duration_s": [],
+                   "rms": [], "zero_crossing_rate": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if decode_stub == "ffmpeg":
+                    samples = _ffmpeg_pcm(raw, sample_rate)
+                else:
+                    samples = [(b - 128) / 128.0 for b in raw]
+                n, rms, zc = _pcm_stats(samples)
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / float(sample_rate))
+                out["rms"].append(rms)
+                out["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)

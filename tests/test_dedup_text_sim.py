@@ -398,3 +398,30 @@ def test_benchmark_contamination_crafted(spark):
     assert got[1]["overlap_ratio"] == pytest.approx(0.5)
     assert got[2]["n_contaminated"] == 0 and got[2]["overlap_ratio"] == 0.0
     assert got[3]["n_grams"] == 0 and got[3]["overlap_ratio"] is None
+
+
+def test_audio_features_fake_pcm_math(spark, docs):
+    # fake path: payload bytes as centered 8-bit PCM; verify the
+    # feature math against a direct numpy computation
+    import numpy as np
+
+    media = M.documents_as_media(docs, "doc_id", "text")
+    feats = {r["media_id"]: r for r in M.audio_features(media, decode_stub="fake").collect()}
+    assert len(feats) == docs.count()
+    text = "the quick brown fox jumps over the lazy dog"
+    x = (np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    r = feats[1]
+    assert r["n_samples"] == len(x)
+    assert r["duration_s"] == pytest.approx(len(x) / 16000.0)
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    assert r["zero_crossing_rate"] == pytest.approx(zc)
+
+
+def test_audio_features_ffmpeg_gated(spark, docs):
+    media = M.documents_as_media(docs, "doc_id", "text")
+    if not M.HAS_FFMPEG:
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            M.audio_features(media, decode_stub="ffmpeg")
+    else:  # pragma: no cover - env dependent
+        M.audio_features(media, decode_stub="auto").collect()
