@@ -146,3 +146,43 @@ def test_zscore_moments(spark, rows):
     var = sum((z - mean) ** 2 for z in vals) / (n - 1)
     assert mean == pytest.approx(0.0, abs=1e-7)
     assert var == pytest.approx(1.0, rel=1e-6)
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=20000),  # second offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=EVENTS)
+@settings(**_SETTINGS)
+def test_sessionize_matches_gap_count(spark, evs):
+    """Per user: #sessions == 1 + #gaps>threshold over the sorted
+    (ts, id) sequence, and session ids are contiguous from 1."""
+    from nt_data_pipelines_spark.operators.sessions import sessionize
+
+    gap = 600
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s), 0.0)
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    got = sessionize(df, "user_id", "ts", "event_id", gap_seconds=gap).collect()
+    by_user = {}
+    for r in sorted(got, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        expected = 1
+        seqs = [rows[0]["session_seq"]]
+        for a, b in zip(rows, rows[1:]):
+            if (b["ts"] - a["ts"]).total_seconds() > gap:
+                expected += 1
+            seqs.append(b["session_seq"])
+        assert seqs == sorted(seqs)  # non-decreasing along time
+        assert max(seqs) == expected
+        assert sorted(set(seqs)) == list(range(1, expected + 1))
