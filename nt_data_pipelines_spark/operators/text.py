@@ -487,3 +487,56 @@ def mix_sources_to_budget(
         .drop("__total")
         .withColumnRenamed("__t", "n_tokens")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query-term set.
+
+    Lucene-style idf = ln((N - df + 0.5)/(df + 0.5) + 1).  Per-term
+    scores are rounded to 6 decimals and summed through DECIMAL so the
+    document total is exact and shuffle-order-independent (float
+    addition is non-associative; a plain double SUM over the matched
+    terms could differ between engines).
+
+    Scale: one (doc, term) count shuffle over terms pre-filtered to
+    the query set (the explode never materializes non-query words),
+    the tiny per-term df and the global (N, total-length) scalars are
+    broadcast back; final per-doc sum shuffles matched rows only.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    ws = words(text_col)
+    docs = df.select(F.col(id_col), ws.alias("__ws")).withColumn(
+        "dl", F.size("__ws").cast("long")
+    )
+    g = docs.agg(
+        F.count(F.lit(1)).alias("N"), F.sum("dl").alias("S")
+    )
+    tf = (
+        docs.select(id_col, "dl", F.explode("__ws").alias("word"))
+        .filter(F.col("word").isin(query_terms))
+        .groupBy(id_col, "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dft"))
+    avgdl = F.col("S").cast("double") / F.col("N")
+    idf = F.log((F.col("N") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1)
+    denom = F.col("tf") + k1 * (1 - b + (F.lit(b) * F.col("dl")) / avgdl)
+    score = F.round(idf * F.col("tf") * (k1 + 1) / denom, 6)
+    return (
+        tf.join(F.broadcast(dft), "word")
+        .crossJoin(F.broadcast(g))
+        .select(id_col, score.alias("__sc"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum(F.col("__sc").cast("decimal(18,6)")).cast("double").alias("bm25"),
+        )
+    )

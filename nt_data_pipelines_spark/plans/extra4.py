@@ -203,3 +203,40 @@ def p_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mixed = mix_sources_to_budget(docs, "source", "doc_id", 1300)
     return mixed.select("doc_id", "source", "n_tokens")
+
+
+@register(
+    "t_bm25_scores",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS S FROM dl),
+    w AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
+    tf AS (
+      SELECT w.doc_id, dl.dl, word, COUNT(*) AS tf
+      FROM w JOIN dl ON w.doc_id = dl.doc_id
+      WHERE word IN ('hash', 'join', 'filter')
+      GROUP BY w.doc_id, dl.dl, word
+    ),
+    dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY word),
+    s AS (
+      SELECT tf.doc_id,
+             ROUND(ln((N - dft + 0.5) / (dft + 0.5) + 1)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / (CAST(S AS DOUBLE) / N))),
+                   6) AS sc
+      FROM tf JOIN dft USING (word) CROSS JOIN g
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+           CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM s GROUP BY doc_id
+    """,
+    doc="Okapi BM25 document scoring for a fixed query (hash, join, "
+    "filter): Lucene idf, per-term scores rounded then decimal-summed "
+    "so the doc total is exact regardless of shuffle order.",
+)
+def t_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", ["hash", "join", "filter"])

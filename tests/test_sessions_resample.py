@@ -165,3 +165,27 @@ def test_mix_sources_budget_branches(spark):
     # deterministic: second run returns the identical id set
     again = mix_sources_to_budget(df, "source", "doc_id", 30).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+
+def test_bm25_single_doc_single_term_closed_form(spark):
+    import math
+
+    from nt_data_pipelines_spark.operators.text import bm25_scores
+
+    # two docs; query term "x" appears twice in doc 1 (dl=4), none in doc 2 (dl=2)
+    df = spark.createDataFrame([(1, "x y x z"), (2, "a b")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bm25_scores(df, "doc_id", ["x"]).collect()}
+    assert set(got) == {1}  # unmatched docs don't appear
+    n, dft, tf, dl, avgdl, k1, b = 2, 1, 2, 4, 3.0, 1.2, 0.75
+    idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1)
+    expect = round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+    assert got[1]["bm25"] == pytest.approx(expect)
+    assert got[1]["n_matched_terms"] == 1
+
+
+def test_bm25_rejects_empty_query(spark):
+    from nt_data_pipelines_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(df, "doc_id", [])

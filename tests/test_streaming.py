@@ -276,3 +276,49 @@ def test_streaming_dedup_converges_to_batch_result(spark, tmp_path):
         (r["text_hash"], r["survivor_id"]) for r in cat.table("doc_dedup").collect()
     }
     assert got2 == want
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """The native session_window stream and the batch lag-gap cumsum
+    agree on the session partition (per-user event-count multisets)
+    for gaps away from the exact boundary (the half-open window edge
+    is the one definitional difference)."""
+    from nt_data_pipelines_spark.operators.sessions import session_stats
+
+    src = str(tmp_path / "parity_events")
+    base = dt.datetime(2024, 1, 1, 6)
+    rows = []
+    eid = 0
+    # deterministic pseudo-random gaps: minutes in a pattern that
+    # crosses the 30-min threshold at varied points, never exactly
+    offs = [0, 7, 13, 55, 61, 64, 130, 131, 205, 290, 291, 299]
+    for u in range(3):
+        for i, m in enumerate(offs):
+            if (u + i) % 4 == 0 and i:  # vary per user
+                continue
+            rows.append((eid, base + dt.timedelta(minutes=m, seconds=u), u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {}
+    for r in spark.sql("select user_id, n_events from sess_parity").collect():
+        streamed.setdefault(r["user_id"], []).append(r["n_events"])
+
+    batch_df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    batch = {}
+    for r in session_stats(batch_df, "user_id", "ts", "event_id", "value", 1800).collect():
+        batch.setdefault(r["user_id"], []).append(r["n_events"])
+
+    assert {u: sorted(v) for u, v in streamed.items()} == {
+        u: sorted(v) for u, v in batch.items()
+    }
