@@ -240,3 +240,78 @@ def t_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", ["hash", "join", "filter"])
+
+
+@register(
+    "a_value_histogram",
+    oracle="""
+    WITH g AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin
+      FROM events CROSS JOIN g
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+    doc="Fixed-width 20-bin histogram of event values: global min/max "
+    "scalars broadcast back, bin arithmetic identical double ops on "
+    "both engines (explicit FLOOR + clamp for the max edge).",
+)
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / 20
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / step).cast("long"), F.lit(19).cast("long")
+    )
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "t_bm25_topk",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS S FROM dl),
+    w AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
+    tf AS (
+      SELECT w.doc_id, dl.dl, word, COUNT(*) AS tf
+      FROM w JOIN dl ON w.doc_id = dl.doc_id
+      WHERE word IN ('hash', 'join', 'filter')
+      GROUP BY w.doc_id, dl.dl, word
+    ),
+    dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY word),
+    s AS (
+      SELECT tf.doc_id,
+             ROUND(ln((N - dft + 0.5) / (dft + 0.5) + 1)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + (0.75 * dl) / (CAST(S AS DOUBLE) / N))),
+                   6) AS sc
+      FROM tf JOIN dft USING (word) CROSS JOIN g
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM tot
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Top-10 retrieval by BM25: safe cross-engine because scores "
+    "are rounded-then-decimal-summed (bit-identical doubles) and the "
+    "order is total (doc_id tiebreak).",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bm25_scores(docs, "doc_id", ["hash", "join", "filter"])
+    return (
+        scores.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
