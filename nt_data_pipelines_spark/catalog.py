@@ -417,8 +417,14 @@ class Catalog:
         fs, _ = self._hfs(self.root)
         jvm = self.spark._jvm
         self._fs_delete(self._path(name))  # the pre-manifest plain dir
+        # Compare generation-dir BASENAMES, never path strings: on
+        # s3a:// / hdfs:// roots the status URI ("/bucket/tbl.g3") can
+        # never equal os.path.abspath of the URI string, and a string
+        # compare would GC every generation including the one just
+        # committed. The basename ("tbl.g3") is scheme-independent.
+        keep = os.path.basename(new_dir)
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
-            if st.getPath().toUri().getPath() != os.path.abspath(new_dir):
+            if st.getPath().getName() != keep:
                 fs.delete(st.getPath(), True)
         self._refresh(name)
 

@@ -253,3 +253,30 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
     got = sorted((r["ticker"], r["close"]) for r in reader.table("m").collect())
     assert got == [("A", 4.0), ("B", 5.0)]
     assert not os.path.exists(os.path.join(mroot, "m.g0"))
+
+def test_manifest_gc_spares_committed_gen_on_uri_root(spark, tmp_path):
+    """Regression: the generation GC must compare scheme-independent
+    basenames, not path strings. With a ``file://`` URI root the
+    Hadoop status path ("/.../m.g0") never string-equals
+    ``os.path.abspath`` of the URI, and the former comparison deleted
+    EVERY generation — including the one just committed — right after
+    a successful commit (the exact failure mode an s3a:// root hits)."""
+    import os
+
+    local_root = str(tmp_path / "urilake")
+    cat = Catalog(spark, "file://" + local_root, commit_mode="manifest")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 5.0)]))
+    cat.insert("m", _rows(spark, [("A", D1, 2.0)]))  # dup PK -> rewrite
+    cat.optimize("m")  # commits g0; buggy GC would delete m.g0 here
+    assert os.path.exists(os.path.join(local_root, "m.g0"))
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 2.0), ("B", 5.0)]
+
+    # a second rewrite GCs only the superseded generation
+    cat.insert("m", _rows(spark, [("B", D2, 6.0)]))
+    cat.optimize("m")
+    assert os.path.exists(os.path.join(local_root, "m.g1"))
+    assert not os.path.exists(os.path.join(local_root, "m.g0"))
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
+    assert got == [("A", 2.0), ("B", 6.0)]
