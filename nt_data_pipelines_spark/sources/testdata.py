@@ -31,10 +31,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one testdata table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; read it as a nanosecond long (legacy conf) and floor-divide
-    to microseconds — exactly how DuckDB coerces nanos to its
-    microsecond timestamps, so oracle comparisons stay bit-equal.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark's reader rejects — read as a nanosecond long via the legacy
+    conf and floor-divide to microseconds, exactly how DuckDB coerces
+    nanos) and plain TIMESTAMP(MICROS); dispatch on the type the scan
+    actually reports so either vintage of the testdata loads, and
+    normalize to timestamp_ntz under the UTC session either way.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
@@ -50,14 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(path)
-        # ltz -> ntz under the UTC session: ts becomes a timezone-
-        # independent wall-clock value, like every other table's
-        # parquet timestamps (which Spark reads as timestamp_ntz).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) vintage, surfaced as long by the conf.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif isinstance(ts_type, T.TimestampType):
+            # ltz -> ntz under the UTC session: ts becomes a timezone-
+            # independent wall-clock value, like every other table's
+            # parquet timestamps (which Spark reads as timestamp_ntz).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # TimestampNTZType needs no normalization.
     else:
         df = spark.read.parquet(path)
     _SCAN_CACHE[key] = df
