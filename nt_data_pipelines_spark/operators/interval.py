@@ -19,8 +19,9 @@ point (the interval overlaps that bucket by construction), so recall
 is exact; because a point has one bucket, no pair appears twice and
 no distinct is needed. Bucket size trades shuffle width (smaller ->
 more interval clones) against candidate precision (bigger -> more
-false candidates filtered in step 4); a good default is the median
-interval length.
+false candidates filtered in step 4); ``'auto'`` sizes it from the
+p99 interval length so the long tail of a skewed distribution still
+fans out to only ~1-2 buckets.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     by: str | list[str] | None = None,
-    bucket_seconds: int | None = None,
+    bucket_seconds: int | str | None = 3600,
     how: str = "inner",
     point_id: str | None = None,
     max_fanout: int = 4096,
@@ -49,11 +50,14 @@ def interval_join(
     null interval columns and needs ``point_id`` — a unique point key
     for the anti-join that recovers them.
 
-    ``bucket_seconds=None`` (default) auto-sizes from the data: one
-    cheap pre-pass takes the approximate median interval length, the
-    sweet spot between interval clone fan-out (bucket too small) and
-    false candidates (bucket too big). Pass an explicit value to skip
-    the pre-pass in latency-critical paths.
+    ``bucket_seconds`` defaults to a fixed 3600 — no pre-pass, stable
+    latency, and long intervals merely fan out more instead of
+    erroring. Pass ``'auto'`` (or ``None``) to size the bucket from
+    one cheap pre-pass over the data: the approximate p99 interval
+    length, floored so the single longest interval spans at most
+    ``max_fanout/2`` buckets — a skewed length distribution can
+    therefore never trip the guard (median-based sizing did exactly
+    that on skewed data).
 
     Invalid intervals (``end < start``) contain no point by definition
     and are dropped before bucketing — otherwise Spark's ``sequence``
@@ -68,12 +72,22 @@ def interval_join(
         raise ValueError("how='left' needs point_id (a unique point key)")
     keys = [by] if isinstance(by, str) else list(by or [])
     intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
-    if bucket_seconds is None:
+    if bucket_seconds is None or bucket_seconds == "auto":
         length_us = F.unix_micros(F.col(end_col).cast("timestamp_ltz")) - F.unix_micros(
             F.col(start_col).cast("timestamp_ltz")
         )
-        med = intervals.select(F.percentile_approx(length_us, F.lit(0.5))).first()[0]
-        bucket_seconds = max(1, round((med or 3600 * 1_000_000) / 1_000_000))
+        stats = intervals.select(
+            F.percentile_approx(length_us, F.lit(0.99)).alias("p99"),
+            F.max(length_us).alias("mx"),
+        ).first()
+        p99 = stats["p99"] or 3600 * 1_000_000
+        # Floor the bucket so even the single LONGEST interval spans at
+        # most max_fanout/2 buckets — a p99 alone still trips the guard
+        # when the outlier is rarer than 1-in-100.
+        floor_us = (stats["mx"] or p99) / max(1, max_fanout // 2)
+        bucket_seconds = max(1, round(max(p99, floor_us) / 1_000_000))
+    elif not isinstance(bucket_seconds, int):
+        raise ValueError(f"bucket_seconds must be an int, None, or 'auto'; got {bucket_seconds!r}")
     b = F.lit(int(bucket_seconds) * 1_000_000)
 
     def to_bucket(c):

@@ -76,9 +76,14 @@ def test_interval_join_by_key_and_bucket_sizes(spark, data):
 
 def test_interval_join_auto_bucket_and_guards(spark, data):
     points, intervals = data
-    # auto-sized bucket (median interval length) gives the exact result
-    auto = interval_join(points, intervals, "ts", "start_ts", "end_ts")
+    # default is the fixed 1h bucket (no pre-pass); 'auto' opts into
+    # p99 sizing — both give the exact result
+    default = interval_join(points, intervals, "ts", "start_ts", "end_ts")
+    assert {(r["pid"], r["iid"]) for r in default.collect()} == _naive(points, intervals)
+    auto = interval_join(points, intervals, "ts", "start_ts", "end_ts", bucket_seconds="auto")
     assert {(r["pid"], r["iid"]) for r in auto.collect()} == _naive(points, intervals)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=1.5)
     # invalid intervals (end < start) are dropped, not silently bucketed
     bad = intervals.union(
         spark.createDataFrame([(999, _ts(50), _ts(10), "u1")], intervals.schema)
@@ -93,6 +98,25 @@ def test_interval_join_auto_bucket_and_guards(spark, data):
             points, intervals, "ts", "start_ts", "end_ts",
             bucket_seconds=1, max_fanout=100,
         ).collect()
+
+
+def test_interval_join_auto_survives_skewed_lengths(spark):
+    """p99 auto-sizing: a length distribution with a huge outlier must
+    not trip max_fanout (median sizing did — a 30-day interval over a
+    60 s median bucket spans 43200 buckets > 4096)."""
+    points = spark.createDataFrame(
+        [(0, _ts(5)), (1, _ts(60 * 24 * 15))], "pid long, ts timestamp"
+    )
+    short = [(i, _ts(i), _ts(i + 1)) for i in range(99)]  # 60 s each
+    long_iv = [(999, _ts(0), _ts(60 * 24 * 30))]  # 30 days
+    intervals = spark.createDataFrame(
+        short + long_iv, "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    got = interval_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket_seconds="auto"
+    )
+    pairs = {(r["pid"], r["iid"]) for r in got.collect()}
+    assert (1, 999) in pairs and (0, 999) in pairs and (0, 5) in pairs
 
 
 def test_interval_join_left_keeps_unmatched_points(spark, data):
