@@ -67,22 +67,34 @@ def _ffmpeg_keyframes(payload: bytes, max_frames: int) -> list[bytes]:
     """Real keyframe sampling: pipe the payload through ffmpeg, keep
     only keyframes, emit each as a PNG byte string. Only reachable
     when ffmpeg is on PATH (HAS_FFMPEG)."""
+    import os
     import subprocess
     import tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".media") as f:
-        f.write(payload)
-        f.flush()
-        out = subprocess.run(
+    # One numbered PNG per keyframe (-f image2 to a temp dir), read
+    # back in index order. Never split the concatenated image2pipe
+    # stream on the PNG signature: those 8 bytes can legally occur
+    # inside compressed IDAT data, silently tearing a frame into
+    # corrupt fragments.
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.media")
+        with open(src, "wb") as f:
+            f.write(payload)
+        subprocess.run(
             [
-                "ffmpeg", "-v", "error", "-skip_frame", "nokey", "-i", f.name,
-                "-frames:v", str(max_frames), "-f", "image2pipe", "-vcodec", "png", "-",
+                "ffmpeg", "-v", "error", "-skip_frame", "nokey", "-i", src,
+                "-frames:v", str(max_frames), "-f", "image2", "-vcodec", "png",
+                os.path.join(d, "kf%06d.png"),
             ],
             capture_output=True,
             check=True,
-        ).stdout
-    sig = b"\x89PNG\r\n\x1a\n"
-    return [sig + p for p in out.split(sig) if p]
+        )
+        frames = []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("kf") and name.endswith(".png"):
+                with open(os.path.join(d, name), "rb") as f:
+                    frames.append(f.read())
+        return frames
 
 MEDIA_SCHEMA = T.StructType(
     [
