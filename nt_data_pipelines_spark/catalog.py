@@ -274,6 +274,34 @@ class Catalog:
         self.insert(name, df, mode="append")
         self.optimize(name)
 
+    def rewrite(self, name: str, build) -> None:
+        """Transactionally replace a table with ``build(df)``.
+
+        ``build`` receives the current full table (ingest bookkeeping
+        included) and returns the rows to keep/transform; the result is
+        committed through the same crash-safe rewrite path as
+        ``optimize`` (rename-aside or manifest, per ``commit_mode``).
+        The transform must preserve the table's schema — deletes are
+        filters/anti-joins, so this is the row-level DELETE primitive.
+        """
+        full = self._raw_table(name)
+        out = build(full)
+        if set(out.columns) != set(full.columns):
+            raise ValueError(
+                f"rewrite must preserve the schema of {name!r}: "
+                f"got {sorted(out.columns)}, want {sorted(full.columns)}"
+            )
+        self._rewrite_table(name, out.select(*full.columns))
+
+    def delete_matching(self, name: str, keys: DataFrame, on: str | list[str]) -> None:
+        """Delete every row whose ``on`` columns match a row in ``keys``.
+
+        A distributed left-anti join — never collects the key set to
+        the driver — committed atomically via :meth:`rewrite`.
+        """
+        cols = [on] if isinstance(on, str) else list(on)
+        self.rewrite(name, lambda df: df.join(keys.select(*cols), cols, "left_anti"))
+
     # ---- optimize (PK dedup, last write wins) ----
     def optimize(self, name: str) -> None:
         meta = self._meta(name)

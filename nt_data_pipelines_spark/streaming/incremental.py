@@ -204,6 +204,16 @@ def minhash_foreach_batch(
     pairs (:func:`streaming_dup_groups`) matches the batch run — a
     near-duplicate arriving days later lands in its group.
 
+    Mutated documents are handled, not just appends: when a re-
+    delivered ``doc_id`` arrives with DIFFERENT text, its old
+    signature's candidate pairs are stale. The sink detects signature
+    changes against the pre-upsert state and retracts every pair
+    touching a changed doc (distributed anti-join delete) before
+    joining the new signatures — so ``streaming_dup_groups`` matches a
+    from-scratch batch run over the latest version of every document.
+    A replayed batch re-delivers the SAME text, sees no signature
+    change, and retracts nothing — idempotence is preserved.
+
     Create the state tables as::
 
         catalog.create(sig_table, MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
@@ -216,6 +226,26 @@ def minhash_foreach_batch(
             batch_df.filter(F.col(text_col).isNotNull()),
             id_col, text_col, num_hashes, bands,
         ).select(F.col(id_col).cast("long").alias("doc_id"), "band", "band_hash")
+        # Retraction pass: docs whose signature CHANGED vs the stored
+        # state carry stale pairs computed from their old content.
+        prev = catalog.table(sig_table)
+        changed = (
+            bands_long.alias("n")
+            .join(prev.alias("o"), ["doc_id", "band"])
+            .filter(F.col("n.band_hash") != F.col("o.band_hash"))
+            .select("doc_id")
+            .distinct()
+        )
+        changed = changed.localCheckpoint(eager=True)  # pin pre-upsert view
+        if changed.limit(1).count():
+            catalog.rewrite(
+                pairs_table,
+                lambda df: df.join(
+                    changed.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+                ).join(
+                    changed.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+                ),
+            )
         catalog.upsert(sig_table, bands_long)
         state = catalog.table(sig_table)
         a = bands_long.select(F.col("doc_id").alias("__a"), "band", "band_hash")

@@ -280,3 +280,16 @@ def test_manifest_gc_spares_committed_gen_on_uri_root(spark, tmp_path):
     assert not os.path.exists(os.path.join(local_root, "m.g0"))
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 2.0), ("B", 6.0)]
+
+def test_rewrite_and_delete_matching(cat, spark):
+    """rewrite = transactional transform; delete_matching = distributed
+    anti-join row delete. Both commit through the crash-safe path."""
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0), ("B", D1, 2.0), ("C", D2, 3.0)]))
+    keys = spark.createDataFrame([("A",), ("C",)], "ticker string")
+    cat.delete_matching("px", keys, on="ticker")
+    assert [(r["ticker"], r["close"]) for r in cat.table("px").collect()] == [("B", 2.0)]
+    cat.rewrite("px", lambda df: df.withColumn("close", F.col("close") * 10))
+    assert [r["close"] for r in cat.table("px").collect()] == [20.0]
+    with pytest.raises(ValueError, match="preserve the schema"):
+        cat.rewrite("px", lambda df: df.drop("close"))

@@ -234,6 +234,60 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()} == want_pairs
 
 
+def test_streaming_near_dup_retracts_mutated_doc(spark, tmp_path):
+    """A doc_id re-delivered with CHANGED text must not leave stale
+    candidate pairs behind: the sink retracts pairs computed from the
+    old signature, so streaming groups equal a from-scratch batch run
+    over the LATEST version of every document."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        resolve_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming import minhash_foreach_batch, streaming_dup_groups
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    text_a = "the quick brown fox jumps over the lazy dog"
+    text_b = "completely different words entirely here"
+    b1 = [(1, text_a), (2, text_b), (3, "lazy dog the quick brown fox jumps over")]
+    b2 = [(3, "words completely entirely different here")]  # 3 mutates: now near 2
+
+    cat = Catalog(spark, str(tmp_path / "mut_lake"))
+    cat.create("mh_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("mh_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    sink = minhash_foreach_batch(cat, "mh_sigs", "mh_pairs")
+    sink(spark.createDataFrame(b1, doc_schema), epoch_id=0)
+    assert (1, 3) in {
+        (r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()
+    }
+    sink(spark.createDataFrame(b2, doc_schema), epoch_id=1)
+
+    latest = spark.createDataFrame([(1, text_a), (2, text_b)] + b2, doc_schema)
+    want_pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(latest, "doc_id").collect()
+    }
+    got_pairs = {(r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()}
+    assert got_pairs == want_pairs          # stale (1,3) retracted...
+    assert (2, 3) in got_pairs              # ...new-content pair present
+    want_groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in resolve_dup_groups(minhash_lsh_candidates(latest, "doc_id")).collect()
+    }
+    got_groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in streaming_dup_groups(cat, "mh_pairs").collect()
+    }
+    assert got_groups == want_groups
+    # replaying the mutation batch is a no-op (same text -> no change)
+    sink(spark.createDataFrame(b2, doc_schema), epoch_id=2)
+    assert {(r["id_a"], r["id_b"]) for r in cat.table("mh_pairs").collect()} == want_pairs
+
+
 def test_streaming_dedup_converges_to_batch_result(spark, tmp_path):
     """Overlapping document batches through the dedup sink converge to
     the batch exact_dedup survivor set — including on batch REPLAY."""
