@@ -295,3 +295,123 @@ def rolling_median(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(kernel, out_schema)
+
+
+def forward_returns(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    horizons: Sequence[int] = (1, 5),
+    prefix: str = "fwd_ret_",
+) -> DataFrame:
+    """Multi-horizon forward returns: lead(x, h)/x - 1 per key.
+
+    The label-generation twin of :func:`pct_change` (reference
+    returns_flow.py:13-24 looks backward; training pipelines need the
+    forward shift for supervised targets). All horizons share ONE
+    window spec, so Catalyst evaluates them in a single sort/exchange
+    — adding a horizon adds no shuffle. Tail rows (fewer than h rows
+    ahead) are null, as pandas' shift(-h) would produce.
+    """
+    w = keyed_window(partition_by, order_by)
+    out = df
+    for h in horizons:
+        out = out.withColumn(
+            f"{prefix}{h}", F.lead(F.col(value_col), h).over(w) / F.col(value_col) - 1
+        )
+    return out
+
+
+def drawdown(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "drawdown",
+    peak_col: str = "running_peak",
+) -> DataFrame:
+    """Running peak and drawdown (x/cummax(x) - 1) per key.
+
+    One cumulative window (unbounded preceding), no extra shuffle
+    beyond the key partition. Division is IEEE-deterministic, so the
+    oracle needs no rounding.
+    """
+    w = keyed_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max(F.col(value_col)).over(w)
+    return df.withColumn(peak_col, peak).withColumn(
+        out_col, F.col(value_col) / F.col(peak_col) - 1
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Gap-fill: carry the last non-null observation forward per key.
+
+    ``last(x, ignorenulls=True)`` over an unbounded-preceding row
+    frame — the standard Spark forward-fill, one window over the key
+    partition (reference upsamples calendars then fills; same shape).
+    Leading nulls (no prior observation) stay null.
+    """
+    w = keyed_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.last(F.col(value_col), ignorenulls=True).over(w)
+    return df.withColumn(out_col or value_col, filled)
+
+
+def xsec_rank(
+    df: DataFrame,
+    group_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    rank_col: str = "rank",
+    ntile_col: str | None = "decile",
+    buckets: int = 10,
+) -> DataFrame:
+    """Cross-sectional rank (and quantile bucket) within each group.
+
+    The per-date signal-ranking primitive: rank of each security's
+    value across the date's cross-section, plus the ntile bucket
+    portfolio construction sorts into. One shuffle on the group key;
+    both functions share the window. ``order_by`` should end with a
+    unique tiebreak column so ranks are deterministic.
+    """
+    w = Window.partitionBy(*_cols(group_by)).orderBy(*_cols(order_by))
+    out = df.withColumn(rank_col, F.rank().over(w))
+    if ntile_col:
+        out = out.withColumn(ntile_col, F.ntile(buckets).over(w))
+    return out
+
+
+def winsorize(
+    df: DataFrame,
+    group_by: Sequence[str] | str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip values to per-group exact percentile bounds.
+
+    Two-pass shape: a grouped exact-percentile aggregate (map-side
+    partial, one shuffle on the group key) produces one tiny bounds
+    row per group, broadcast back onto the rows — the fact table is
+    never re-shuffled. The cross-sectional outlier-clipping primitive
+    quant pipelines run per date before z-scoring; group cardinality
+    is dates, so the broadcast side stays driver-small even at 100 TB
+    of rows.
+    """
+    keys = _cols(group_by)
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(upper)).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(out_col or value_col, clipped)
+        .drop("__lo", "__hi")
+    )

@@ -1,0 +1,143 @@
+"""Cross-sectional / labeling window queries (round-4 additions).
+
+The quant primitives the reference's flows compose around but never
+name as operators: cross-sectional ranking into quantile portfolios,
+forward-return label generation, drawdown tracking, gap-fill, and
+per-date winsorization. All run on the ``events`` stand-in series
+(user_id <-> ticker, ts <-> time, value <-> price/signal; FIXTURES.md)
+and follow the engine-parity rules in :mod:`plans.registry`.
+
+Scale shapes: every query here is one shuffle on its key (user or
+day); winsorize adds a tiny per-day bounds aggregate broadcast back,
+so the fact table shuffles at most once in each plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import windows as W
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+
+@register(
+    "w_xsec_rank",
+    oracle="""
+    SELECT event_id, CAST(ts AS DATE) AS d, value,
+           RANK() OVER w AS rnk,
+           NTILE(10) OVER w AS decile
+    FROM events
+    WINDOW w AS (PARTITION BY CAST(ts AS DATE) ORDER BY value, event_id)
+    """,
+    doc="Cross-sectional rank + decile bucket within each day "
+    "(the signal-ranking step ahead of portfolio construction).",
+)
+def w_xsec_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.withColumn("d", F.col("ts").cast("date"))
+    ranked = W.xsec_rank(
+        day, "d", ["value", "event_id"], rank_col="rnk", ntile_col="decile", buckets=10
+    )
+    # rank/ntile are int32 in Spark, int64 in the oracle engine
+    return ranked.select(
+        "event_id", "d", "value",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("decile").cast("long").alias("decile"),
+    )
+
+
+@register(
+    "w_forward_returns",
+    oracle="""
+    SELECT user_id, ts, value,
+           LEAD(NULLIF(value, 0), 1) OVER w / NULLIF(value, 0) - 1 AS fwd_ret_1,
+           LEAD(NULLIF(value, 0), 5) OVER w / NULLIF(value, 0) - 1 AS fwd_ret_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Multi-horizon forward returns (supervised-label twin of W1 "
+    "pct_change); one shared window. Zero observations are treated as "
+    "missing on both engines, so no inf/NULL divergence can appear.",
+)
+def w_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    guarded = ev.withColumn("__base", F.nullif(F.col("value"), F.lit(0)))
+    out = W.forward_returns(
+        guarded, "user_id", ["ts", "event_id"], "__base", horizons=(1, 5)
+    )
+    return out.select("user_id", "ts", "value", "fwd_ret_1", "fwd_ret_5")
+
+
+@register(
+    "w_drawdown",
+    oracle="""
+    SELECT user_id, ts, value,
+           MAX(value) OVER w AS running_peak,
+           value / NULLIF(MAX(value) OVER w, 0) - 1 AS dd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Running peak + drawdown per key (risk-tracking primitive); "
+    "cumulative max window, IEEE division, zero-peak guarded.",
+)
+def w_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.drawdown(ev, "user_id", ["ts", "event_id"], "value", out_col="__dd_raw")
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        "running_peak",
+        (F.col("value") / F.nullif(F.col("running_peak"), F.lit(0)) - 1).alias("dd"),
+    )
+
+
+@register(
+    "w_gap_fill",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           LAST_VALUE(gapped IGNORE NULLS) OVER w AS filled
+    FROM (SELECT user_id, ts, event_id,
+                 CASE WHEN event_id % 7 <> 0 THEN value END AS gapped
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Forward-fill after deterministic gap injection (every 7th "
+    "event nulled): last non-null observation carried forward per key "
+    "— the calendar-upsample fill shape.",
+)
+def w_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gapped = ev.withColumn(
+        "gapped", F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    )
+    filled = W.forward_fill(
+        gapped, "user_id", ["ts", "event_id"], "gapped", out_col="filled"
+    )
+    return filled.select("user_id", "ts", "event_id", "filled")
+
+
+@register(
+    "p_winsorize",
+    oracle="""
+    SELECT e.event_id, e.d, ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) + 0.0 AS wvalue
+    FROM (SELECT event_id, CAST(ts AS DATE) AS d, value FROM events) e
+    JOIN (SELECT CAST(ts AS DATE) AS d,
+                 PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+                 PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value) AS hi
+          FROM events GROUP BY 1) b USING (d)
+    """,
+    doc="Per-day winsorization at exact p05/p95 (outlier clip before "
+    "z-scoring). Spark side: grouped exact percentile broadcast back; "
+    "bounds rounded jointly with the clip (engine-parity rule 2).",
+)
+def p_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.col("ts").cast("date"))
+    out = W.winsorize(ev, "d", "value", lower=0.05, upper=0.95, out_col="__w")
+    return out.select(
+        "event_id", "d", (F.round(F.col("__w"), 6) + F.lit(0.0)).alias("wvalue")
+    )

@@ -93,6 +93,12 @@ DRIVER_PRIORITY: list[str] = [
     "t_bm25_scores",
     "a_value_histogram",
     "t_bm25_topk",
+    # round-4 additions (plans/quant.py):
+    "w_xsec_rank",
+    "w_forward_returns",
+    "w_drawdown",
+    "w_gap_fill",
+    "p_winsorize",
     # one representative per operator class from the 50 already
     # driver-green in CORRECTNESS_r02/r03 (regression canaries):
     "a1_pricing_summary",

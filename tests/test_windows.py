@@ -144,3 +144,79 @@ def test_rolling_median_grouped_matches_sort_and_pandas(spark):
             assert g == pytest.approx(r.med)
             n_real += 1
     assert n_real > 0  # the golden actually exercised full windows
+
+
+def test_forward_returns_multi_horizon(series):
+    got = {
+        (r["k"], r["t"]): (r["fwd_ret_1"], r["fwd_ret_2"])
+        for r in W.forward_returns(
+            series, "k", "t", "x", horizons=(1, 2)
+        ).collect()
+    }
+    # key a: x = 10,11,12,13,14
+    assert got[("a", 0)][0] == pytest.approx(11 / 10 - 1)
+    assert got[("a", 0)][1] == pytest.approx(12 / 10 - 1)
+    assert got[("a", 4)] == (None, None)  # tail has no future rows
+    assert got[("a", 3)][1] is None  # only 1 row ahead, horizon 2 null
+    # key b never sees key a's rows
+    assert got[("b", 0)][0] == pytest.approx(102 / 100 - 1)
+
+
+def test_drawdown_running_peak(spark):
+    rows = [("a", 0, 10.0), ("a", 1, 15.0), ("a", 2, 12.0), ("a", 3, 9.0), ("a", 4, 20.0)]
+    got = {
+        r["t"]: (r["running_peak"], r["drawdown"])
+        for r in W.drawdown(
+            spark.createDataFrame(rows, ["k", "t", "x"]), "k", "t", "x"
+        ).collect()
+    }
+    assert got[0] == (10.0, 0.0)
+    assert got[1] == (15.0, 0.0)
+    assert got[2][0] == 15.0 and got[2][1] == pytest.approx(12 / 15 - 1)
+    assert got[3][1] == pytest.approx(9 / 15 - 1)
+    assert got[4] == (20.0, 0.0)  # new peak resets drawdown
+
+
+def test_forward_fill_carries_last_observation(spark):
+    rows = [("a", 0, None), ("a", 1, 5.0), ("a", 2, None), ("a", 3, None),
+            ("a", 4, 7.0), ("b", 0, None)]
+    got = {
+        (r["k"], r["t"]): r["filled"]
+        for r in W.forward_fill(
+            spark.createDataFrame(rows, "k string, t long, x double"),
+            "k", "t", "x", out_col="filled",
+        ).collect()
+    }
+    assert got[("a", 0)] is None          # leading null stays null
+    assert got[("a", 2)] == 5.0 and got[("a", 3)] == 5.0
+    assert got[("a", 4)] == 7.0
+    assert got[("b", 0)] is None          # fills never cross keys
+
+
+def test_xsec_rank_and_buckets(spark):
+    rows = [("d1", i, float(100 - i)) for i in range(6)]
+    out = W.xsec_rank(
+        spark.createDataFrame(rows, ["d", "i", "x"]), "d", ["x", "i"],
+        rank_col="r", ntile_col="q", buckets=3,
+    )
+    got = {r["i"]: (r["r"], r["q"]) for r in out.collect()}
+    # smallest x (i=5) ranks first; 6 rows into 3 buckets = 2 each
+    assert got[5] == (1, 1) and got[4] == (2, 1)
+    assert got[1] == (5, 3) and got[0] == (6, 3)
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100 in one group
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    out = W.winsorize(
+        spark.createDataFrame(rows, ["g", "i", "x"]), "g", "x",
+        lower=0.10, upper=0.90, out_col="w",
+    )
+    got = sorted(r["w"] for r in out.collect())
+    lo, hi = np.percentile(vals, 10), np.percentile(vals, 90)
+    assert got[0] == pytest.approx(lo) and got[-1] == pytest.approx(hi)
+    assert min(vals) < lo  # the clip actually engaged
+    inner = [v for v in vals if lo <= v <= hi]
+    assert set(inner) <= set(got)  # untouched interior values survive
