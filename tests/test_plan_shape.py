@@ -107,3 +107,26 @@ def test_ohlc_single_shuffle_single_sort(spark):
     plan = _explain(spark, "w_ohlc_resample")
     assert _op_count(plan, "Exchange") == 1
     assert len(re.findall(r"^\(\d+\) Sort", plan, flags=re.M)) == 1
+
+
+def test_xsec_rank_single_shuffle(spark):
+    # rank + ntile share one window: exactly one exchange on the day key
+    plan = _explain(spark, "w_xsec_rank")
+    assert _op_count(plan, "Exchange") == 1
+    assert _op_count(plan, "Window") == 1
+
+
+def test_forward_returns_share_one_window_sort(spark):
+    # both horizons evaluate in a single Window over one exchange+sort
+    plan = _explain(spark, "w_forward_returns")
+    assert _op_count(plan, "Exchange") == 1
+    assert _op_count(plan, "Window") == 1
+    assert _op_count(plan, "Sort") == 1
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    # per-day bounds join back by broadcast — the fact table must not
+    # shuffle for the join (one exchange total: the bounds aggregate)
+    plan = _explain(spark, "p_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
