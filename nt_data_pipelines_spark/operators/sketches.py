@@ -1,0 +1,84 @@
+"""Approximate sketches: the sub-linear tier for 100 TB profiling.
+
+Exact distinct counts and exact quantiles are full-shuffle operations
+(`a4_distinct`, `a_exact_quantiles` are the oracle-paired exact
+tiers). At corpus scale the first question — how many distinct users/
+documents/keys, what does the value distribution look like — must be
+answerable WITHOUT shuffling the corpus: HyperLogLog++ and the
+Greenwald-Khanna quantile sketch aggregate in one map-side pass with
+bounded per-partition state that merges associatively.
+
+Sketch outputs are engine- and partitioning-dependent, so these are
+deliberately NOT oracle-paired registry queries; tests bound their
+error against the exact tier (HLL++ rsd default 5%, GK within the
+requested relative rank error).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct(
+    df: DataFrame,
+    group_by: Sequence[str] | str | None,
+    cols: Sequence[str] | str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct cardinality, optionally per group.
+
+    One aggregation, map-side partial: every partition folds its rows
+    into a fixed-size HLL register set and only the registers shuffle
+    — cost is O(groups x register_bytes), independent of row count.
+    ``rsd`` is the target relative standard deviation (Spark default
+    0.05 ≈ 1.6 KB of registers per group).
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"approx_distinct_{c}") for c in cols
+    ]
+    if group_by is None:
+        return df.agg(*aggs)
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_by: Sequence[str] | str | None,
+    value_col: str | Column,
+    probabilities: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+    out_col: str = "quantiles",
+) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles, optionally per group.
+
+    ``accuracy`` bounds the relative rank error at 1/accuracy; the
+    per-partition summary is O(accuracy) regardless of row count, so
+    the shuffle moves summaries, never values. The exact path
+    (`F.percentile`) is the verify tier at test scale.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    agg = F.percentile_approx(
+        c, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    ).alias(out_col)
+    if group_by is None:
+        return df.agg(agg)
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    return df.groupBy(*keys).agg(agg)
+
+
+def distinct_sketch_error(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """Side-by-side exact vs HLL++ count with the realized error —
+    the profiling query a user runs once to pick an rsd."""
+    return df.agg(
+        F.countDistinct(col).alias("exact"),
+        F.approx_count_distinct(col, rsd=rsd).alias("approx"),
+    ).select(
+        "exact",
+        "approx",
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")).alias("rel_error"),
+    )

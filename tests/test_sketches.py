@@ -1,0 +1,56 @@
+"""Sketch tier: error bounds vs the exact tier, map-side partial plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    distinct_sketch_error,
+)
+
+
+def _events(spark):
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    return load_table(spark, "/root/testdata/sf0.01", "events")
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = _events(spark)
+    row = distinct_sketch_error(ev, "user_id", rsd=0.05).first()
+    assert row["rel_error"] <= 3 * 0.05  # 3 sigma of the target rsd
+    grouped = approx_distinct(ev, "event_type", "user_id").collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in grouped:
+        got, want = r["approx_distinct_user_id"], exact[r["event_type"]]
+        assert abs(got - want) / want <= 0.15
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    ev = _events(spark)
+    approx = approx_quantiles(ev, None, "value", (0.5,), accuracy=10_000).first()[
+        "quantiles"
+    ][0]
+    exact = ev.agg(F.percentile("value", F.lit(0.5)).alias("m")).first()["m"]
+    spread = (
+        ev.agg((F.max("value") - F.min("value")).alias("s")).first()["s"]
+    )
+    assert abs(approx - exact) <= 0.01 * spread  # tight at 1/accuracy rank error
+
+
+def test_sketch_agg_is_partial(spark):
+    # the plan must show a partial aggregate before the exchange —
+    # registers shuffle, rows don't
+    plan = (
+        approx_distinct(_events(spark), "event_type", "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # tree prints top-down: final agg, then the exchange, then the
+    # map-side partial agg underneath it
+    assert plan.count("HashAggregate") >= 2
+    assert plan.index("HashAggregate") < plan.index("Exchange") < plan.rindex("HashAggregate")
