@@ -100,3 +100,68 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PEAK_STATE_SCHEMA = T.StructType([T.StructField("peak", T.DoubleType())])
+
+
+def streaming_drawdown(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key streaming running peak + drawdown (risk monitor tier).
+
+    The streaming twin of :func:`operators.windows.drawdown`: one
+    double of state per key (the running maximum) carried across
+    micro-batches by ``applyInPandasWithState``, so a live portfolio
+    monitor emits value/peak - 1 per tick without recomputing any
+    history. Same ordering contract as :func:`streaming_ewma` —
+    in-batch rows sort by event time, cross-batch order is monotone
+    per key.
+    """
+    in_fields = {f.name: f for f in events.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[key_col],
+            in_fields[ts_col],
+            in_fields[value_col],
+            T.StructField("running_peak", T.DoubleType()),
+            T.StructField("drawdown", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (peak,) = state.get if state.exists else (float("-inf"),)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        peaks, dds = [], []
+        for x in pdf[value_col]:
+            x = float(x)
+            peak = x if x > peak else peak
+            peaks.append(peak)
+            dds.append(x / peak - 1.0 if peak != 0 else None)
+        state.update((peak,))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                ts_col: pdf[ts_col],
+                value_col: pdf[value_col],
+                "running_peak": peaks,
+                "drawdown": dds,
+            }
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=PEAK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -102,3 +102,46 @@ def test_streaming_ewma_resume_from_checkpoint(spark, tmp_path):
     second = drain("ewma_r2")
     assert len(second) == 30  # only the new rows (append mode)
     assert second["n_seen"].max() == 20  # 60 rows / 3 keys, cumulative
+
+def test_streaming_drawdown_matches_batch_across_batches(spark, tmp_path):
+    from nt_data_pipelines_spark.streaming.stateful import streaming_drawdown
+
+    rng = np.random.RandomState(7)
+    src = str(tmp_path / "dd_src")
+    batch1 = _mk_events(0, 1, 60, rng)
+    batch2 = _mk_events(1000, 2, 60, rng)
+    spark.createDataFrame(batch1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_drawdown(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dd_out").toPandas()
+    assert len(got) == 120
+
+    all_rows = pd.DataFrame(
+        batch1 + batch2,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    for k in (0, 1, 2):
+        series = all_rows[all_rows.user_id == k].sort_values("ts")["value"]
+        want_peak = series.cummax().to_numpy()
+        want_dd = series.to_numpy() / want_peak - 1.0
+        gk = got[got.user_id == k].sort_values("ts")
+        np.testing.assert_allclose(gk["running_peak"].to_numpy(), want_peak, rtol=0)
+        np.testing.assert_allclose(gk["drawdown"].to_numpy(), want_dd, rtol=1e-12)
+    # the peak survives the batch boundary: batch-2 rows see batch-1 highs
+    k0 = got[got.user_id == 0].sort_values("ts")
+    assert k0["running_peak"].to_numpy()[60 // 3] >= k0["running_peak"].to_numpy()[0]
