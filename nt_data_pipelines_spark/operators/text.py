@@ -540,3 +540,46 @@ def bm25_scores(
             F.sum(F.col("__sc").cast("decimal(18,6)")).cast("double").alias("bm25"),
         )
     )
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    out_col: str = "dup_ngram_frac",
+) -> DataFrame:
+    """Per-doc fraction of word n-grams shared with ANY other document.
+
+    The exact-substring-dedup signal (RefinedWeb/FineWeb-style line
+    and span dedup, adapted to word shingles): documents whose content
+    largely re-occurs elsewhere score near 1 and get dropped or
+    trimmed by curation. Scale shape: shingles are distinct within a
+    doc before the explode, the doc-frequency aggregate shuffles on
+    the GRAM key (map-side partial count), and the per-doc roll-up
+    shuffles on the doc key — two linear shuffles, never a pairwise
+    join. Short docs (< n words) have no shingles and score 0.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("gram"),
+    )
+    # grams are per-doc distinct, so COUNT(*) per gram == doc frequency
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        grams.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") > 1, 1).otherwise(0)).alias("__dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("__dup") / F.col("n_grams"), F.lit(0.0)).alias(out_col),
+        )
+    )

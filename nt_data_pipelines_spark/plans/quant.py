@@ -141,3 +141,40 @@ def p_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "d", (F.round(F.col("__w"), 6) + F.lit(0.0)).alias("wvalue")
     )
+
+
+# ---- corpus curation addition (round 4): exact-substring dedup signal ----
+
+from nt_data_pipelines_spark.operators import text as TX  # noqa: E402
+
+NGRAM_N = 8
+
+
+@register(
+    "d_dup_ngram_fraction",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, LEN(ws) - {NGRAM_N} + 2),
+                                   i -> array_to_string(ws[i:i + {NGRAM_N} - 1], ' '))) AS gram
+      FROM w WHERE LEN(ws) >= {NGRAM_N}
+    ),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS dup
+      FROM grams g JOIN dfreq f USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.dup / p.n_grams, 0.0) AS dup_ngram_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=f"Exact-substring dedup signal: per-doc fraction of word "
+    f"{NGRAM_N}-grams occurring in any other document (RefinedWeb-style "
+    "span dedup adapted to shingles). Two linear shuffles, no pairwise join.",
+)
+def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.duplicated_ngram_fraction(docs, "doc_id", "text", n=NGRAM_N)

@@ -425,3 +425,27 @@ def test_audio_features_ffmpeg_gated(spark, docs):
             M.audio_features(media, decode_stub="ffmpeg")
     else:  # pragma: no cover - env dependent
         M.audio_features(media, decode_stub="auto").collect()
+
+
+def test_duplicated_ngram_fraction_signal(spark):
+    from nt_data_pipelines_spark.operators.text import duplicated_ngram_fraction
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"          # 10 words -> 3 8-grams
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # shares all grams with 2
+            (2, base + " tail"),                     # superset of 1's grams
+            (3, "a b c d e f g h unique tail here"), # no shared grams
+            (4, "too short"),                        # < n words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_ngram_frac"])
+        for r in duplicated_ngram_fraction(docs, n=8).collect()
+    }
+    assert got[1] == (3, 1.0)            # every gram of doc 1 re-occurs in doc 2
+    n2, frac2 = got[2]
+    assert n2 == 4 and frac2 == pytest.approx(3 / 4)  # 'tail' gram is unique
+    assert got[3][1] == 0.0
+    assert got[4] == (0, 0.0)
