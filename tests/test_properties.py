@@ -186,3 +186,59 @@ def test_sessionize_matches_gap_count(spark, evs):
         assert seqs == sorted(seqs)  # non-decreasing along time
         assert max(seqs) == expected
         assert sorted(set(seqs)) == list(range(1, expected + 1))
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_forward_fill_matches_pandas_ffill(spark, rows):
+    """forward_fill == pandas groupby.ffill for arbitrary series with
+    injected nulls (every 3rd row nulled, deterministically)."""
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import forward_fill
+
+    data = [
+        (k, d, None if i % 3 == 0 else float(v))
+        for i, (k, d, v) in enumerate(rows)
+    ]
+    # unique (k, d) so ordering is total
+    seen, uniq = set(), []
+    for k, d, v in data:
+        if (k, d) not in seen:
+            seen.add((k, d))
+            uniq.append((k, d, v))
+    df = spark.createDataFrame(uniq, "k long, d long, x double")
+    got = {
+        (r["k"], r["d"]): r["filled"]
+        for r in forward_fill(df, "k", "d", "x", out_col="filled").collect()
+    }
+    pdf = pd.DataFrame(uniq, columns=["k", "d", "x"]).sort_values(["k", "d"])
+    pdf["filled"] = pdf.groupby("k")["x"].ffill()
+    for r in pdf.itertuples():
+        want = None if pd.isna(r.filled) else r.filled
+        assert got[(r.k, r.d)] == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_winsorize_bounds_and_interior(spark, rows):
+    """winsorized values always lie within the group's exact
+    percentile bounds, and interior values pass through untouched."""
+    import numpy as np
+
+    from nt_data_pipelines_spark.operators.windows import winsorize
+
+    uniq = list({(k, d): float(v) for k, d, v in rows}.items())
+    data = [(k, d, v) for (k, d), v in uniq]
+    df = spark.createDataFrame(data, "k long, d long, x double")
+    out = winsorize(df, "k", "x", lower=0.25, upper=0.75, out_col="w").collect()
+    by_key: dict[int, list[float]] = {}
+    for k, d, v in data:
+        by_key.setdefault(k, []).append(v)
+    for r in out:
+        vals = by_key[r["k"]]
+        lo = np.percentile(vals, 25)
+        hi = np.percentile(vals, 75)
+        assert lo - 1e-9 <= r["w"] <= hi + 1e-9
+        if lo <= r["x"] <= hi:
+            assert r["w"] == r["x"]
