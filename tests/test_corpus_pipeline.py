@@ -1,0 +1,32 @@
+"""Composed curation pipeline: stage accounting and end state."""
+
+from __future__ import annotations
+
+from nt_data_pipelines_spark.pipelines.corpus import CurationConfig, curate_corpus
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+
+def test_curate_corpus_end_to_end(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(min_words=5, max_dup_ngram_frac=0.95),
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    # monotone survivor counts through the dedup/filter chain
+    assert acct["input"] >= acct["exact_dedup"] >= acct["near_dedup"]
+    assert acct["near_dedup"] >= acct["span_dedup"] >= acct["quality_lang_gate"]
+    assert acct["quality_lang_gate"] > 0  # the pipeline keeps real data
+    # this corpus plants NEAR-dups (all content hashes are distinct),
+    # so the reduction happens at the LSH tier
+    assert acct["near_dedup"] < acct["exact_dedup"]
+
+    rows = packed.collect()
+    assert rows and all(r["bin_id"] >= 0 for r in rows)
+    # packing is deterministic: a second run bins identically
+    packed2, _ = curate_corpus(
+        docs, config=CurationConfig(min_words=5, max_dup_ngram_frac=0.95)
+    )
+    a = {(r["chunk_uid"], r["bin_id"]) for r in rows}
+    b = {(r["chunk_uid"], r["bin_id"]) for r in packed2.collect()}
+    assert a == b
