@@ -46,6 +46,9 @@ class CurationConfig:
     chunk_size: int = 64
     chunk_overlap: int = 16
     pack_capacity: int = 512
+    # per-source token budget for the mixing stage; None = no mixing
+    token_budget_per_source: int | None = None
+    source_col: str = "source"
 
 
 def curate_corpus(
@@ -105,6 +108,13 @@ def curate_corpus(
         .select(*spanned.columns)
     )
     stages.append(("quality_lang_gate", gated))
+
+    if config.token_budget_per_source is not None:
+        gated = TX.mix_sources_to_budget(
+            gated, config.source_col, id_col,
+            config.token_budget_per_source, text_col,
+        ).drop("n_tokens")
+        stages.append(("source_mix", gated))
 
     scrubbed = TX.scrub_pii(gated, text_col)
     chunks = TX.chunk_documents(

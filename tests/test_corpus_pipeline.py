@@ -30,3 +30,18 @@ def test_curate_corpus_end_to_end(spark):
     a = {(r["chunk_uid"], r["bin_id"]) for r in rows}
     b = {(r["chunk_uid"], r["bin_id"]) for r in packed2.collect()}
     assert a == b
+
+
+def test_curate_corpus_with_source_mixing(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # survivors here are single docs per source (~30-80 tokens each),
+    # so a 5-token budget forces sub-1.0 keep rates everywhere
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=0.95, token_budget_per_source=5
+        ),
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert "source_mix" in acct
+    assert 0 < acct["source_mix"] < acct["quality_lang_gate"]  # budget bites
