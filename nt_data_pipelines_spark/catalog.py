@@ -77,21 +77,53 @@ class Catalog:
         self.spark = spark
         self.root = root
         self.commit_mode = commit_mode
-        os.makedirs(root, exist_ok=True)
+        # Scheme-qualified roots (file://, s3a://, hdfs://) must go
+        # through the Hadoop FS API end to end: os.makedirs/open on a
+        # URI string silently create a literal "file:/..." RELATIVE
+        # directory under the cwd.
+        self._uri_root = "://" in root
+        if self._uri_root:
+            fs, rp = self._hfs(root)
+            if not fs.exists(rp):
+                fs.mkdirs(rp)
+        else:
+            os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "_catalog.json")
         self._state = self._load()
 
     # ---- metadata ----
     def _load(self) -> dict:
+        if self._uri_root:
+            fs, p = self._hfs(self._meta_path)
+            if not fs.exists(p):
+                return {"tables": {}, "next_seq": 1}
+            stream = fs.open(p)
+            try:
+                raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            return json.loads(raw)
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 return json.load(f)
         return {"tables": {}, "next_seq": 1}
 
     def _save(self) -> None:
+        payload = json.dumps(self._state, indent=2)
+        if self._uri_root:
+            # overwrite-create: a single small-object PUT on stores
+            # where rename is not atomic (the same reasoning as the
+            # manifest commit); posix roots keep the tmp+rename form.
+            fs, p = self._hfs(self._meta_path)
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(payload.encode("utf-8")))
+            finally:
+                out.close()
+            return
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._state, f, indent=2)
+            f.write(payload)
         os.replace(tmp, self._meta_path)
 
     def _meta(self, name: str) -> TableMeta:

@@ -281,6 +281,15 @@ def test_manifest_gc_spares_committed_gen_on_uri_root(spark, tmp_path):
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 2.0), ("B", 6.0)]
 
+    # catalog metadata must live INSIDE the URI root, not in a stray
+    # literal "file:..." directory under the cwd
+    assert os.path.exists(os.path.join(local_root, "_catalog.json"))
+    assert not os.path.exists("file:")
+    # and an independent reader on the same URI root resolves it
+    reader = Catalog(spark, "file://" + local_root, commit_mode="manifest")
+    got = sorted((r["ticker"], r["close"]) for r in reader.table("m").collect())
+    assert got == [("A", 2.0), ("B", 6.0)]
+
 def test_rewrite_and_delete_matching(cat, spark):
     """rewrite = transactional transform; delete_matching = distributed
     anti-join row delete. Both commit through the crash-safe path."""
