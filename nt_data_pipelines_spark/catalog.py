@@ -46,6 +46,16 @@ from pyspark.sql import types as T
 INGEST_COL = "_ingest_seq"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the generation this rewrite targeted.
+
+    Optimistic-concurrency loss signal: the staged data was computed
+    from a table state that is no longer current, so the only safe
+    reaction is to RECOMPUTE against the new state and try again —
+    :meth:`Catalog.optimize` does exactly that (bounded retries).
+    """
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -163,6 +173,34 @@ class Catalog:
     def _gen_dir(self, name: str, gen: int) -> str:
         return self._path(name) if gen < 0 else f"{self._path(name)}.g{gen}"
 
+    def _gen_data_dir(self, name: str, gen: int) -> str:
+        """Resolve a generation's DATA directory through its manifest.
+
+        Writers stage into uniquely-named dirs (``<t>.g<N>-<uid>``) so
+        two racing writers can never overwrite each other's staged
+        files; the manifest records which dir won. Legacy manifests
+        without a ``dir`` field fall back to the derived name."""
+        if gen < 0:
+            return self._path(name)
+        doc = self._read_manifest(name, gen)
+        if doc and isinstance(doc.get("dir"), str):
+            return os.path.join(self.root, doc["dir"])
+        return self._gen_dir(name, gen)
+
+    @staticmethod
+    def _parse_gen(basename: str) -> int | None:
+        """Generation number from a data-dir basename
+        (``t.g3`` or ``t.g3-ab12cd34``), None if unparseable."""
+        marker = basename.rfind(".g")
+        if marker < 0:
+            return None
+        tail = basename[marker + 2 :]
+        tail = tail.split("-", 1)[0]
+        try:
+            return int(tail)
+        except ValueError:
+            return None
+
     def _read_manifest(self, name: str, gen: int) -> dict | None:
         fs, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
         if not fs.exists(p):
@@ -178,19 +216,34 @@ class Catalog:
             return None
         return doc if isinstance(doc, dict) and doc.get("generation") == gen else None
 
-    def _commit_manifest(self, name: str, gen: int) -> None:
+    def _commit_manifest(self, name: str, gen: int, dir_name: str) -> None:
         """THE commit: create manifest file ``gen.json`` exclusively.
 
         One small-object write — a single PUT on S3-class stores, so
         the commit is atomic where directory rename is not. create
         with overwrite=False can never clobber a committed generation
-        (gen = max+1 by construction)."""
+        (gen = max+1 by construction); if another writer took this
+        generation first, the create fails and surfaces as
+        :class:`ConcurrentWriteError` — optimistic concurrency's
+        lose-the-race signal (the caller must RECOMPUTE from the new
+        table state, never re-commit stale data as the next gen)."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
         _, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
-        payload = json.dumps({"generation": gen, "dir": os.path.basename(self._gen_dir(name, gen))})
-        out = fs.create(p, False)
+        if fs.exists(p):
+            raise ConcurrentWriteError(
+                f"generation {gen} of {name!r} was committed by another writer"
+            )
+        payload = json.dumps({"generation": gen, "dir": dir_name})
+        try:
+            out = fs.create(p, False)
+        except Exception as e:  # exclusive-create race on the same gen
+            if "exist" in str(e).lower():
+                raise ConcurrentWriteError(
+                    f"generation {gen} of {name!r} was committed by another writer"
+                ) from None
+            raise
         try:
             out.write(bytearray(payload.encode("utf-8")))
         finally:
@@ -202,7 +255,7 @@ class Catalog:
         a metastore would cache this on a real deployment); in rename
         mode it is the plain table dir."""
         if self.commit_mode == "manifest":
-            return self._gen_dir(name, self._current_gen(name))
+            return self._gen_data_dir(name, self._current_gen(name))
         return self._path(name)
 
     # ---- filesystem (Hadoop FS API: works on file://, s3a://, hdfs://) ----
@@ -315,7 +368,12 @@ class Catalog:
         ``optimize`` (rename-aside or manifest, per ``commit_mode``).
         The transform must preserve the table's schema — deletes are
         filters/anti-joins, so this is the row-level DELETE primitive.
+        Losing a manifest-commit race recomputes ``build`` against the
+        winner's state (optimistic concurrency, bounded retries).
         """
+        self._with_occ_retry(name, lambda: self._rewrite_once(name, build))
+
+    def _rewrite_once(self, name: str, build) -> None:
         full = self._raw_table(name)
         out = build(full)
         if set(out.columns) != set(full.columns):
@@ -324,6 +382,19 @@ class Catalog:
                 f"got {sorted(out.columns)}, want {sorted(full.columns)}"
             )
         self._rewrite_table(name, out.select(*full.columns))
+
+    def _with_occ_retry(self, name: str, fn, attempts: int = 3) -> None:
+        """Run a rewrite, recomputing from the CURRENT table state
+        after each lost manifest-commit race. Every retry re-reads
+        through :meth:`_raw_table`, so the winner's rows are the new
+        base — stale staged data is never re-committed."""
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except ConcurrentWriteError:
+                if attempt == attempts - 1:
+                    raise
+                self._refresh(name)
 
     def delete_matching(self, name: str, keys: DataFrame, on: str | list[str]) -> None:
         """Delete every row whose ``on`` columns match a row in ``keys``.
@@ -336,6 +407,11 @@ class Catalog:
 
     # ---- optimize (PK dedup, last write wins) ----
     def optimize(self, name: str) -> None:
+        """PK dedup compaction; recomputes and retries after losing a
+        manifest-commit race to a concurrent writer."""
+        self._with_occ_retry(name, lambda: self._optimize_once(name))
+
+    def _optimize_once(self, name: str) -> None:
         meta = self._meta(name)
         pks = meta.primary_keys
         if not pks:
@@ -465,26 +541,47 @@ class Catalog:
         after it, the new generation is committed and at worst the old
         dir lingers until the next rewrite's GC. No window tears the
         table."""
+        import uuid
+
         cur_gen = self._current_gen(name)
         gen = cur_gen + 1
-        new_dir = self._gen_dir(name, gen)
-        self._fs_delete(new_dir)  # leftover from a crashed attempt
+        # Writer-unique staging dir: two racing writers targeting the
+        # same generation can never overwrite each other's files; the
+        # exclusive manifest create decides whose dir wins.
+        new_dir = f"{self._path(name)}.g{gen}-{uuid.uuid4().hex[:8]}"
         deduped.write.mode("overwrite").parquet(new_dir)
-        self._commit_manifest(name, gen)
-        # GC every superseded generation (incl. orphans a previous
+        try:
+            self._commit_manifest(name, gen, os.path.basename(new_dir))
+        except ConcurrentWriteError:
+            # lost the race: our data was computed from a superseded
+            # state — it is garbage, not the next generation
+            self._fs_delete(new_dir)
+            raise
+        # GC superseded generations (incl. orphans a previous
         # post-commit crash left behind); a crash here leaves garbage,
         # never loss — the manifest already points at new_dir.
         fs, _ = self._hfs(self.root)
         jvm = self.spark._jvm
         self._fs_delete(self._path(name))  # the pre-manifest plain dir
-        # Compare generation-dir BASENAMES, never path strings: on
-        # s3a:// / hdfs:// roots the status URI ("/bucket/tbl.g3") can
-        # never equal os.path.abspath of the URI string, and a string
-        # compare would GC every generation including the one just
-        # committed. The basename ("tbl.g3") is scheme-independent.
-        keep = os.path.basename(new_dir)
+        # Safety rules, both scheme-independent (basenames, never path
+        # strings — a URI/abspath compare once deleted EVERY gen):
+        #  - never delete a dir referenced by any valid manifest at or
+        #    above our generation (a faster concurrent writer may have
+        #    committed gen+1 while we were committing gen);
+        #  - never delete a dir whose parsed generation is above the
+        #    latest manifest (another writer's in-flight staging).
+        latest = self._current_gen(name)
+        keep = {os.path.basename(new_dir)}
+        for g in range(gen, latest + 1):
+            doc = self._read_manifest(name, g)
+            if doc and isinstance(doc.get("dir"), str):
+                keep.add(doc["dir"])
+            else:
+                keep.add(os.path.basename(self._gen_dir(name, g)))
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
-            if st.getPath().getName() != keep:
+            bn = st.getPath().getName()
+            parsed = self._parse_gen(bn)
+            if bn not in keep and parsed is not None and parsed <= latest:
                 fs.delete(st.getPath(), True)
         self._refresh(name)
 

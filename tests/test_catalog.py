@@ -199,7 +199,7 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
     # window 1: crash AFTER writing the new generation dir, BEFORE the
     # manifest commit -> readers still resolve the old generation
     real_commit = cat._commit_manifest
-    cat._commit_manifest = lambda name, gen: (_ for _ in ()).throw(
+    cat._commit_manifest = lambda name, gen, dir_name: (_ for _ in ()).throw(
         RuntimeError("simulated crash pre-commit")
     )
     with pytest.raises(RuntimeError, match="pre-commit"):
@@ -208,12 +208,14 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 1.0), ("A", 2.0), ("B", 5.0)]  # pre-rewrite state intact
 
-    # rerunning the interrupted optimize converges (clears the orphan
-    # generation dir, commits g0, GCs the plain dir)
+    # rerunning the interrupted optimize converges (commits g0, GCs
+    # the plain dir; the orphan staged dir dies at the next gen's GC)
     cat.optimize("m")
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 2.0), ("B", 5.0)]
-    assert os.path.exists(os.path.join(mroot, "m.g0"))
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(mroot, "m.g0-*"))
     assert not os.path.exists(os.path.join(mroot, "m"))
 
     # window 2: crash AFTER the manifest commit, BEFORE old-gen GC ->
@@ -224,7 +226,7 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
 
     def crashing_delete(path):
         calls["n"] += 1
-        if calls["n"] == 2:  # 1st call clears the new dir; 2nd is the GC
+        if calls["n"] == 1:  # first delete after the commit = the GC pass
             raise RuntimeError("simulated crash post-commit")
         real_delete(path)
 
@@ -234,7 +236,7 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
     cat._fs_delete = real_delete
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 3.0), ("B", 5.0)]  # new generation is the truth
-    assert os.path.exists(os.path.join(mroot, "m.g0"))  # stale, pending GC
+    assert _glob.glob(os.path.join(mroot, "m.g0-*"))  # stale, pending GC
 
     # a torn manifest (crash mid-write) is skipped by readers
     with open(os.path.join(mroot, "m._manifest", "99.json"), "w") as f:
@@ -252,7 +254,7 @@ def test_manifest_commit_mode_end_to_end(spark, tmp_path):
     reader.optimize("m")
     got = sorted((r["ticker"], r["close"]) for r in reader.table("m").collect())
     assert got == [("A", 4.0), ("B", 5.0)]
-    assert not os.path.exists(os.path.join(mroot, "m.g0"))
+    assert not _glob.glob(os.path.join(mroot, "m.g0-*"))
 
 def test_manifest_gc_spares_committed_gen_on_uri_root(spark, tmp_path):
     """Regression: the generation GC must compare scheme-independent
@@ -267,17 +269,19 @@ def test_manifest_gc_spares_committed_gen_on_uri_root(spark, tmp_path):
     cat = Catalog(spark, "file://" + local_root, commit_mode="manifest")
     cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
     cat.insert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 5.0)]))
+    import glob as _glob
+
     cat.insert("m", _rows(spark, [("A", D1, 2.0)]))  # dup PK -> rewrite
     cat.optimize("m")  # commits g0; buggy GC would delete m.g0 here
-    assert os.path.exists(os.path.join(local_root, "m.g0"))
+    assert _glob.glob(os.path.join(local_root, "m.g0-*"))
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 2.0), ("B", 5.0)]
 
     # a second rewrite GCs only the superseded generation
     cat.insert("m", _rows(spark, [("B", D2, 6.0)]))
     cat.optimize("m")
-    assert os.path.exists(os.path.join(local_root, "m.g1"))
-    assert not os.path.exists(os.path.join(local_root, "m.g0"))
+    assert _glob.glob(os.path.join(local_root, "m.g1-*"))
+    assert not _glob.glob(os.path.join(local_root, "m.g0-*"))
     got = sorted((r["ticker"], r["close"]) for r in cat.table("m").collect())
     assert got == [("A", 2.0), ("B", 6.0)]
 
@@ -302,3 +306,50 @@ def test_rewrite_and_delete_matching(cat, spark):
     assert [r["close"] for r in cat.table("px").collect()] == [20.0]
     with pytest.raises(ValueError, match="preserve the schema"):
         cat.rewrite("px", lambda df: df.drop("close"))
+
+
+def test_manifest_concurrent_writer_retry(spark, tmp_path):
+    """Optimistic concurrency: a writer that loses the manifest-commit
+    race RECOMPUTES against the winner's state and retries — nobody's
+    committed rows are lost, and the loser's stale staged dir never
+    becomes a generation."""
+    import glob as _glob
+    import os
+
+    mroot = str(tmp_path / "occ_lake")
+    a = Catalog(spark, mroot, commit_mode="manifest")
+    a.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    a.insert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 5.0)]))
+    b = Catalog(spark, mroot, commit_mode="manifest")
+
+    # interleave: just before A's first commit attempt, B commits a
+    # rewrite of its own (upserting C) — A must lose gen N, recompute
+    # over B's committed state, and win gen N+1.
+    real_commit = a._commit_manifest
+    fired = {"done": False}
+
+    def racing_commit(name, gen, dir_name):
+        if not fired["done"]:
+            fired["done"] = True
+            b.upsert("m", _rows(spark, [("C", D1, 9.0)]))
+        return real_commit(name, gen, dir_name)
+
+    a._commit_manifest = racing_commit
+    a.insert("m", _rows(spark, [("A", D1, 2.0)]))  # dup PK -> rewrite
+    a.optimize("m")
+    a._commit_manifest = real_commit
+
+    got = sorted((r["ticker"], r["close"]) for r in a.table("m").collect())
+    assert got == [("A", 2.0), ("B", 5.0), ("C", 9.0)]  # both writers' rows
+    # an independent reader agrees
+    fresh = Catalog(spark, mroot, commit_mode="manifest")
+    assert sorted(
+        (r["ticker"], r["close"]) for r in fresh.table("m").collect()
+    ) == got
+    # exactly one live data dir per manifest resolution; loser's staged
+    # dirs were cleaned up or GC'd
+    live = os.path.basename(a._data_path("m"))
+    leftovers = {
+        os.path.basename(p) for p in _glob.glob(os.path.join(mroot, "m.g*"))
+    }
+    assert live in leftovers
