@@ -332,7 +332,14 @@ class Catalog:
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
         meta = self._meta(name)
         writer = df.write.mode(mode)
-        if meta.partition_keys:
+        # Manifest generations keep a UNIFORM unpartitioned layout
+        # (partition keys stay data columns): appends land in the
+        # current generation dir, and mixing hive-style partition
+        # subdirs with the rewrite's plain files in one dir breaks
+        # partition discovery. Hive layout + pruning is the rename-mode
+        # path; the manifest answer to pruning is file-level stats in
+        # the log (out of scope).
+        if meta.partition_keys and self.commit_mode != "manifest":
             writer = writer.partitionBy(*meta.partition_keys)
         writer.parquet(self._data_path(name))
         self._refresh(name)
@@ -430,7 +437,24 @@ class Catalog:
         w = Window.partitionBy(*pks).orderBy(
             F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
         )
-        if meta.partition_keys:
+        if meta.partition_keys and self.commit_mode == "manifest":
+            # The dirty-partition dynamic overwrite mutates the CURRENT
+            # generation dir in place — outside the manifest commit
+            # protocol, so a crash mid-overwrite would tear a committed
+            # generation. Route through the atomic full-table manifest
+            # rewrite instead: correctness over incremental compaction
+            # cost. (The incremental answer at scale is a file-level
+            # log à la Delta, where each partition's files are manifest
+            # entries; out of scope for this catalog.)
+            if not dup_keys.limit(1).count():
+                return
+            deduped = (
+                full.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            self._rewrite_table(name, deduped)
+        elif meta.partition_keys:
             # partitions holding any copy of a duplicated key must be
             # rewritten (winners kept, losers dropped everywhere)
             dirty = (

@@ -353,3 +353,27 @@ def test_manifest_concurrent_writer_retry(spark, tmp_path):
         os.path.basename(p) for p in _glob.glob(os.path.join(mroot, "m.g*"))
     }
     assert live in leftovers
+
+
+def test_manifest_mode_partitioned_table_upsert(spark, tmp_path):
+    """Partitioned tables on a manifest catalog must still commit
+    atomically: the dirty-partition dynamic overwrite would mutate the
+    committed generation dir in place, so optimize routes through the
+    full-table manifest rewrite instead."""
+    import glob as _glob
+    import os
+
+    mroot = str(tmp_path / "mp_lake")
+    cat = Catalog(spark, mroot, commit_mode="manifest")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 5.0)]))
+    cat.insert("px", _rows(spark, [("A", D1, 2.0)]))  # dup PK
+    cat.optimize("px")
+    got = sorted((r["ticker"], r["close"], r["year"]) for r in cat.table("px").collect())
+    assert got == [("A", 2.0, 2024), ("B", 5.0, 2025)]
+    assert _glob.glob(os.path.join(mroot, "px.g0-*"))  # manifest-committed
+    # second cycle converges and GCs the old generation
+    cat.upsert("px", _rows(spark, [("B", D2, 6.0)]))
+    got = sorted((r["ticker"], r["close"]) for r in cat.table("px").collect())
+    assert got == [("A", 2.0), ("B", 6.0)]
+    assert not _glob.glob(os.path.join(mroot, "px.g0-*"))
