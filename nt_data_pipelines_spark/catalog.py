@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 INGEST_COL = "_ingest_seq"
+KEEP_MANIFESTS = 10  # manifest-log history margin retained by GC
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -607,6 +608,22 @@ class Catalog:
             parsed = self._parse_gen(bn)
             if bn not in keep and parsed is not None and parsed <= latest:
                 fs.delete(st.getPath(), True)
+        # Manifest-log GC: readers only ever resolve the LATEST valid
+        # manifest (no time travel), so entries more than
+        # KEEP_MANIFESTS generations old are dead weight — drop them,
+        # keeping a margin so a concurrent reader mid-resolution never
+        # loses the file under its feet.
+        fs2, mdir = self._hfs(self._manifest_dir(name))
+        if fs2.exists(mdir):
+            for st in fs2.listStatus(mdir):
+                fname = st.getPath().getName()
+                if fname.endswith(".json"):
+                    try:
+                        g = int(fname[: -len(".json")])
+                    except ValueError:
+                        continue
+                    if g <= latest - KEEP_MANIFESTS:
+                        fs2.delete(st.getPath(), False)
         self._refresh(name)
 
     def _recover(self, name: str) -> None:

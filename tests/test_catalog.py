@@ -377,3 +377,27 @@ def test_manifest_mode_partitioned_table_upsert(spark, tmp_path):
     got = sorted((r["ticker"], r["close"]) for r in cat.table("px").collect())
     assert got == [("A", 2.0), ("B", 6.0)]
     assert not _glob.glob(os.path.join(mroot, "px.g0-*"))
+
+
+def test_manifest_log_gc_retains_margin(spark, tmp_path):
+    """The manifest log must not grow one file per rewrite forever:
+    entries more than KEEP_MANIFESTS generations old are dropped,
+    while the table keeps resolving correctly throughout."""
+    import os
+
+    mroot = str(tmp_path / "log_lake")
+    cat = Catalog(spark, mroot, commit_mode="manifest")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 0.0)]))
+    for i in range(13):
+        cat.upsert("m", _rows(spark, [("A", D1, float(i + 1))]))
+    got = cat.table("m").collect()
+    assert len(got) == 1 and got[0]["close"] == 13.0
+    manifests = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(os.path.join(mroot, "m._manifest"))
+        if f.endswith(".json")
+    )
+    assert manifests[-1] == 12  # 13 rewrites -> gens 0..12
+    assert manifests[0] > 12 - 11  # entries older than the margin are gone
+    assert len(manifests) <= 11
