@@ -68,9 +68,14 @@ def main() -> None:
                 RecordingBroker.__init__(self)
 
         broker, slack = Broker(), RecordingMessageSink()
-        result = trading_daily_flow(cat, broker, slack, today=end + dt.timedelta(days=1))
-        print("orders placed:", result["orders"], "| closed:", result["closed"])
-        print(result["summary"])
+        # trade ON the last fixture market date (end+1 may be a
+        # weekend, which the market-open gate correctly skips)
+        result = trading_daily_flow(cat, broker, slack, today=end)
+        if result["ran"]:
+            print("orders placed:", result["orders"], "| closed:", result["closed"])
+            print(result["summary"])
+        else:
+            print("trading skipped:", result["reason"])
 
     print("== training-data ops on driver testdata ==")
     sf = "/root/testdata/sf0.001"
@@ -80,6 +85,15 @@ def main() -> None:
     emb = load_table(spark, sf, "embeddings")
     top = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
     top.show()
+
+    print("== corpus curation pipeline ==")
+    from nt_data_pipelines_spark.pipelines.corpus import CurationConfig, curate_corpus
+
+    packed, accounting = curate_corpus(
+        docs, config=CurationConfig(min_words=5, max_dup_ngram_frac=0.95)
+    )
+    accounting.show()
+    print("packed training bins:", packed.select("shard", "bin_id").distinct().count())
 
 
 if __name__ == "__main__":
