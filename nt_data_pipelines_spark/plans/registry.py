@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "w_drawdown",
     "w_gap_fill",
     "p_winsorize",
+    "d_dup_ngram_fraction",
     # one representative per operator class from the 50 already
     # driver-green in CORRECTNESS_r02/r03 (regression canaries):
     "a1_pricing_summary",
@@ -111,7 +112,6 @@ DRIVER_PRIORITY: list[str] = [
     "w6_rolling_regression",
     "o4_top3_per_group",
     "r2_pivot_event_type",
-    "r4_explode_embeddings",
     "p_scalar_suite",
     "f1_date_parts",
     "t_sessionize",
