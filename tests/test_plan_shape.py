@@ -130,3 +130,11 @@ def test_winsorize_broadcasts_bounds(spark):
     plan = _explain(spark, "p_winsorize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_fraction_is_linear(spark):
+    # the span-dedup signal must stay two linear shuffles (gram df +
+    # doc roll-up) plus the join back — never a pairwise doc join
+    plan = _explain(spark, "d_dup_ngram_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
