@@ -122,15 +122,38 @@ class Catalog:
     def _save(self) -> None:
         payload = json.dumps(self._state, indent=2)
         if self._uri_root:
-            # overwrite-create: a single small-object PUT on stores
-            # where rename is not atomic (the same reasoning as the
-            # manifest commit); posix roots keep the tmp+rename form.
-            fs, p = self._hfs(self._meta_path)
-            out = fs.create(p, True)
+            scheme = self.root.split("://", 1)[0]
+            if scheme in ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "wasb", "wasbs"):
+                # object stores: create+write IS a single PUT uploaded
+                # at close, so a crash mid-write leaves the OLD object
+                # — direct overwrite-create is the atomic choice there
+                # (rename would be copy+delete, strictly worse).
+                fs, p = self._hfs(self._meta_path)
+                out = fs.create(p, True)
+                try:
+                    out.write(bytearray(payload.encode("utf-8")))
+                finally:
+                    out.close()
+                return
+            # file:// and hdfs://: create+write streams straight into
+            # the destination, so a crash mid-write leaves a TRUNCATED
+            # catalog file. Write aside, then atomically swap in via
+            # FileContext.rename(OVERWRITE) — atomic on both.
+            jvm = self.spark._jvm
+            fs, tmp = self._hfs(self._meta_path + ".tmp")
+            out = fs.create(tmp, True)
             try:
                 out.write(bytearray(payload.encode("utf-8")))
             finally:
                 out.close()
+            _, dst = self._hfs(self._meta_path)
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                tmp.toUri(), self.spark._jsc.hadoopConfiguration()
+            )
+            rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self.spark.sparkContext._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(tmp, dst, opts)
             return
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -189,6 +212,30 @@ class Catalog:
         return self._gen_dir(name, gen)
 
     @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """Whether a py4j error wraps Hadoop's FileAlreadyExistsException.
+
+        Matches on the Java exception CLASS chain, not the message —
+        message text varies by FS implementation and locale. Falls
+        back to a substring probe only when no java_exception is
+        attached (non-py4j transport errors)."""
+        je = getattr(e, "java_exception", None)
+        if je is None:
+            return "exist" in str(e).lower()
+        while je is not None:
+            try:
+                cls = je.getClass().getName()
+            except Exception:
+                return False
+            if cls.endswith("FileAlreadyExistsException"):
+                return True
+            try:
+                je = je.getCause()
+            except Exception:
+                return False
+        return False
+
+    @staticmethod
     def _parse_gen(basename: str) -> int | None:
         """Generation number from a data-dir basename
         (``t.g3`` or ``t.g3-ab12cd34``), None if unparseable."""
@@ -227,7 +274,15 @@ class Catalog:
         generation first, the create fails and surfaces as
         :class:`ConcurrentWriteError` — optimistic concurrency's
         lose-the-race signal (the caller must RECOMPUTE from the new
-        table state, never re-commit stale data as the next gen)."""
+        table state, never re-commit stale data as the next gen).
+
+        Exclusivity caveat: create(overwrite=False) is truly atomic on
+        HDFS/posix. On S3A it is an exists-check-then-PUT — two racing
+        writers can BOTH pass the check and the second PUT silently
+        wins. Point manifest-mode catalogs at HDFS/posix, or at an
+        object store with conditional-PUT (S3 If-None-Match, GCS
+        if-generation-match) surfaced through the Hadoop connector;
+        on plain S3A the race window is small but real."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
@@ -240,7 +295,7 @@ class Catalog:
         try:
             out = fs.create(p, False)
         except Exception as e:  # exclusive-create race on the same gen
-            if "exist" in str(e).lower():
+            if self._is_already_exists(e):
                 raise ConcurrentWriteError(
                     f"generation {gen} of {name!r} was committed by another writer"
                 ) from None
@@ -574,7 +629,24 @@ class Catalog:
         # same generation can never overwrite each other's files; the
         # exclusive manifest create decides whose dir wins.
         new_dir = f"{self._path(name)}.g{gen}-{uuid.uuid4().hex[:8]}"
-        deduped.write.mode("overwrite").parquet(new_dir)
+        try:
+            deduped.write.mode("overwrite").parquet(new_dir)
+        except Exception as e:
+            # A winner one-or-more generations ahead may have GC'd our
+            # in-flight staging dir out from under the write (its GC
+            # only deletes dirs parsed strictly BELOW its own gen, so
+            # this needs the winner to be at gen+1 or later — i.e. we
+            # provably lost the race). Surface it as the OCC loss
+            # signal so _with_occ_retry recomputes, instead of a raw
+            # Hadoop IO error that would abort the whole optimize.
+            fs_probe, staged = self._hfs(new_dir)
+            if self._current_gen(name) >= gen and not fs_probe.exists(staged):
+                raise ConcurrentWriteError(
+                    f"staging dir for generation {gen} of {name!r} was garbage-"
+                    "collected by a concurrent writer that committed a later "
+                    "generation"
+                ) from e
+            raise
         try:
             self._commit_manifest(name, gen, os.path.basename(new_dir))
         except ConcurrentWriteError:
@@ -593,8 +665,13 @@ class Catalog:
         #  - never delete a dir referenced by any valid manifest at or
         #    above our generation (a faster concurrent writer may have
         #    committed gen+1 while we were committing gen);
-        #  - never delete a dir whose parsed generation is above the
-        #    latest manifest (another writer's in-flight staging).
+        #  - only delete dirs whose parsed generation is strictly BELOW
+        #    our committed gen. A same-gen dir may belong to a loser
+        #    whose parquet write is STILL RUNNING — deleting it mid-
+        #    write crashes that writer with a raw IO error instead of
+        #    ConcurrentWriteError. The loser's own commit-failure
+        #    handler deletes its dir; if it crashed first, the orphan
+        #    parses < gen on the NEXT rewrite and is collected then.
         latest = self._current_gen(name)
         keep = {os.path.basename(new_dir)}
         for g in range(gen, latest + 1):
@@ -606,7 +683,7 @@ class Catalog:
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
             bn = st.getPath().getName()
             parsed = self._parse_gen(bn)
-            if bn not in keep and parsed is not None and parsed <= latest:
+            if bn not in keep and parsed is not None and parsed < gen:
                 fs.delete(st.getPath(), True)
         # Manifest-log GC: readers only ever resolve the LATEST valid
         # manifest (no time travel), so entries more than

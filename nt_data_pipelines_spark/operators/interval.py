@@ -50,9 +50,13 @@ def interval_join(
     null interval columns and needs ``point_id`` — a unique point key
     for the anti-join that recovers them.
 
-    ``bucket_seconds`` defaults to a fixed 3600 — no pre-pass, stable
-    latency, and long intervals merely fan out more instead of
-    erroring. Pass ``'auto'`` (or ``None``) to size the bucket from
+    ``bucket_seconds`` defaults to a fixed 3600. CHANGED in round 4:
+    earlier versions auto-sized by default (a median pre-pass over the
+    data); callers that relied on data-driven sizing must now pass
+    ``'auto'`` explicitly — with the fixed default, long-interval data
+    fans out to more buckets instead of erroring, and there is no
+    pre-pass job in the default path. Pass ``'auto'`` (or ``None``)
+    to size the bucket from
     one cheap pre-pass over the data: the approximate p99 interval
     length, floored so the single longest interval spans at most
     ``max_fanout/2`` buckets — a skewed length distribution can
@@ -86,8 +90,12 @@ def interval_join(
         # when the outlier is rarer than 1-in-100.
         floor_us = (stats["mx"] or p99) / max(1, max_fanout // 2)
         bucket_seconds = max(1, round(max(p99, floor_us) / 1_000_000))
-    elif not isinstance(bucket_seconds, int):
-        raise ValueError(f"bucket_seconds must be an int, None, or 'auto'; got {bucket_seconds!r}")
+    elif type(bucket_seconds) is not int or bucket_seconds <= 0:
+        # bool subclasses int — True would silently become a 1-second
+        # bucket, so reject it (and non-positive sizes) explicitly.
+        raise ValueError(
+            f"bucket_seconds must be a positive int, None, or 'auto'; got {bucket_seconds!r}"
+        )
     b = F.lit(int(bucket_seconds) * 1_000_000)
 
     def to_bucket(c):

@@ -401,3 +401,98 @@ def test_manifest_log_gc_retains_margin(spark, tmp_path):
     assert manifests[-1] == 12  # 13 rewrites -> gens 0..12
     assert manifests[0] > 12 - 11  # entries older than the margin are gone
     assert len(manifests) <= 11
+
+
+def test_manifest_gc_spares_same_gen_foreign_staging_dir(spark, tmp_path):
+    """Regression: a loser writer racing for the SAME generation may
+    still be mid-parquet-write when the winner commits. The winner's
+    GC must only collect dirs parsed strictly BELOW its own gen —
+    deleting the loser's same-gen dir mid-write crashes that writer
+    with a raw IO error instead of ConcurrentWriteError. The orphan
+    (loser crashed before its own cleanup) is collected one rewrite
+    later, when it parses below the then-current gen."""
+    import glob as _glob
+    import os
+
+    mroot = str(tmp_path / "gen_race_lake")
+    cat = Catalog(spark, mroot, commit_mode="manifest")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    cat.upsert("m", _rows(spark, [("A", D1, 1.5)]))  # first rewrite commits g0
+    assert cat._current_gen("m") == 0
+
+    # simulate a concurrent loser's in-flight staging dir for g1 (the
+    # generation the NEXT rewrite will target)
+    foreign = os.path.join(mroot, "m.g1-feedface")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "part-inflight.parquet"), "w") as f:
+        f.write("half-written")
+
+    cat.upsert("m", _rows(spark, [("A", D1, 2.0)]))  # winner commits g1
+    assert cat._current_gen("m") == 1
+    assert os.path.isdir(foreign), "same-gen foreign staging dir must survive winner GC"
+
+    cat.upsert("m", _rows(spark, [("A", D1, 3.0)]))  # g2: orphan now parses < gen
+    assert not os.path.isdir(foreign), "superseded orphan must be collected next rewrite"
+    assert _glob.glob(os.path.join(mroot, "m.g2-*"))
+    got = cat.table("m").collect()
+    assert len(got) == 1 and got[0]["close"] == 3.0
+
+
+def test_manifest_staging_vanish_surfaces_as_concurrent_write(spark, tmp_path):
+    """If a later-generation winner GC'd our in-flight staging dir out
+    from under the parquet write, the failure must surface as
+    ConcurrentWriteError (so _with_occ_retry recomputes), not a raw
+    Hadoop IO error."""
+    from nt_data_pipelines_spark.catalog import ConcurrentWriteError
+
+    mroot = str(tmp_path / "vanish_lake")
+    a = Catalog(spark, mroot, commit_mode="manifest")
+    a.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    a.insert("m", _rows(spark, [("A", D1, 0.5)]))
+    a.upsert("m", _rows(spark, [("A", D1, 1.0)]))  # dup PK -> rewrite commits g0
+    assert a._current_gen("m") == 0
+    b = Catalog(spark, mroot, commit_mode="manifest")
+
+    class VanishingWrite:
+        """Stands in for the staged DataFrame: the write 'fails' after a
+        faster writer has already committed the generation we targeted
+        (and our staging dir does not exist)."""
+
+        class _W:
+            def mode(self, _):
+                return self
+
+            def parquet(self, path):
+                # winner takes g1 via a real dup-PK rewrite
+                b.upsert("m", _rows(spark, [("A", D1, 9.0)]))
+                assert b._current_gen("m") == 1
+                raise RuntimeError("java.io.FileNotFoundException: staging gone")
+
+        @property
+        def write(self):
+            return self._W()
+
+    with pytest.raises(ConcurrentWriteError, match="garbage-collected"):
+        a._rewrite_table_manifest("m", VanishingWrite())
+    # the winner's commit is intact
+    got = sorted((r["ticker"], r["close"]) for r in b.table("m").collect())
+    assert got == [("A", 9.0)]
+
+
+def test_save_leaves_no_tmp_on_uri_root(spark, tmp_path):
+    """_save on a file:// root goes write-aside + atomic FileContext
+    rename: the final metadata file is complete JSON and no .tmp
+    leftover survives a successful save."""
+    import json as _json
+    import os
+
+    local_root = str(tmp_path / "tmplake")
+    cat = Catalog(spark, "file://" + local_root)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    meta = os.path.join(local_root, "_catalog.json")
+    assert os.path.exists(meta)
+    assert not os.path.exists(meta + ".tmp")
+    with open(meta) as f:
+        doc = _json.load(f)
+    assert "m" in doc["tables"]

@@ -131,3 +131,15 @@ def test_interval_join_left_keeps_unmatched_points(spark, data):
     assert 6 in {r["pid"] for r in unmatched}  # point at minute 100
     with pytest.raises(ValueError, match="point_id"):
         interval_join(points, intervals, "ts", "start_ts", "end_ts", how="left")
+
+
+def test_interval_join_rejects_bool_and_nonpositive_bucket(spark, data):
+    """bool subclasses int: True as bucket_seconds would silently mean
+    a 1-second bucket (huge fan-out). Reject it and non-positive sizes
+    explicitly."""
+    points, intervals = data
+    for bad in (True, False, 0, -5, 1.5):
+        with pytest.raises(ValueError, match="positive int"):
+            interval_join(
+                points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=bad
+            )
