@@ -40,6 +40,40 @@ _DT = T.DateType()
 _I = T.IntegerType()
 
 
+def _fire_failure_hook(on_failure, exc: BaseException) -> None:
+    """Deliver the flow's exception to the on_failure hook.
+
+    New-style hooks (e.g. summary.create_failure_handler) take the
+    exception and can post type/message/traceback (reference
+    slack_failure_handler.py:11-44 formats exactly that); legacy
+    zero-argument callbacks still work. Hook signature is inspected,
+    not probed by trial call — a TypeError raised INSIDE the hook must
+    surface as a hook bug, not silently retry with no arguments."""
+    if on_failure is None:
+        return
+    import inspect
+
+    try:
+        params = [
+            pr
+            for pr in inspect.signature(on_failure).parameters.values()
+            if pr.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
+            )
+            and pr.default is inspect.Parameter.empty
+        ]
+        takes_exc = len(params) >= 1
+    except (TypeError, ValueError):  # builtins / C callables
+        takes_exc = False
+    if takes_exc:
+        on_failure(exc)
+    else:
+        on_failure()
+
+
 def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
     return T.StructType([T.StructField(n, t) for n, t in fields])
 
@@ -204,9 +238,8 @@ def backfill_flow(
             )
         finally:
             weights.unpersist()
-    except Exception:
-        if on_failure is not None:
-            on_failure()
+    except Exception as exc:
+        _fire_failure_hook(on_failure, exc)
         raise
 
 
@@ -349,7 +382,6 @@ def daily_flow(
         finally:
             weights.unpersist()
         return True
-    except Exception:
-        if on_failure is not None:
-            on_failure()
+    except Exception as exc:
+        _fire_failure_hook(on_failure, exc)
         raise

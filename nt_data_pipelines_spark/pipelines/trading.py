@@ -61,6 +61,13 @@ def trading_daily_flow(
     # Friday's; Saturday never runs). trading_flow.py:262-276.
     if not market_is_open(cal, today):
         return {"ran": False, "reason": "market closed"}
+    # Cancel any open orders left over from a prior run FIRST
+    # (trading_flow.py:283-286): a stale unfilled order would otherwise
+    # survive into today and double-execute against the fresh deltas
+    # computed below. Unconditional — cancelling an empty book is a
+    # no-op (the reference's open-orders pre-check only saves an API
+    # call). Brokers without order management skip the step.
+    n_cancelled = broker.cancel_all_orders() if hasattr(broker, "cancel_all_orders") else 0
     end = last_market_date(cal, before=today)
 
     weights = (
@@ -80,7 +87,13 @@ def trading_daily_flow(
     n_closed = close_positions(to_close, broker)
     n_orders = place_orders(deltas, broker)
     summary = daily_summary(deltas, equity, message_sink)
-    result = {"ran": True, "closed": n_closed, "orders": n_orders, "summary": summary}
+    result = {
+        "ran": True,
+        "cancelled": n_cancelled,
+        "closed": n_closed,
+        "orders": n_orders,
+        "summary": summary,
+    }
     if hasattr(broker, "open_orders") and hasattr(broker, "filled_orders"):
         result["all_filled"] = wait_for_orders_to_fill(
             broker,

@@ -27,6 +27,16 @@ class OrderSink(Protocol):
 
     def close_position(self, ticker: str) -> None: ...
 
+    def cancel_all_orders(self) -> int:
+        """Cancel every open order; returns how many were cancelled
+        (reference trading_flow.py:101-104 cancel_all_orders). The
+        daily flow calls this first so a stale unfilled order from a
+        prior run can never double-execute against today's deltas;
+        cancelling an empty book is a no-op, so the call is
+        unconditional (the reference's len(open_orders)>0 pre-check
+        only saves an API round-trip)."""
+        ...
+
 
 class OrderStatusSource(Protocol):
     """Order lifecycle queries (reference trading_flow.py:137-221).
@@ -64,6 +74,7 @@ class RecordingBroker:
 
     orders: list[tuple[str, float]] = field(default_factory=list)
     closed: list[str] = field(default_factory=list)
+    cancelled: list[dict] = field(default_factory=list)
     fill_after_polls: int = 0
     fill_price: float = 100.0
     _open: list[dict] = field(default_factory=list)
@@ -83,6 +94,14 @@ class RecordingBroker:
 
     def close_position(self, ticker: str) -> None:
         self.closed.append(ticker)
+
+    def cancel_all_orders(self) -> int:
+        """Cancel whatever is still open — cancelled orders never fill
+        (they leave the open book before any poll can fill them)."""
+        n = len(self._open)
+        self.cancelled.extend(self._open)
+        self._open = []
+        return n
 
     def _fill_all(self) -> None:
         base = dt.datetime(2024, 1, 2, 14, 30)  # deterministic fill stamps

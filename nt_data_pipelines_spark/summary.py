@@ -154,3 +154,86 @@ def send_daily_trading_summary(
     else:
         sink.send(render_blocks_text(blocks))
     return text, blocks
+
+
+def build_flow_failure_blocks(
+    flow_name: str,
+    error: BaseException,
+    context: dict | None = None,
+    max_traceback_chars: int = 2000,
+) -> tuple[str, list[dict]]:
+    """(headline text, Block-Kit blocks) for a failed flow.
+
+    Mirrors the reference's failure handler layout
+    (utils/slack_failure_handler.py:31-97): header "Flow Failed:
+    <name>", error type + message section, optional context section
+    (run_id, parameters truncated at 200 chars), divider, then the
+    formatted traceback in a code block — tail-truncated to fit
+    messaging limits (the END of a traceback carries the signal)."""
+    import traceback as _tb
+
+    tb_str = "".join(_tb.format_exception(type(error), error, error.__traceback__))
+    if len(tb_str) > max_traceback_chars:
+        tb_str = tb_str[-(max_traceback_chars - 50) :] + "\n... (truncated)"
+
+    context_lines = []
+    if context:
+        if "run_id" in context:
+            context_lines.append(f"*Run ID:* `{context['run_id']}`")
+        if "parameters" in context:
+            params_str = str(context["parameters"])
+            if len(params_str) > 200:
+                params_str = params_str[:197] + "..."
+            context_lines.append(f"*Parameters:* `{params_str}`")
+
+    headline = f"Flow Failed: {flow_name}"
+    blocks: list[dict] = [
+        {"type": "header", "text": {"type": "plain_text", "text": headline}},
+        _mrkdwn(
+            f"*Error Type:* `{type(error).__name__}`\n*Error Message:* {error}"
+        ),
+    ]
+    if context_lines:
+        blocks.append(_mrkdwn("\n".join(context_lines)))
+    blocks.extend(
+        [
+            {"type": "divider"},
+            _mrkdwn("*Traceback:*\n```" + tb_str + "```"),
+        ]
+    )
+    return headline, blocks
+
+
+def send_flow_failure_notification(
+    flow_name: str,
+    error: BaseException,
+    sink,
+    context: dict | None = None,
+) -> tuple[str, list[dict]]:
+    """Build and deliver the failure blocks — ``send_blocks`` preferred,
+    plain ``send`` fallback (same delivery contract as the daily
+    summary)."""
+    text, blocks = build_flow_failure_blocks(flow_name, error, context)
+    if hasattr(sink, "send_blocks"):
+        sink.send_blocks(text, blocks)
+    else:
+        sink.send(render_blocks_text(blocks))
+    return text, blocks
+
+
+def create_failure_handler(flow_name: str, sink, context: dict | None = None):
+    """on_failure hook factory (reference slack_failure_handler.py:106-148).
+
+    Returns a one-argument callable for the runner's ``on_failure``
+    slot: it receives the exception the flow raised and posts the
+    formatted notification. A broken handler never masks the original
+    flow failure — delivery errors are swallowed (matching the
+    reference's hook, which logs and continues)."""
+
+    def on_failure_hook(error: BaseException) -> None:
+        try:
+            send_flow_failure_notification(flow_name, error, sink, context)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"failure handler for {flow_name!r} could not deliver: {e}")
+
+    return on_failure_hook

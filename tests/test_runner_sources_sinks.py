@@ -113,3 +113,61 @@ def test_failure_hook_fires(spark, tmp_path):
     with pytest.raises(Exception):
         backfill_flow(spark, cat, window=10, half_life=5.0, on_failure=lambda: calls.append(1))
     assert calls == [1]
+
+
+def test_failure_hook_receives_exception_and_formats_blocks(spark, tmp_path):
+    """Failure-handler parity (reference slack_failure_handler.py:11-148):
+    the hook gets the actual exception, and the Block-Kit formatter
+    renders flow name, error type/message, context, and the formatted
+    traceback (tail-truncated)."""
+    from nt_data_pipelines_spark.summary import (
+        RecordingBlockSink,
+        build_flow_failure_blocks,
+        create_failure_handler,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "lake3"))
+    ensure_tables(cat)  # empty tables -> backfill raises "No values found"
+    sink = RecordingBlockSink()
+    hook = create_failure_handler("backfill", sink, context={"run_id": "r-42"})
+    with pytest.raises(ValueError, match="No values found"):
+        backfill_flow(spark, cat, window=10, half_life=5.0, on_failure=hook)
+
+    assert len(sink.sent) == 1
+    text, blocks = sink.sent[0]
+    assert text == "Flow Failed: backfill"
+    assert blocks[0]["type"] == "header"
+    rendered = " ".join(str(b) for b in blocks)
+    assert "ValueError" in rendered and "No values found" in rendered
+    assert "r-42" in rendered
+    assert "Traceback (most recent call last)" in rendered
+    assert any(b.get("type") == "divider" for b in blocks)
+
+    # plain-text sinks get a faithful rendering through the same hook
+    plain = RecordingMessageSink()
+    hook2 = create_failure_handler("backfill", plain)
+    with pytest.raises(ValueError):
+        backfill_flow(spark, cat, window=10, half_life=5.0, on_failure=hook2)
+    assert plain.messages and "Flow Failed: backfill" in plain.messages[0]
+    assert "ValueError" in plain.messages[0]
+
+
+def test_failure_blocks_truncate_long_traceback():
+    from nt_data_pipelines_spark.summary import build_flow_failure_blocks
+
+    try:
+        raise RuntimeError("x" * 5000)
+    except RuntimeError as e:
+        text, blocks = build_flow_failure_blocks("f", e, max_traceback_chars=2000)
+    tb_block = blocks[-1]["text"]["text"]
+    assert "... (truncated)" in tb_block
+    assert len(tb_block) < 2200  # code fence + label + capped body
+    # parameters are capped at ~200 chars too
+    try:
+        raise ValueError("boom")
+    except ValueError as e:
+        _, blocks = build_flow_failure_blocks(
+            "f", e, context={"parameters": {"k": "v" * 500}}
+        )
+    ctx = " ".join(str(b) for b in blocks)
+    assert "..." in ctx and "v" * 250 not in ctx

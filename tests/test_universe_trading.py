@@ -201,3 +201,47 @@ def test_block_summary_structure(spark):
     tsink = RecordingMessageSink()
     send_daily_trading_summary(fdf, 1000.0, tsink)
     assert tsink.messages and "*Top 3 Buys*" in tsink.messages[0]
+
+
+def test_stale_open_orders_cancelled_before_placement(spark, tmp_path):
+    """A stale unfilled order from a prior run must be cancelled at the
+    top of the daily flow (reference trading_flow.py:283-286 +
+    cancel_all_orders :101-104) — otherwise it survives into today and
+    double-executes against the fresh deltas."""
+    import datetime as dt
+
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.pipelines.runner import ensure_tables
+    from nt_data_pipelines_spark.pipelines.trading import trading_daily_flow
+    from nt_data_pipelines_spark.sinks import RecordingBroker, RecordingMessageSink
+    from nt_data_pipelines_spark.sources.broker import SyntheticBroker
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    ensure_tables(cat)
+    cat.upsert("calendar", S.load_calendar(spark, 30))
+    cal_dates = sorted(r["date"] for r in cat.table("calendar").collect())
+    today, prev = cal_dates[-1], cal_dates[-2]
+    weights = spark.createDataFrame(
+        [("T00", prev, prev.year, 1.0)], ["ticker", "date", "year", "weight"]
+    )
+    cat.upsert("portfolio_weights", weights)
+
+    class Broker(SyntheticBroker, RecordingBroker):
+        def __init__(self):
+            SyntheticBroker.__init__(self, equity=10_000.0, holdings=[])
+            RecordingBroker.__init__(self)
+
+    broker, slack = Broker(), RecordingMessageSink()
+    broker.market_order("STALE", 1_234.0)  # yesterday's never-filled order
+    broker.orders.clear()  # it predates today's run
+    assert len(broker._open) == 1
+
+    result = trading_daily_flow(cat, broker, slack, today=today)
+    assert result["ran"] is True
+    assert result["cancelled"] == 1
+    assert [o["ticker"] for o in broker.cancelled] == ["STALE"]
+    # the stale order never fills — only today's placement does
+    assert result["all_filled"] is True
+    filled_tickers = {o["ticker"] for o in broker.filled_orders()}
+    assert "STALE" not in filled_tickers and "T00" in filled_tickers
+    assert dict(broker.orders) == {"T00": 10_000.0}
