@@ -300,6 +300,44 @@ def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b")
     )
 
 
+def resolve_dup_groups_auto(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_driver_edges: int = 2_000_000,
+    mode: str = "auto",
+) -> DataFrame:
+    """Route dup-group resolution by edge-set size.
+
+    ``mode='driver'`` / ``'distributed'`` force a path;  ``'auto'``
+    (default) bounds the candidate-pair count with an early-stopping
+    probe (``limit(N+1).count()`` — never a full count) and switches
+    to min-label propagation when the edge set could exceed driver
+    memory. On a boilerplate-heavy web corpus near-dup clusters are
+    huge and the pair set alone can be tens of GB — collecting it
+    driver-side (the small-corpus fast path) would OOM the driver.
+    The pair frame is persisted across probe + resolution so the LSH
+    lineage is computed once, and unpersisted before returning (both
+    resolvers materialize eagerly: collect() or per-round
+    localCheckpoint)."""
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"mode must be auto|driver|distributed, got {mode!r}")
+    if mode == "driver":
+        return resolve_dup_groups(pairs, id_a, id_b)
+    if mode == "distributed":
+        return resolve_dup_groups_distributed(pairs, id_a, id_b)
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        oversize = pairs.limit(max_driver_edges + 1).count() > max_driver_edges
+        if oversize:
+            return resolve_dup_groups_distributed(pairs, id_a, id_b)
+        return resolve_dup_groups(pairs, id_a, id_b)
+    finally:
+        pairs.unpersist()
+
+
 def resolve_dup_groups_distributed(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -32,7 +32,7 @@ from nt_data_pipelines_spark.operators import text as TX
 from nt_data_pipelines_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
-    resolve_dup_groups,
+    resolve_dup_groups_auto,
 )
 
 
@@ -49,6 +49,12 @@ class CurationConfig:
     # per-source token budget for the mixing stage; None = no mixing
     token_budget_per_source: int | None = None
     source_col: str = "source"
+    # dup-group resolution routing: 'auto' probes the candidate-pair
+    # count and switches to distributed min-label propagation when the
+    # edge set could exceed driver memory; 'driver'/'distributed'
+    # force a path (operators/dedup.resolve_dup_groups_auto)
+    dup_group_resolver: str = "auto"
+    max_driver_edges: int = 2_000_000
 
 
 def curate_corpus(
@@ -77,7 +83,11 @@ def curate_corpus(
     stages.append(("exact_dedup", exact))
 
     pairs = minhash_lsh_candidates(exact, id_col, text_col)
-    groups = resolve_dup_groups(pairs)  # (doc_id, canonical_id)
+    groups = resolve_dup_groups_auto(  # (doc_id, canonical_id)
+        pairs,
+        max_driver_edges=config.max_driver_edges,
+        mode=config.dup_group_resolver,
+    )
     near = (
         exact.join(groups, id_col, "left")
         .filter(

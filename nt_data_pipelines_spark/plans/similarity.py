@@ -61,17 +61,29 @@ def s_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s_near_dup_pairs",
     oracle=f"""
-    WITH v AS (SELECT vec_id, {_dbl('embedding')} AS vec FROM embeddings)
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3
+    ),
+    v AS (SELECT vec_id, {_dbl('embedding')} AS vec FROM u)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_SQL_COS.format(a='a.vec', b='b.vec')} AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_SQL_COS.format(a='a.vec', b='b.vec')} >= 0.8
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.8).",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.8). Three exact "
+    "clones (vec_id+1e6) are planted in BOTH engines so the expected result "
+    "is non-empty at every scale factor — random sf embeddings never reach "
+    "cosine 0.8, which made the original check vacuous.",
 )
 def s_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return S.near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.8)
 
 
 def _plane_sql(p: int) -> str:

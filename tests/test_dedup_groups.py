@@ -55,3 +55,79 @@ def test_normalize_text_collapses_variants(spark):
     got = df.select("doc_id", normalize_text("text").alias("n")).collect()
     assert len({r["n"] for r in got}) == 1  # all collapse to "hello world"
     assert got[0]["n"] == "hello world"
+
+
+def test_auto_routing_selects_distributed_above_edge_bound(spark, monkeypatch):
+    """resolve_dup_groups_auto must (a) produce identical groups on
+    both paths and (b) actually route to the distributed resolver when
+    the bounded probe sees more edges than the driver cap."""
+    from nt_data_pipelines_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (7, 8)],
+        "id_a int, id_b int",
+    )
+    want = {r["doc_id"]: r["canonical_id"] for r in D.resolve_dup_groups(pairs).collect()}
+
+    calls = []
+    real_dist = D.resolve_dup_groups_distributed
+    real_driver = D.resolve_dup_groups
+    monkeypatch.setattr(
+        D, "resolve_dup_groups_distributed",
+        lambda *a, **k: calls.append("distributed") or real_dist(*a, **k),
+    )
+    monkeypatch.setattr(
+        D, "resolve_dup_groups",
+        lambda *a, **k: calls.append("driver") or real_driver(*a, **k),
+    )
+
+    # cap below the edge count -> distributed path, same groups
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.resolve_dup_groups_auto(pairs, max_driver_edges=5).collect()
+    }
+    assert got == want
+    assert calls == ["distributed"]
+
+    # cap above the edge count -> driver path, same groups
+    calls.clear()
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.resolve_dup_groups_auto(pairs, max_driver_edges=10_000).collect()
+    }
+    assert got == want
+    assert calls == ["driver"]
+
+    # explicit modes bypass the probe entirely
+    calls.clear()
+    D.resolve_dup_groups_auto(pairs, mode="distributed").collect()
+    assert calls == ["distributed"]
+    import pytest
+
+    with pytest.raises(ValueError, match="auto|driver|distributed"):
+        D.resolve_dup_groups_auto(pairs, mode="bogus")
+
+
+def test_curate_corpus_distributed_resolver_matches_driver(spark):
+    """The composed pipeline yields identical survivors whichever
+    dup-group resolver the config routes to."""
+    from nt_data_pipelines_spark.pipelines.corpus import CurationConfig, curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through fields of green grass under a wide open summer sky today"
+    )
+    rows = [(i, base + f" tail{i % 3}", "web") for i in range(12)]
+    rows += [(100 + i, f"unique document number {i} with its own distinct words "
+              + " ".join(f"tok{i}_{j}" for j in range(20)), "web") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+    outs = {}
+    for mode in ("driver", "distributed"):
+        cfg = CurationConfig(dup_group_resolver=mode)
+        packed, acct = curate_corpus(docs, config=cfg)
+        outs[mode] = (
+            sorted((r["stage"], r["docs"]) for r in acct.collect()),
+            packed.count(),
+        )
+    assert outs["driver"] == outs["distributed"]

@@ -1,0 +1,68 @@
+"""Driver-slot rotation coverage (ADVICE r4).
+
+The external verification driver records correctness rows for only the
+first 50 entries of ``queries()``. Rotating DRIVER_PRIORITY is how
+every query eventually gets a driver-recorded green — these tests make
+rotation gaps loud instead of assumed: every registered query must
+either already have a row in some CORRECTNESS_r0*.json artifact or sit
+in the upcoming round's 50 driver-checked slots.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+DRIVER_SLOTS = 50
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_names() -> list[str]:
+    import __spark_entry__ as E
+
+    return list(E.queries())
+
+
+def _verified_names() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
+
+
+def test_every_query_driver_verified_or_fronted():
+    names = _registry_names()
+    verified = _verified_names()
+    fronted = set(names[:DRIVER_SLOTS])
+    uncovered = [n for n in names if n not in verified and n not in fronted]
+    assert not uncovered, (
+        f"rotation gap: {uncovered} have no driver correctness row and are "
+        f"not in the next round's {DRIVER_SLOTS} driver-checked slots — "
+        "front them in plans/registry.DRIVER_PRIORITY"
+    )
+
+
+def test_never_verified_queries_are_fronted_first():
+    """Queries with no driver row yet must occupy the earliest slots —
+    a regression canary must never displace a never-verified query."""
+    names = _registry_names()
+    verified = _verified_names()
+    never = [n for n in names if n not in verified]
+    head = names[: len(never)] if never else []
+    assert set(never) <= set(names[:DRIVER_SLOTS]), never
+    # and they come before any already-verified canary in the ordering
+    if never:
+        last_never = max(names.index(n) for n in never)
+        assert last_never < DRIVER_SLOTS
+
+
+def test_driver_priority_names_exist():
+    from nt_data_pipelines_spark.plans.registry import DRIVER_PRIORITY, REGISTRY
+
+    import __spark_entry__  # noqa: F401  (populates REGISTRY)
+
+    unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicates"
