@@ -45,8 +45,15 @@ def materialize(df) -> int:
     return len(df.toPandas())
 
 
-def _time_queries(run_one, warmup: int, timed: int) -> dict[str, float]:
+def _time_queries(
+    run_one, warmup: int, timed: int
+) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
+    """Per query: (median, spread). Spread carries min/median/max/stdev
+    of the timed runs so round-over-round artifact comparisons can tell
+    scheduling noise from real regression (a single-run outlier shows
+    as max >> median with a stable min)."""
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for label, qname in HEADLINE.items():
         prepared = run_one(qname)
         for _ in range(warmup):
@@ -57,7 +64,13 @@ def _time_queries(run_one, warmup: int, timed: int) -> dict[str, float]:
             prepared()
             runs.append(time.perf_counter() - t0)
         timings[label] = round(statistics.median(runs), 4)
-    return timings
+        spread[label] = {
+            "min": round(min(runs), 4),
+            "median": timings[label],
+            "max": round(max(runs), 4),
+            "stdev": round(statistics.stdev(runs), 4) if len(runs) > 1 else 0.0,
+        }
+    return timings, spread
 
 
 def _production_block(spark, data_dir: str) -> dict:
@@ -82,7 +95,7 @@ def _production_block(spark, data_dir: str) -> dict:
         df = plans.REGISTRY[qname].fn(spark, data_dir)
         return lambda: materialize(df)
 
-    spark_t = _time_queries(spark_one, warmup=1, timed=3)
+    spark_t, spark_spread = _time_queries(spark_one, warmup=1, timed=3)
 
     import duckdb
 
@@ -106,12 +119,13 @@ def _production_block(spark, data_dir: str) -> dict:
         sql = plans.REGISTRY[qname].oracle
         return lambda: con.execute(sql).fetch_arrow_table()
 
-    duck_t = _time_queries(duck_one, warmup=1, timed=3)
+    duck_t, _ = _time_queries(duck_one, warmup=1, timed=3)
     spark_total, duck_total = round(sum(spark_t.values()), 4), round(sum(duck_t.values()), 4)
     return {
         "config": "prod(aqe=on)",
         "value": spark_total,
         "queries": spark_t,
+        "queries_spread": spark_spread,
         "duckdb_value": duck_total,
         "duckdb_queries": duck_t,
         "ratio_vs_duckdb": round(spark_total / duck_total, 4) if duck_total else None,
@@ -149,13 +163,14 @@ def main() -> None:
         df = plans.REGISTRY[qname].fn(spark, sf_dir)
         return lambda: materialize(df)
 
-    timings = _time_queries(spark_one, WARMUP_RUNS, TIMED_RUNS)
+    timings, spread = _time_queries(spark_one, WARMUP_RUNS, TIMED_RUNS)
 
     out = {
         "metric": "headline_median_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "sf": sf,
     }
     # Scaled production-config results ride in the same line (the

@@ -388,14 +388,17 @@ class Catalog:
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
         meta = self._meta(name)
         writer = df.write.mode(mode)
-        # Manifest generations keep a UNIFORM unpartitioned layout
-        # (partition keys stay data columns): appends land in the
-        # current generation dir, and mixing hive-style partition
-        # subdirs with the rewrite's plain files in one dir breaks
-        # partition discovery. Hive layout + pruning is the rename-mode
-        # path; the manifest answer to pruning is file-level stats in
-        # the log (out of scope).
-        if meta.partition_keys and self.commit_mode != "manifest":
+        # Hive partition layout in EVERY commit mode. Manifest
+        # generations used to keep a uniform unpartitioned layout —
+        # which silently dropped partition pruning exactly on the
+        # S3-class stores manifest mode targets. Uniformity holds as
+        # long as every writer into a generation dir partitions the
+        # same way: appends land under the current generation's
+        # year=.../ subdirs and rewrites lay fresh generation dirs out
+        # hive-style too (_rewrite_table_manifest). A year-filtered
+        # scan then prunes at file-listing time in both modes
+        # (test_manifest_scan_prunes_partitions pins the plan).
+        if meta.partition_keys:
             writer = writer.partitionBy(*meta.partition_keys)
         writer.parquet(self._data_path(name))
         self._refresh(name)
@@ -603,7 +606,14 @@ class Catalog:
         self._recover(name)
         self._fs_delete(staging)
         self._fs_delete(old)
-        deduped.write.mode("overwrite").parquet(staging)
+        meta = self._meta(name)
+        writer = deduped.write.mode("overwrite")
+        if meta.partition_keys:
+            # keep the hive layout through full rewrites — a plain
+            # staging dir renamed into place would silently drop
+            # partition pruning for every later scan
+            writer = writer.partitionBy(*meta.partition_keys)
+        writer.parquet(staging)
         self._fs_rename(self._path(name), old)
         self._fs_rename(staging, self._path(name))
         self._fs_delete(old)
@@ -629,8 +639,15 @@ class Catalog:
         # same generation can never overwrite each other's files; the
         # exclusive manifest create decides whose dir wins.
         new_dir = f"{self._path(name)}.g{gen}-{uuid.uuid4().hex[:8]}"
+        meta = self._meta(name)
+        writer = deduped.write.mode("overwrite")
+        if meta.partition_keys:
+            # generations carry the hive layout so partition pruning
+            # survives manifest mode (appends into this dir partition
+            # identically — _write)
+            writer = writer.partitionBy(*meta.partition_keys)
         try:
-            deduped.write.mode("overwrite").parquet(new_dir)
+            writer.parquet(new_dir)
         except Exception as e:
             # A winner one-or-more generations ahead may have GC'd our
             # in-flight staging dir out from under the write (its GC

@@ -256,8 +256,9 @@ def rolling_median(
       RollingOLS kernel (rolling_ols.py).
 
     ``"auto"`` picks sort for W <= max_sort_window, else grouped.
-    The sort form requires an odd window (middle order statistic ==
-    interpolated median only when W is odd); grouped handles both.
+    Both forms handle odd and even windows (even W averages the two
+    middle order statistics — pandas' linear interpolation at the
+    exact midpoint).
     """
     keys, order = _cols(partition_by), _cols(order_by)
     if method == "auto":
@@ -269,13 +270,17 @@ def rolling_median(
                 f"(O(W log W)); use method='grouped' above max_sort_window="
                 f"{max_sort_window}, or raise max_sort_window explicitly"
             )
-        if window_size % 2 != 1:
-            raise ValueError("method='sort' needs an odd window (middle order statistic)")
         w = keyed_window(keys, order).rowsBetween(-(window_size - 1), 0)
         gate = F.count(value_col).over(w) == window_size
-        med = F.element_at(
-            F.array_sort(F.collect_list(value_col).over(w)), (window_size + 1) // 2
-        )
+        sorted_arr = F.array_sort(F.collect_list(value_col).over(w))
+        if window_size % 2 == 1:
+            med = F.element_at(sorted_arr, (window_size + 1) // 2)
+        else:
+            mid = window_size // 2
+            med = (
+                F.element_at(sorted_arr, mid).cast("double")
+                + F.element_at(sorted_arr, mid + 1).cast("double")
+            ) / F.lit(2.0)
         return df.withColumn(out_col, F.when(gate, med))
 
     if method != "grouped":

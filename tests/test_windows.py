@@ -220,3 +220,47 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert min(vals) < lo  # the clip actually engaged
     inner = [v for v in vals if lo <= v <= hi]
     assert set(inner) <= set(got)  # untouched interior values survive
+
+
+def test_rolling_median_even_window_matches_pandas(spark):
+    """Even W: the sort form averages the two middle order statistics —
+    exactly pandas rolling(W).median() (VERDICT r4 item 7)."""
+    import pandas as pd
+    import pytest as _pt
+
+    from nt_data_pipelines_spark.operators.windows import rolling_median
+
+    rows = [
+        ("a", i, None if i == 9 else float((i * 37 + 11) % 53)) for i in range(40)
+    ] + [("b", i, float((i * 13 + 5) % 29)) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+
+    for w in (2, 4, 20):
+        got = {
+            (r["key"], r["seq"]): r["med"]
+            for r in rolling_median(df, "key", "seq", "value", w, method="sort").collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["key", "seq", "value"]).sort_values(
+            ["key", "seq"]
+        )
+        pdf["med"] = pdf.groupby("key")["value"].transform(
+            lambda s: s.rolling(w, min_periods=w).median()
+        )
+        for r in pdf.itertuples():
+            g = got[(r.key, r.seq)]
+            if pd.isna(r.med):
+                assert g is None, (r.key, r.seq, g)
+            else:
+                assert g == _pt.approx(r.med), (r.key, r.seq, g, r.med)
+
+    # even-window grouped path agrees with the sort path too
+    gs = rolling_median(df, "key", "seq", "value", 4, method="grouped")
+    got_g = {(r["key"], r["seq"]): r["med"] for r in gs.collect()}
+    got_s = {
+        (r["key"], r["seq"]): r["med"]
+        for r in rolling_median(df, "key", "seq", "value", 4, method="sort").collect()
+    }
+    assert all(
+        (got_g[k] is None and got_s[k] is None) or got_g[k] == _pt.approx(got_s[k])
+        for k in got_s
+    )
