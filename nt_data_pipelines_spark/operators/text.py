@@ -583,3 +583,177 @@ def duplicated_ngram_fraction(
             F.coalesce(F.col("__dup") / F.col("n_grams"), F.lit(0.0)).alias(out_col),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_doc_frac: float = 0.3,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop lines shared by too many docs.
+
+    Navigation menus, cookie banners, and footer chrome repeat across
+    a large fraction of a web crawl; a line whose document frequency
+    exceeds ``max_doc_frac`` of the corpus (and at least ``min_docs``
+    docs, so tiny corpora don't nuke everything) is removed from every
+    document. Docs whose every line is boilerplate drop out entirely —
+    they carried no original content.
+
+    Output: (id, clean text) with surviving lines rejoined in their
+    original order.
+
+    Scale shape: posexplode -> line document-frequency (one shuffle on
+    the line) -> anti-join lines against the boilerplate set (same
+    key, same shuffle partitioning) -> per-doc reassembly (one shuffle
+    on the doc id). The corpus-size scalar broadcasts; nothing is
+    pairwise, and the boilerplate line set is tiny by construction
+    (only lines repeating across >max_doc_frac of all docs).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    line_df = lines.groupBy("__line").agg(
+        F.count_distinct(id_col).alias("__docfreq")
+    )
+    boiler = line_df.crossJoin(F.broadcast(n_docs)).filter(
+        (F.col("__docfreq") >= min_docs)
+        & (F.col("__docfreq") > F.lit(max_doc_frac) * F.col("__n"))
+    )
+    kept = lines.join(boiler.select("__line"), "__line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("clean_text")
+        )
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based sampling weights per source (multilingual-LM mixing).
+
+    The standard up/down-weighting rule for mixing data sources when
+    training on imbalanced corpora: sample source s with probability
+    proportional to (token share)^alpha. alpha=1 reproduces natural
+    frequencies; alpha->0 approaches uniform; 0.3-0.7 is the usual
+    range for boosting low-resource sources.
+
+    Output: (source, n_docs, n_tokens, weight) — weight rounded to 6
+    decimals, summing to ~1. One shuffle (the groupBy); the per-source
+    totals are a handful of rows, so the normalizing constant is a
+    broadcast crossJoin, never a second pass over data.
+    """
+    from nt_data_pipelines_spark.plans.registry import dsum
+
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum(token_count(text_col), 0).cast("long").alias("n_tokens"),
+    )
+    powered = per_source.withColumn(
+        "__p", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    total = powered.select(F.sum("__p").alias("__z"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            (F.round(F.col("__p") / F.col("__z"), 6) + F.lit(0.0)).alias("weight"),
+        )
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    The same md5-bucket trick as
+    :func:`deterministic_stratified_sample`: a row's split follows
+    from its id alone, so assignments survive retries, repartitioning,
+    engine swaps, and incremental appends (a new batch never reshuffles
+    old rows between splits — the failure mode of RNG or modulo-on-
+    row-number splits). Buckets are 0..9999; split boundaries are the
+    cumulative weights in SORTED split-name order (deterministic
+    regardless of dict order).
+
+    Output: original columns + ``split``. Pure codegen expression, no
+    shuffle.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    expr = None
+    cum = 0.0
+    for name, w in sorted(weights.items()):
+        cum += w
+        cond = bucket < int(round(cum * 10000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-rounding guard: the final boundary is exactly 10000
+    last = sorted(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: list[str] | str = ("source", "lang"),
+    text_col: str = "text",
+    short_doc_words: int = 50,
+) -> DataFrame:
+    """Per-slice corpus report card — the sanity sheet before training.
+
+    For each group: document count, exact total tokens, mean document
+    length in tokens (rounded 6), and the fraction of short docs
+    (under ``short_doc_words`` whitespace words — a high share flags a
+    slice of stubs/navigation pages).
+
+    One shuffle; token counts are codegen expressions, totals are
+    decimal sums (order-independent, engine-parity safe).
+    """
+    from nt_data_pipelines_spark.plans.registry import dsum
+
+    keys = [by] if isinstance(by, str) else list(by)
+    toks = token_count(text_col)
+    n_words = F.size(words(text_col))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum(toks, 0).cast("long").alias("n_tokens"),
+            (
+                F.round(
+                    dsum(toks, 0) / F.count(F.lit(1)), 6
+                ) + F.lit(0.0)
+            ).alias("mean_tokens"),
+            (
+                F.round(
+                    F.sum(F.when(n_words < short_doc_words, 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ) + F.lit(0.0)
+            ).alias("short_doc_frac"),
+        )
+    )

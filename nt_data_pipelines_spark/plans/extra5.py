@@ -1,0 +1,137 @@
+"""Training-pipeline coverage batch 5: boilerplate line removal,
+temperature-based source mixing, deterministic split assignment, and
+the per-slice corpus report card — each oracle-paired on the shared
+testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.text import (
+    assign_splits,
+    corpus_stats,
+    remove_boilerplate_lines,
+    temperature_mix_weights,
+)
+from nt_data_pipelines_spark.plans.registry import register, sql_dsum
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+_TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 4)) AS INT) % 10000"
+
+# The synthetic documents are single-line; derive a deterministic
+# multi-line corpus in BOTH engines by breaking on the word "batch"
+# (common in the vocabulary), then plant a footer line on every even
+# doc_id — 50% document frequency, comfortably over the 30% threshold,
+# so the check actually asserts line REMOVAL at every scale factor
+# (no natural line repeats across >30% of the synthetic docs).
+_FOOTER = "all rights reserved cookie notice"
+_LINED = (
+    "replace(text, ' batch ', chr(10)) || "
+    f"CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_FOOTER}' ELSE '' END"
+)
+
+
+@register(
+    "t_boilerplate_lines",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split({_LINED}, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, UNNEST(ls) AS line, generate_subscripts(ls, 1) AS ord
+      FROM base
+    ),
+    docfreq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS d FROM lines GROUP BY line
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    kept AS (
+      SELECT l.doc_id, l.line, l.ord
+      FROM lines l JOIN docfreq USING (line), n
+      WHERE NOT (d >= 2 AND d > 0.3 * n_docs)
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+    doc="CCNet-style boilerplate removal: lines repeating across >30% of "
+    "docs are dropped from every document (nav menus / cookie banners in "
+    "a real crawl). Line df via one shuffle; no pairwise comparison.",
+)
+def t_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " batch ", "\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n" + _FOOTER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(docs, "doc_id", max_doc_frac=0.3, min_docs=2)
+
+
+@register(
+    "p_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)} AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (SELECT *, POWER(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           ROUND(pw / SUM(pw) OVER (), 6) + 0.0 AS weight
+    FROM p
+    """,
+    doc="Temperature-based source mixing (alpha=0.5): sampling weight per "
+    "source proportional to token-share^alpha — the standard up-weighting "
+    "of low-resource sources for LM training mixes.",
+)
+def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "source", "text", alpha=0.5)
+
+
+@register(
+    "p_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL.format(id="doc_id")} < 100 THEN 'test'
+                WHEN {_BUCKET_SQL.format(id="doc_id")} < 9900 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment by content hash: "
+    "assignments survive retries, repartitioning and incremental appends "
+    "(boundaries are cumulative weights in sorted split-name order).",
+)
+def p_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(
+        docs, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).select("doc_id", "split")
+
+
+@register(
+    "a_corpus_report",
+    oracle=f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)} AS BIGINT)
+             AS n_tokens,
+           ROUND({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)}
+                 / COUNT(*), 6) + 0.0 AS mean_tokens,
+           ROUND(SUM(CASE WHEN len(str_split(text, ' ')) < 50 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS short_doc_frac
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Per-(source, lang) corpus report card: doc count, exact token "
+    "totals (decimal sums), mean doc length, short-doc fraction — the "
+    "sanity sheet reviewed before a training run.",
+)
+def a_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats(docs, ["source", "lang"], "text", short_doc_words=50)

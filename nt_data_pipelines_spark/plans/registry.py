@@ -66,6 +66,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # representative spread of each operator class. Full-registry parity
 # (all entries, same protocol) runs via scripts/check_parity.py.
 DRIVER_PRIORITY: list[str] = [
+    # round-5 additions (plans/extra5.py), never driver-verified:
+    "t_boilerplate_lines",
+    "p_temperature_mix",
+    "p_split_assign",
+    "a_corpus_report",
     # Round-5 rotation: the 31 queries with no row in CORRECTNESS_r04
     # (driver-green in r1-r3, re-verified locally each round) go first
     # so the round-5 driver artifact re-greens them; the union of
@@ -119,10 +124,6 @@ DRIVER_PRIORITY: list[str] = [
     "s_brute_topk",
     "s_lsh_ann_topk",
     "s_ivf_search_topk",
-    "m_media_metadata",
-    "t_sequence_pack",
-    "w_sessionize",
-    "a_rollup_counts",
 ]
 
 

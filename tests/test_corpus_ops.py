@@ -1,0 +1,114 @@
+"""Unit tests for batch-5 training-pipeline operators: boilerplate
+line removal, temperature mixing, split assignment, corpus stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.text import (
+    assign_splits,
+    corpus_stats,
+    remove_boilerplate_lines,
+    temperature_mix_weights,
+)
+
+
+def test_remove_boilerplate_lines(spark):
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha content\n{footer}\nmore alpha"),
+            (2, f"unique beta content\n{footer}"),
+            (3, f"unique gamma content\n{footer}"),
+            (4, "plain doc with no footer"),
+            (5, footer),  # pure boilerplate -> drops out entirely
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(docs, "doc_id", max_doc_frac=0.5).collect()
+    }
+    assert out[1] == "unique alpha content\nmore alpha"  # order preserved
+    assert out[2] == "unique beta content"
+    assert out[4] == "plain doc with no footer"
+    assert 5 not in out  # nothing left
+    # below the df threshold nothing is removed
+    keep_all = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(docs, "doc_id", max_doc_frac=0.95).collect()
+    }
+    assert keep_all[2] == f"unique beta content\n{footer}"
+
+
+def test_remove_boilerplate_min_docs_guard(spark):
+    # two docs sharing a line: df=0.5 of a 4-doc corpus but min_docs=3
+    # spares it
+    docs = spark.createDataFrame(
+        [(1, "shared line\na"), (2, "shared line\nb"), (3, "c"), (4, "d")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", max_doc_frac=0.25, min_docs=3
+        ).collect()
+    }
+    assert out[1] == "shared line\na"
+
+
+def test_temperature_mix_weights(spark):
+    docs = spark.createDataFrame(
+        [("a", "w " * 900), ("b", "w " * 100)], ["source", "text"]
+    ).select("source", F.trim("text").alias("text"))
+    w = {r["source"]: r["weight"] for r in
+         temperature_mix_weights(docs, alpha=0.5).collect()}
+    # sqrt(900):sqrt(100) = 3:1
+    assert w["a"] == pytest.approx(0.75, abs=1e-6)
+    assert w["b"] == pytest.approx(0.25, abs=1e-6)
+    # alpha=1 reproduces natural token shares
+    w1 = {r["source"]: r["weight"] for r in
+          temperature_mix_weights(docs, alpha=1.0).collect()}
+    assert w1["a"] == pytest.approx(0.9, abs=1e-6)
+    # alpha=0 is uniform
+    w0 = {r["source"]: r["weight"] for r in
+          temperature_mix_weights(docs, alpha=0.0).collect()}
+    assert w0["a"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_assign_splits_deterministic_and_complete(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    out = assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1600  # ~90%
+    # same ids -> same split on a re-run over a different partitioning
+    again = assign_splits(
+        docs.repartition(7), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(docs, "doc_id", {"train": 0.5})
+
+
+def test_corpus_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            ("web", "en", "one two three"),
+            ("web", "en", "word " * 60),
+            ("book", "fr", "court"),
+        ],
+        ["source", "lang", "text"],
+    ).select("source", "lang", F.trim("text").alias("text"))
+    out = {(r["source"], r["lang"]): r.asDict() for r in
+           corpus_stats(docs, ["source", "lang"]).collect()}
+    web = out[("web", "en")]
+    assert web["n_docs"] == 2 and web["n_tokens"] == 63
+    assert web["mean_tokens"] == pytest.approx(31.5)
+    assert web["short_doc_frac"] == pytest.approx(0.5)  # one of two is short
+    assert out[("book", "fr")]["short_doc_frac"] == 1.0
