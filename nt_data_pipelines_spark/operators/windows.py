@@ -420,3 +420,92 @@ def winsorize(
         .withColumn(out_col or value_col, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def rolling_skew_kurt(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    window_size: int,
+    skew_col: str = "skew",
+    kurt_col: str = "kurt",
+) -> DataFrame:
+    """Trailing sample skewness + excess kurtosis, null until full window.
+
+    pandas-compatible adjusted estimators (Fisher-Pearson G1, excess
+    G2) computed from raw power sums held in ONE window pass: powers
+    are explicit double multiplications (IEEE-identical across
+    engines) summed as decimals (order-independent), so a SQL oracle
+    reproducing the same algebra matches to the last rounded digit.
+    Requires ``window_size >= 4`` (G2's denominator needs n > 3).
+
+    Tail-risk labeling for return series: skew flags crash asymmetry,
+    kurtosis flags fat tails — both standard screens before a
+    vol-targeted portfolio construction.
+    """
+    if window_size < 4:
+        raise ValueError("rolling_skew_kurt needs window_size >= 4")
+    w = keyed_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    x = F.col(value_col).cast("double")
+    x2, x3, x4 = x * x, x * x * x, x * x * x * x
+
+    def dsum_over(c):
+        return F.sum(c.cast("decimal(38,8)")).over(w).cast("double")
+
+    n = F.lit(float(window_size))
+    s1, s2, s3, s4 = dsum_over(x), dsum_over(x2), dsum_over(x3), dsum_over(x4)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    skew = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    g2 = m4 / (m2 * m2) - 3
+    kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    gate = F.count(value_col).over(w) == window_size
+    return df.withColumn(skew_col, F.when(gate, skew)).withColumn(
+        kurt_col, F.when(gate, kurt)
+    )
+
+
+def rsi(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    order_by: Sequence[str] | str,
+    value_col: str,
+    period: int = 14,
+    out_col: str = "rsi",
+) -> DataFrame:
+    """Relative Strength Index, simple-moving-average variant.
+
+    Cutler's RSI: average gain / average loss over the trailing
+    ``period`` price DIFFS (so a full window spans period+1 prices),
+    null until full. The classic Wilder recursion is an EWMA — that
+    variant belongs to the stateful :mod:`operators.ewma` kernel; the
+    SMA form stays a pure window expression (one shuffle, codegen) and
+    is SQL-oracle-expressible. All-zero-loss windows pin RSI at 100,
+    all-zero-gain at 0 (both by the limit of the formula).
+    """
+    w_ord = keyed_window(partition_by, order_by)
+    w = w_ord.rowsBetween(-(period - 1), 0)
+    diff = F.col(value_col) - F.lag(value_col, 1).over(w_ord)
+    with_diff = df.withColumn("__d", diff)
+
+    def dsum_over(c):
+        return F.sum(c.cast("decimal(38,8)")).over(w).cast("double")
+
+    gain = F.greatest(F.col("__d"), F.lit(0.0))
+    loss = F.greatest(-F.col("__d"), F.lit(0.0))
+    ag, al = dsum_over(gain), dsum_over(loss)
+    gate = F.count("__d").over(w) == period
+    val = (
+        F.when(al == 0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al))
+    )
+    return with_diff.withColumn(out_col, F.when(gate, val)).drop("__d")

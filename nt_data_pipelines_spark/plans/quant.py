@@ -178,3 +178,95 @@ NGRAM_N = 8
 def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.duplicated_ngram_fraction(docs, "doc_id", "text", n=NGRAM_N)
+
+
+# decimal window sum over w of an expression (engine-parity: exact,
+# order-independent; powers spelled as explicit multiplications so the
+# double values match bit-for-bit before the sum)
+def _dwsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,8))) OVER w AS DOUBLE)"
+
+
+_MOM = f"""
+    WITH sums AS (
+      SELECT user_id, ts, event_id,
+             COUNT(value) OVER w AS cnt,
+             {_dwsum('value')} AS s1,
+             {_dwsum('value * value')} AS s2,
+             {_dwsum('value * value * value')} AS s3,
+             {_dwsum('value * value * value * value')} AS s4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    ),
+    mom AS (
+      SELECT user_id, ts,
+             s1 / 21 AS mean,
+             s2 / 21 - (s1/21) * (s1/21) AS m2,
+             s3 / 21 - 3 * (s1/21) * (s2/21) + 2 * (s1/21)*(s1/21)*(s1/21) AS m3,
+             s4 / 21 - 4 * (s1/21) * (s3/21) + 6 * (s1/21)*(s1/21) * (s2/21)
+                     - 3 * (s1/21)*(s1/21)*(s1/21)*(s1/21) AS m4
+      FROM sums WHERE cnt = 21
+    )
+    SELECT user_id, ts,
+           ROUND((m3 / POWER(m2, 1.5)) * SQRT(21.0 * 20.0) / 19.0, 6) + 0.0 AS skew,
+           ROUND(((21.0 + 1) * (m4 / (m2 * m2) - 3) + 6) * 20.0 / (19.0 * 18.0), 6) + 0.0
+             AS kurt
+    FROM mom
+"""
+
+
+@register(
+    "w_rolling_skew_kurt",
+    oracle=_MOM,
+    doc="Trailing 21-row sample skewness + excess kurtosis "
+    "(pandas-adjusted G1/G2 estimators) from decimal power sums in one "
+    "window pass — tail-risk labeling for return series.",
+)
+def w_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.rolling_skew_kurt(ev, "user_id", ["ts", "event_id"], "value", 21)
+    return (
+        out.filter(F.col("skew").isNotNull())
+        .select(
+            "user_id", "ts",
+            (F.round("skew", 6) + 0.0).alias("skew"),
+            (F.round("kurt", 6) + 0.0).alias("kurt"),
+        )
+    )
+
+
+@register(
+    "w_rsi14",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             value - LAG(value, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS diff
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             COUNT(diff) OVER w AS cnt,
+             CAST(SUM(CAST(GREATEST(diff, 0.0) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS ag,
+             CAST(SUM(CAST(GREATEST(-diff, 0.0) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS al
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts,
+           ROUND(CASE WHEN al = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) + 0.0 AS rsi
+    FROM s WHERE cnt = 14
+    """,
+    doc="Cutler's RSI (simple-average gains/losses over 14 diffs): the "
+    "window-expression form; the Wilder EWMA recursion lives in the "
+    "stateful ewma kernel tier.",
+)
+def w_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = W.rsi(ev, "user_id", ["ts", "event_id"], "value", period=14)
+    return (
+        out.filter(F.col("rsi").isNotNull())
+        .select("user_id", "ts", (F.round("rsi", 6) + 0.0).alias("rsi"))
+    )

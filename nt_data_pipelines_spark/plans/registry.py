@@ -66,7 +66,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # representative spread of each operator class. Full-registry parity
 # (all entries, same protocol) runs via scripts/check_parity.py.
 DRIVER_PRIORITY: list[str] = [
-    # round-5 additions (plans/extra5.py), never driver-verified:
+    # round-5 additions (plans/extra5.py, plans/quant.py), never
+    # driver-verified:
+    "w_rolling_skew_kurt",
+    "w_rsi14",
     "t_boilerplate_lines",
     "p_temperature_mix",
     "p_split_assign",
@@ -122,8 +125,6 @@ DRIVER_PRIORITY: list[str] = [
     "d_minhash_lsh",
     "d_simhash_banded",
     "s_brute_topk",
-    "s_lsh_ann_topk",
-    "s_ivf_search_topk",
 ]
 
 

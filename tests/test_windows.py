@@ -264,3 +264,77 @@ def test_rolling_median_even_window_matches_pandas(spark):
         (got_g[k] is None and got_s[k] is None) or got_g[k] == _pt.approx(got_s[k])
         for k in got_s
     )
+
+
+def test_rolling_skew_kurt_matches_pandas(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from nt_data_pipelines_spark.operators.windows import rolling_skew_kurt
+
+    rows = [
+        (k, i, float(((i * 29 + ord(k) * 7) % 83) - 41) / 7.0)
+        for k in ("a", "b")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+    got = {
+        (r["key"], r["seq"]): (r["skew"], r["kurt"])
+        for r in rolling_skew_kurt(df, "key", "seq", "value", 12).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["key", "seq", "value"]).sort_values(["key", "seq"])
+    pdf["skew"] = pdf.groupby("key")["value"].transform(
+        lambda s: s.rolling(12, min_periods=12).skew()
+    )
+    pdf["kurt"] = pdf.groupby("key")["value"].transform(
+        lambda s: s.rolling(12, min_periods=12).kurt()
+    )
+    n_checked = 0
+    for r in pdf.itertuples():
+        gs, gk = got[(r.key, r.seq)]
+        if pd.isna(r.skew):
+            assert gs is None
+        else:
+            # raw-power-sum algebra carries ~1e-9 cancellation noise
+            # near zero — inside the engine round-6 parity contract
+            assert gs == _pt.approx(r.skew, rel=1e-6, abs=1e-6)
+            assert gk == _pt.approx(r.kurt, rel=1e-6, abs=1e-6)
+            n_checked += 1
+    assert n_checked > 80
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 4"):
+        rolling_skew_kurt(df, "key", "seq", "value", 3)
+
+
+def test_rsi_bounds_and_golden(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from nt_data_pipelines_spark.operators.windows import rsi
+
+    # monotone up -> RSI 100; monotone down -> RSI 0; mixed matches a
+    # driver-side SMA-RSI computation
+    rows = (
+        [("up", i, float(i)) for i in range(20)]
+        + [("dn", i, float(-i)) for i in range(20)]
+        + [("mx", i, float(((i * 17 + 3) % 23))) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "key string, seq int, value double")
+    out = rsi(df, "key", "seq", "value", period=6)
+    got = {(r["key"], r["seq"]): r["rsi"] for r in out.collect()}
+    assert got[("up", 19)] == _pt.approx(100.0)
+    assert got[("dn", 19)] == _pt.approx(0.0)
+    pdf = pd.DataFrame(
+        [r for r in rows if r[0] == "mx"], columns=["key", "seq", "value"]
+    ).sort_values("seq")
+    d = pdf["value"].diff()
+    ag = d.clip(lower=0).rolling(6, min_periods=6).mean()
+    al = (-d).clip(lower=0).rolling(6, min_periods=6).mean()
+    want = 100 - 100 / (1 + ag / al)
+    for seq, w in zip(pdf["seq"], want):
+        g = got.get(("mx", seq))
+        if pd.isna(w):
+            assert g is None or g in (0.0, 100.0)  # al==0 edge handled via formula limit
+        else:
+            assert g == _pt.approx(w, rel=1e-9)
