@@ -757,3 +757,58 @@ def corpus_stats(
             ).alias("short_doc_frac"),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global paragraph-level exact dedup, keeping the FIRST occurrence.
+
+    Splits every document on ``sep``, and keeps each distinct
+    paragraph only at its first occurrence corpus-wide (ordered by
+    document id, then position within the document — deterministic).
+    Later repeats, including repeats inside the same document, are
+    removed; documents reassemble from their surviving paragraphs in
+    original order, and documents left empty drop out. This is the
+    paragraph-granular sibling of exact document dedup — the standard
+    middle tier between full-doc hashing and shingle fuzziness for
+    crawl corpora where quotes/syndication duplicate passages, not
+    whole pages.
+
+    Scale shape: posexplode -> one shuffle on the paragraph to pick
+    the (min doc, min pos) winner -> semi-join occurrences against
+    winners on the same key -> one shuffle on the doc id to
+    reassemble. Linear; no pairwise comparison; the winner set is one
+    row per distinct paragraph.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    winners = paras.groupBy("__para").agg(
+        F.min(F.struct(F.col(id_col).alias("__wid"), F.col("__pos").alias("__wpos"))).alias(
+            "__w"
+        )
+    )
+    kept = paras.join(
+        winners.select(
+            "__para", F.col("__w.__wid").alias(id_col), F.col("__w.__wpos").alias("__pos")
+        ),
+        ["__para", id_col, "__pos"],
+        "left_semi",
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("clean_text")
+        )
+    )

@@ -135,3 +135,40 @@ def p_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus_stats(docs, ["source", "lang"], "text", short_doc_words=50)
+
+
+@register(
+    "t_dedup_paragraphs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split({_LINED}, chr(10)) AS ls FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, UNNEST(ls) AS para, generate_subscripts(ls, 1) AS ord
+      FROM base
+    ),
+    ranked AS (
+      SELECT doc_id, para, ord,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, ord) AS rn
+      FROM paras
+    )
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY ord) AS clean_text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """,
+    doc="Global paragraph-level exact dedup keeping the first occurrence "
+    "corpus-wide (by doc id, then position) — the middle tier between "
+    "full-document hashing and shingle fuzziness. Linear shuffles only.",
+)
+def t_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " batch ", "\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\n" + _FOOTER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs, "doc_id")

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "w_rolling_skew_kurt",
     "w_rsi14",
     "t_boilerplate_lines",
+    "t_dedup_paragraphs",
     "p_temperature_mix",
     "p_split_assign",
     "a_corpus_report",
@@ -124,7 +125,6 @@ DRIVER_PRIORITY: list[str] = [
     "d_exact_dedup",
     "d_minhash_lsh",
     "d_simhash_banded",
-    "s_brute_topk",
 ]
 
 

@@ -112,3 +112,22 @@ def test_corpus_stats(spark):
     assert web["mean_tokens"] == pytest.approx(31.5)
     assert web["short_doc_frac"] == pytest.approx(0.5)  # one of two is short
     assert out[("book", "fr")]["short_doc_frac"] == 1.0
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from nt_data_pipelines_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared quote\nalpha body"),
+            (2, "beta body\nshared quote"),     # later repeat removed
+            (3, "shared quote"),                 # fully duplicate -> drops out
+            (4, "gamma\ngamma"),                 # in-doc repeat keeps first only
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in dedup_paragraphs(docs, "doc_id").collect()}
+    assert out[1] == "shared quote\nalpha body"  # first occurrence kept in place
+    assert out[2] == "beta body"
+    assert 3 not in out
+    assert out[4] == "gamma"
