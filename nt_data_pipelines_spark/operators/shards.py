@@ -35,22 +35,33 @@ def write_training_shards(
     df: DataFrame,
     path: str,
     id_col: str,
-    num_shards: int,
+    num_shards: int | None = None,
     split_col: str | None = None,
     order_by: list[str] | str | None = None,
+    shard_col: str | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as one parquet file per (split, shard).
 
     ``order_by`` defaults to the id column: in-file order is then
     reproducible run-to-run regardless of upstream partitioning.
+    Pass ``shard_col`` to reuse an upstream shard assignment (e.g.
+    pack_sequences' hash shard, so packed bins stay contiguous in
+    their file) instead of deriving one from the id; exactly one of
+    ``num_shards`` / ``shard_col`` is required.
     """
-    if num_shards < 1:
+    if (num_shards is None) == (shard_col is None):
+        raise ValueError("pass exactly one of num_shards / shard_col")
+    if num_shards is not None and num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     order = (
         [order_by] if isinstance(order_by, str) else list(order_by or [id_col])
     )
-    out = df.withColumn(SHARD_COL, shard_assignment(id_col, num_shards))
+    if shard_col is None:
+        out = df.withColumn(SHARD_COL, shard_assignment(id_col, num_shards))
+    else:
+        out = df.withColumn(SHARD_COL, F.col(shard_col)) if shard_col != SHARD_COL else df
+        num_shards = out.select(SHARD_COL).distinct().count()
     part_cols = ([split_col] if split_col else []) + [SHARD_COL]
     n_tasks = num_shards * (df.select(split_col).distinct().count() if split_col else 1)
     (

@@ -55,6 +55,10 @@ class CurationConfig:
     # force a path (operators/dedup.resolve_dup_groups_auto)
     dup_group_resolver: str = "auto"
     max_driver_edges: int = 2_000_000
+    # when set, the packed corpus materializes under this path as one
+    # parquet file per shard (operators/shards.write_training_shards),
+    # bins contiguous and ordered within each file
+    output_path: str | None = None
 
 
 def curate_corpus(
@@ -135,6 +139,24 @@ def curate_corpus(
         chunks.withColumn("chunk_uid", F.concat_ws("#", id_col, "chunk_start")),
         "chunk_uid", "chunk_text", capacity=config.pack_capacity,
     )
+
+    if config.output_path is not None:
+        from nt_data_pipelines_spark.operators.shards import write_training_shards
+
+        with_text = packed.join(
+            chunks.select(
+                F.concat_ws("#", id_col, "chunk_start").alias("chunk_uid"),
+                "chunk_text",
+            ),
+            "chunk_uid",
+        )
+        write_training_shards(
+            with_text,
+            config.output_path,
+            id_col="chunk_uid",
+            shard_col="shard",
+            order_by=["bin_id", "chunk_uid"],
+        )
 
     accounting = None
     for name, frame in stages:

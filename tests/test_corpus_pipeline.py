@@ -45,3 +45,32 @@ def test_curate_corpus_with_source_mixing(spark):
     acct = {r["stage"]: r["docs"] for r in accounting.collect()}
     assert "source_mix" in acct
     assert 0 < acct["source_mix"] < acct["quality_lang_gate"]  # budget bites
+
+
+def test_curate_corpus_materializes_shards(spark, tmp_path):
+    """output_path materializes the packed corpus: one parquet file per
+    shard, bins contiguous and ordered inside each file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nt_data_pipelines_spark.pipelines.corpus import CurationConfig, curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out_dir = str(tmp_path / "corpus_out")
+    cfg = CurationConfig(
+        min_words=5, max_dup_ngram_frac=0.95, output_path=out_dir
+    )
+    packed, acct = curate_corpus(docs, config=cfg)
+    assert packed.count() > 0  # the gate keeps real data
+
+    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    dirs = {os.path.dirname(f) for f in files}
+    assert files and len(files) == len(dirs)  # one file per shard
+    back = spark.read.parquet(out_dir)
+    assert back.count() == packed.count()
+    assert {"chunk_uid", "n_tokens", "bin_id", "chunk_text"} <= set(back.columns)
+    for f in files[:3]:
+        bins = pq.read_table(f, columns=["bin_id"])["bin_id"].to_pylist()
+        assert bins == sorted(bins)  # bins contiguous within the file
