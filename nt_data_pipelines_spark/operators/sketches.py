@@ -82,3 +82,69 @@ def distinct_sketch_error(df: DataFrame, col: str, rsd: float = 0.05) -> DataFra
         "approx",
         (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")).alias("rel_error"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    candidate_capacity: int | None = None,
+) -> DataFrame:
+    """Top-k frequent values via Misra-Gries candidates + exact recount.
+
+    Two linear passes, no full shuffle of the value column:
+
+    1. **Candidate pass** — every partition runs a Misra-Gries summary
+       with ``candidate_capacity`` counters (default ``8*k``) over its
+       rows inside ``mapInPandas`` (the generator holds one dict per
+       partition across Arrow batches). MG guarantees any value with
+       global frequency > n/capacity survives in at least one
+       partition's summary, so the union of per-partition candidates
+       is a superset of the true top-(capacity) — only
+       O(partitions x capacity) candidate rows ever shuffle.
+    2. **Verify pass** — exact counts for the (tiny, broadcast)
+       candidate set via a filtered groupBy, then top-k with a
+       deterministic count-desc, value-asc order.
+
+    The result is EXACT top-k whenever the k-th item's frequency
+    exceeds n/capacity (the MG guarantee); raise
+    ``candidate_capacity`` for flatter distributions. This is the
+    vocabulary/domain-frequency profiler at 100 TB: pass 1 moves
+    summaries, pass 2 scans once more but aggregates only candidate
+    matches map-side.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cap = candidate_capacity or 8 * k
+    if cap < k:
+        raise ValueError(f"candidate_capacity must be >= k, got {cap} < {k}")
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col].dropna():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    # decrement-all step (dict rebuild, amortized O(1)/row)
+                    counters = {
+                        key: c - 1 for key, c in counters.items() if c > 1
+                    }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    field = df.schema[col]
+    cand_df = df.select(col).mapInPandas(
+        mg_partition, schema=f"{col} {field.dataType.simpleString()}"
+    )
+    candidates = cand_df.distinct()
+    return (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc(col))
+        .limit(k)
+    )

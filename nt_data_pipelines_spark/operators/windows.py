@@ -556,3 +556,44 @@ def rsi(
     return with_cums.withColumn(out_col, F.when(cnt == period, val)).drop(
         "__d", "__cg", "__cl", "__cn"
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    partition_by: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "robust_z",
+    consistency: float = 0.6744897501960817,
+) -> DataFrame:
+    """Median/MAD z-score per group — the outlier-immune A5 variant.
+
+    ``0.6745 * (x - median) / MAD`` (MAD = median absolute deviation;
+    the consistency constant makes MAD estimate sigma under
+    normality). Winsorize/clip pipelines standardize with THIS when
+    the raw z-score's own mean/std would be dragged by the outliers
+    being hunted.
+
+    Physical shape: per-group exact median (one agg) broadcast back,
+    per-group MAD over the deviations (second agg) broadcast back —
+    the fact table shuffles zero times; both broadcast sides are one
+    row per group. A zero-MAD group (constant values) yields null.
+    """
+    keys = _cols(partition_by)
+    med = df.groupBy(*keys).agg(F.median(value_col).alias("__med"))
+    with_med = df.join(F.broadcast(med), keys)
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), keys)
+        .withColumn(
+            out_col,
+            F.lit(consistency)
+            * F.try_divide(
+                F.col(value_col) - F.col("__med"),
+                F.nullif(F.col("__mad"), F.lit(0.0)),
+            ),
+        )
+        .drop("__med", "__mad")
+    )

@@ -172,3 +172,29 @@ def t_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_paragraphs(docs, "doc_id")
+
+
+@register(
+    "t_vocab_topk",
+    oracle="""
+    SELECT w AS token, COUNT(*) AS count
+    FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY count DESC, token ASC
+    LIMIT 25
+    """,
+    doc="Corpus vocabulary profile: exact top-25 tokens via Misra-Gries "
+    "candidates + exact recount — two linear passes, only per-partition "
+    "summaries and candidate matches ever shuffle (the BPE-prep / "
+    "domain-frequency profiler shape for 100 TB).",
+)
+def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    # capacity far above the synthetic vocab (31 distinct) => MG keeps
+    # every counter, so the top-k is exact by construction at any SF
+    return heavy_hitters(toks, "token", k=25, candidate_capacity=4096).select(
+        "token", F.col("count").cast("long").alias("count")
+    )

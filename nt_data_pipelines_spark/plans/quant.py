@@ -270,3 +270,33 @@ def w_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("rsi").isNotNull())
         .select("user_id", "ts", (F.round("rsi", 6) + 0.0).alias("rsi"))
     )
+
+
+@register(
+    "w_robust_zscore",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(0.6744897501960817 * (e.value - m.med) / NULLIF(d.mad, 0.0), 6) + 0.0
+             AS robust_z
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    """,
+    doc="Median/MAD robust z-score per group — the outlier-immune A5 "
+    "variant used ahead of winsorization. Fact table never shuffles: two "
+    "tiny per-group aggregates broadcast back.",
+)
+def w_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.windows import robust_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_zscore(ev, "event_type", "value")
+    return out.select(
+        "event_id", "event_type", (F.round("robust_z", 6) + 0.0).alias("robust_z")
+    )

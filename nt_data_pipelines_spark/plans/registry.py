@@ -70,6 +70,8 @@ DRIVER_PRIORITY: list[str] = [
     # driver-verified:
     "w_rolling_skew_kurt",
     "w_rsi14",
+    "w_robust_zscore",
+    "t_vocab_topk",
     "t_boilerplate_lines",
     "t_dedup_paragraphs",
     "p_temperature_mix",
@@ -123,8 +125,6 @@ DRIVER_PRIORITY: list[str] = [
     "p_scalar_suite",
     "f1_date_parts",
     "d_exact_dedup",
-    "d_minhash_lsh",
-    "d_simhash_banded",
 ]
 
 

@@ -54,3 +54,34 @@ def test_sketch_agg_is_partial(spark):
     # map-side partial agg underneath it
     assert plan.count("HashAggregate") >= 2
     assert plan.index("HashAggregate") < plan.index("Exchange") < plan.rindex("HashAggregate")
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """MG candidates + recount return the exact top-k on a Zipf-ish
+    distribution, across partitionings."""
+    from nt_data_pipelines_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    for rank in range(1, 40):
+        rows += [(f"w{rank:02d}",)] * (2000 // rank)
+    df = spark.createDataFrame(rows, "token string")
+
+    exact = [
+        (r["token"], r["cnt"])
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+        .collect()
+    ]
+    for parts in (2, 16):
+        got = [
+            (r["token"], r["count"])
+            for r in heavy_hitters(df.repartition(parts), "token", k=10).collect()
+        ]
+        assert got == exact
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "token", k=0)

@@ -338,3 +338,27 @@ def test_rsi_bounds_and_golden(spark):
             assert g is None or g in (0.0, 100.0)  # al==0 edge handled via formula limit
         else:
             assert g == _pt.approx(w, rel=1e-9)
+
+
+def test_robust_zscore_immune_to_outliers(spark):
+    import pytest as _pt
+
+    from nt_data_pipelines_spark.operators.windows import robust_zscore
+
+    # 19 well-behaved points + one gross outlier per group
+    rows = [("g", float(i)) for i in range(1, 20)] + [("g", 1e9)]
+    rows += [("const", 5.0)] * 6
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = {
+        (r["key"], r["value"]): r["robust_z"]
+        for r in robust_zscore(df, "key", "value").collect()
+    }
+    # 20 values -> interpolated median 10.5, MAD 5: z(10) ~ -0.067
+    assert out[("g", 10.0)] == _pt.approx(0.6744897501960817 * -0.5 / 5.0)
+    # the outlier is FAR out but the center/scale stayed put
+    assert out[("g", 1e9)] > 1e6
+    # a normal point's z is O(1) — classic z-score would be ~0 because
+    # sigma exploded; robust z keeps resolution
+    assert 0.5 < abs(out[("g", 15.0)]) < 2.0
+    # zero-MAD (constant) group -> null, not inf
+    assert out[("const", 5.0)] is None
