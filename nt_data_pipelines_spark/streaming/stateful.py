@@ -165,3 +165,104 @@ def streaming_drawdown(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RSI_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("avg_gain", T.DoubleType()),
+        T.StructField("avg_loss", T.DoubleType()),
+        T.StructField("prev", T.DoubleType()),
+        T.StructField("n_diffs", T.LongType()),
+    ]
+)
+
+
+def streaming_rsi(
+    events: DataFrame,
+    period: int = 14,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key streaming Wilder RSI — the EWMA recursion the batch
+    window form (operators/windows.rsi, Cutler's SMA variant)
+    deliberately leaves to this tier.
+
+    Wilder's smoothing: after seeding with the simple average of the
+    first ``period`` diffs,
+
+        avg_t = (avg_{t-1} * (period-1) + x_t) / period
+
+    for gains and losses separately; RSI = 100 - 100/(1 + ag/al)
+    (al == 0 pins 100). State per key: two smoothed averages, the
+    previous price, and the diff count — four numbers, carried across
+    micro-batches by ``applyInPandasWithState``. Same ordering
+    contract as :func:`streaming_ewma`: monotone event time per key
+    across batches, sorted within each batch here.
+
+    Emits ``rsi`` null until ``period`` diffs have been seen
+    (matching the batch operator's full-window gate).
+    """
+
+    in_fields = {f.name: f for f in events.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[key_col],
+            in_fields[ts_col],
+            in_fields[value_col],
+            T.StructField("rsi", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ag, al, prev, n = state.get
+        else:
+            ag, al, prev, n = 0.0, 0.0, float("nan"), 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        out = []
+        import math
+
+        for x in pdf[value_col]:
+            x = float(x)
+            if math.isnan(prev):
+                out.append(None)  # no diff yet
+            else:
+                d = x - prev
+                g, lo = max(d, 0.0), max(-d, 0.0)
+                n += 1
+                if n < period:
+                    # seeding phase: plain accumulation
+                    ag, al = ag + g, al + lo
+                    out.append(None)
+                elif n == period:
+                    ag, al = (ag + g) / period, (al + lo) / period
+                    out.append(100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al))
+                else:
+                    ag = (ag * (period - 1) + g) / period
+                    al = (al * (period - 1) + lo) / period
+                    out.append(100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al))
+            prev = x
+        state.update((ag, al, prev, n))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                ts_col: pdf[ts_col],
+                value_col: pdf[value_col],
+                "rsi": out,
+            }
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=RSI_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

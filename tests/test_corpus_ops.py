@@ -131,3 +131,37 @@ def test_dedup_paragraphs_keep_first(spark):
     assert out[2] == "beta body"
     assert 3 not in out
     assert out[4] == "gamma"
+
+
+def test_boilerplate_and_paragraph_dedup_idempotent(spark):
+    """Applying either cleaner to its own output changes nothing —
+    the fixpoint property a re-run pipeline relies on."""
+    from nt_data_pipelines_spark.operators.text import (
+        dedup_paragraphs,
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "footer\nalpha one"),
+            (2, "footer\nbeta two"),
+            (3, "footer\ngamma three"),
+            (4, "delta\nfooter"),
+            (5, "epsilon only"),
+        ],
+        "doc_id int, text string",
+    )
+    once = remove_boilerplate_lines(docs, "doc_id", max_doc_frac=0.5)
+    twice = remove_boilerplate_lines(
+        once.select("doc_id", F.col("clean_text").alias("text")), "doc_id",
+        max_doc_frac=0.5,
+    )
+    a = {(r["doc_id"], r["clean_text"]) for r in once.collect()}
+    b = {(r["doc_id"], r["clean_text"]) for r in twice.collect()}
+    assert a == b
+
+    once_p = dedup_paragraphs(docs, "doc_id")
+    twice_p = dedup_paragraphs(
+        once_p.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
+    assert {tuple(r) for r in once_p.collect()} == {tuple(r) for r in twice_p.collect()}

@@ -145,3 +145,69 @@ def test_streaming_drawdown_matches_batch_across_batches(spark, tmp_path):
     # the peak survives the batch boundary: batch-2 rows see batch-1 highs
     k0 = got[got.user_id == 0].sort_values("ts")
     assert k0["running_peak"].to_numpy()[60 // 3] >= k0["running_peak"].to_numpy()[0]
+
+
+def test_streaming_rsi_matches_batch_wilder(spark, tmp_path):
+    """Wilder RSI carried across micro-batches equals a driver-side
+    batch Wilder computation over the concatenated series."""
+    from nt_data_pipelines_spark.streaming.stateful import streaming_rsi
+
+    rng = np.random.RandomState(7)
+    src = str(tmp_path / "rsi_src")
+    batch1 = _mk_events(0, 1, 45, rng)
+    batch2 = _mk_events(1000, 2, 45, rng)
+    spark.createDataFrame(batch1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    period = 6
+    out = streaming_rsi(stream, period=period)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rsi_out")
+        .option("checkpointLocation", str(tmp_path / "rsi_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from rsi_out").toPandas()
+    assert len(got) == 90
+
+    # driver-side Wilder golden over the full concatenated series
+    full = pd.DataFrame(
+        batch1 + batch2,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).sort_values(["user_id", "ts"])
+    for key, grp in full.groupby("user_id"):
+        vals = grp["value"].tolist()
+        ag = al = 0.0
+        n = 0
+        want = [None]  # first row: no diff
+        for prev, x in zip(vals, vals[1:]):
+            d = x - prev
+            g, lo = max(d, 0.0), max(-d, 0.0)
+            n += 1
+            if n < period:
+                ag, al = ag + g, al + lo
+                want.append(None)
+            elif n == period:
+                ag, al = (ag + g) / period, (al + lo) / period
+                want.append(100.0 if al == 0 else 100 - 100 / (1 + ag / al))
+            else:
+                ag = (ag * (period - 1) + g) / period
+                al = (al * (period - 1) + lo) / period
+                want.append(100.0 if al == 0 else 100 - 100 / (1 + ag / al))
+        series = (
+            got[got["user_id"] == key].sort_values("ts")["rsi"].tolist()
+        )
+        assert len(series) == len(want)
+        for g_, w_ in zip(series, want):
+            if w_ is None:
+                assert g_ is None or pd.isna(g_)
+            else:
+                assert g_ == pytest.approx(w_, rel=1e-12)
