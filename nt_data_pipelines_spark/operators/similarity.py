@@ -207,3 +207,59 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric int quantization (storage tier for ANN).
+
+    Each vector gets one float scale (its max |component| / (2^(b-1)-1))
+    and an int array ``round(x / scale)`` — the standard 4x shrink
+    before a 100 TB embedding corpus goes to disk; search dequantizes
+    with one multiply. Rounding is spelled ``floor(x/s + 0.5)`` so any
+    engine reproduces it bit-for-bit (ROUND() is half-up in Spark,
+    half-even in DuckDB — the known parity trap). Zero vectors keep
+    scale 0 and quantize to zeros. Pure JVM array expressions
+    (transform/aggregate) — no shuffle, no Python.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = as_double_array(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(qmax)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col), scale.alias("q_scale"), q.alias("q_vec")
+    )
+
+
+def dequantize_error(
+    df: DataFrame,
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruction check: max abs error per vector after dequant —
+    bounded by scale/2 for symmetric rounding (the test tier for
+    :func:`quantize_embeddings`)."""
+    v = as_double_array(vec_col)
+    joined = df.select(id_col, v.alias("__v")).join(quantized, id_col)
+    err = F.aggregate(
+        F.zip_with(
+            "__v",
+            "q_vec",
+            lambda x, q: F.abs(x - q.cast("double") * F.col("q_scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return joined.select(id_col, "q_scale", err.alias("max_abs_err"))

@@ -198,3 +198,94 @@ def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", k=25, candidate_capacity=4096).select(
         "token", F.col("count").cast("long").alias("count")
     )
+
+
+@register(
+    "s_quantize_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    s AS (
+      SELECT vec_id, vec,
+             list_aggregate(list_transform(vec, x -> ABS(x)), 'max') / 127.0 AS q_scale
+      FROM v
+    )
+    SELECT vec_id, q_scale + 0.0 AS q_scale,
+           generate_subscripts(vec, 1) - 1 AS idx,
+           CASE WHEN q_scale = 0 THEN 0
+                ELSE CAST(FLOOR(UNNEST(vec) / q_scale + 0.5) AS INT)
+           END AS q
+    FROM s
+    """,
+    doc="Per-vector symmetric int8 quantization: one scale + int array per "
+    "embedding (4x storage shrink before a corpus ships to disk). Rounding "
+    "spelled floor(x/s + 0.5) in both engines — ROUND() is half-up in Spark "
+    "but half-even in DuckDB. The check flattens the int array to "
+    "(vec_id, idx, q) rows: the value-hash protocol compares scalars.",
+)
+def s_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id", "q_scale", F.posexplode("q_vec").alias("idx", "q")
+    ).select("vec_id", "q_scale", F.col("idx").cast("long").alias("idx"), "q")
+
+
+@register(
+    "p_quantile_transform",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id), 6) + 0.0 AS q
+    FROM events
+    """,
+    doc="Per-group quantile (percent-rank) feature transform — maps any "
+    "distribution onto [0,1] for ML feature prep; deterministic event_id "
+    "tie-break.",
+)
+def p_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("q"),
+    )
+
+
+@register(
+    "a_null_profile",
+    oracle="""
+    SELECT 'value' AS col, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT value) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT props)
+    FROM events
+    """,
+    doc="Column data-quality profile (row count, nulls, exact distinct) for "
+    "a selected column set — the schema sanity sheet before a pipeline "
+    "onboards a new table.",
+)
+def a_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for c in ("value", "event_type", "props"):
+        row = ev.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -72,6 +72,9 @@ DRIVER_PRIORITY: list[str] = [
     "w_rsi14",
     "w_robust_zscore",
     "t_vocab_topk",
+    "s_quantize_embeddings",
+    "p_quantile_transform",
+    "a_null_profile",
     "t_boilerplate_lines",
     "t_dedup_paragraphs",
     "p_temperature_mix",
@@ -122,9 +125,6 @@ DRIVER_PRIORITY: list[str] = [
     "w6_rolling_regression",
     "o4_top3_per_group",
     "r2_pivot_event_type",
-    "p_scalar_suite",
-    "f1_date_parts",
-    "d_exact_dedup",
 ]
 
 

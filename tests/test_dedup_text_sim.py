@@ -449,3 +449,27 @@ def test_duplicated_ngram_fraction_signal(spark):
     assert n2 == 4 and frac2 == pytest.approx(3 / 4)  # 'tail' gram is unique
     assert got[3][1] == 0.0
     assert got[4] == (0, 0.0)
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Dequantization error is bounded by scale/2 per component; zero
+    vectors quantize to zeros with scale 0."""
+    from nt_data_pipelines_spark.operators.similarity import (
+        dequantize_error,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [100.0, -50.0, 0.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = quantize_embeddings(df, bits=8)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[3]["q_scale"] == 0.0 and got[3]["q_vec"] == [0, 0, 0, 0]
+    assert max(abs(v) for v in got[2]["q_vec"]) == 127  # max component hits qmax
+    errs = {r["vec_id"]: (r["q_scale"], r["max_abs_err"])
+            for r in dequantize_error(df, q).collect()}
+    for vid, (scale, err) in errs.items():
+        assert err <= scale / 2 + 1e-12, (vid, scale, err)
