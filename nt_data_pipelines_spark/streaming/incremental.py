@@ -90,6 +90,29 @@ def streaming_sessions(
     )
 
 
+def streaming_dedup_ids(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop replayed event ids.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per id among rows
+    whose event times fall within the watermark of each other — the
+    standard repair for sources that redeliver on retry (Kafka
+    producers, at-least-once collectors). State is one entry per id
+    seen inside the watermark horizon and is evicted as the watermark
+    advances, so memory is bounded by (arrival rate x watermark), not
+    by stream lifetime. A duplicate arriving LATER than the watermark
+    is by contract no longer deduplicated — pick the watermark from
+    the source's real redelivery window.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def upsert_foreach_batch(catalog, table: str):
     """foreachBatch sink: each micro-batch append+optimize upserts.
 

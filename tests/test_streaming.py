@@ -376,3 +376,35 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
     assert {u: sorted(v) for u, v in streamed.items()} == {
         u: sorted(v) for u, v in batch.items()
     }
+
+
+def test_streaming_dedup_ids_drops_replays(spark, tmp_path):
+    """Replayed event ids within the watermark collapse to one row;
+    distinct ids all survive (at-least-once -> effectively-once)."""
+    import datetime as dt
+
+    from nt_data_pipelines_spark.streaming.incremental import streaming_dedup_ids
+
+    src = str(tmp_path / "dup_events")
+    base = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    for i in range(40):
+        rows.append((i, base + dt.timedelta(minutes=i), i % 3, "view", float(i), "{}"))
+    # redeliveries: same ids, slightly later event times (retry clock skew)
+    for i in range(0, 40, 4):
+        rows.append((i, base + dt.timedelta(minutes=i, seconds=30), i % 3, "view", float(i), "{}"))
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    deduped = streaming_dedup_ids(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ids")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select event_id from dedup_ids").collect()
+    ids = [r["event_id"] for r in got]
+    assert sorted(ids) == list(range(40))  # every id exactly once
