@@ -209,6 +209,51 @@ def lsh_ann_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus (LSH-blocked).
+
+    For every vector, its top-k cosine neighbors among vectors sharing
+    its random-hyperplane bucket — the adjacency list semantic-dedup
+    and clustering tiers consume. Unlike :func:`lsh_ann_topk` (a small
+    query set against the corpus) the graph ranks EVERY corpus row, so
+    a broadcast of one side is impossible; the bucket equi-join is the
+    only scale-viable shape (the candidate set is linear in corpus
+    size times bucket occupancy, never the N^2 cross product).
+    Vectors in singleton buckets get no edges — the standard LSH
+    recall trade (fewer planes -> denser graph, bigger buckets).
+
+    Returns (src_id, rank, dst_id, cosine), rank 1..k by round-6
+    cosine with dst-id tie-break (engine-stable).
+    """
+    sig = lsh_signatures(corpus, id_col, vec_col, num_planes, dim)
+    a = sig.select(F.col(id_col).alias("src_id"), "bucket")
+    b = sig.select(F.col(id_col).alias("dst_id"), "bucket")
+    va = corpus.select(F.col(id_col).alias("src_id"), as_double_array(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("dst_id"), as_double_array(vec_col).alias("vb"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+        .join(va, "src_id")
+        .join(vb, "dst_id")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6) + 0.0)
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "dst_id", "cosine")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
