@@ -70,7 +70,13 @@ class TableMeta:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str, commit_mode: str = "rename"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        commit_mode: str = "rename",
+        time_travel: int = 0,
+    ):
         """``commit_mode`` picks the full-rewrite commit protocol:
 
         - ``"rename"`` (default): rename-aside commit — atomic on
@@ -82,12 +88,28 @@ class Catalog:
           stores where rename is copy+delete. Readers resolve the max
           valid manifest; a crashed commit leaves garbage, never a
           torn table.
+
+        ``time_travel`` (manifest mode only) keeps that many SUPERSEDED
+        generations' data on disk, readable via :meth:`table_at` /
+        :meth:`history`. Each retained generation is a full table copy
+        (this catalog's manifests reference whole directories, not file
+        sets), so the storage cost is ``time_travel + 1`` copies —
+        retention is opt-in and bounded by ``KEEP_MANIFESTS``. The
+        default 0 GCs superseded generations at the next commit,
+        exactly as before.
         """
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"commit_mode must be rename|manifest, got {commit_mode!r}")
+        if type(time_travel) is not int or not 0 <= time_travel < KEEP_MANIFESTS:
+            raise ValueError(
+                f"time_travel must be an int in [0, {KEEP_MANIFESTS}), got {time_travel!r}"
+            )
+        if time_travel and commit_mode != "manifest":
+            raise ValueError("time_travel requires commit_mode='manifest'")
         self.spark = spark
         self.root = root
         self.commit_mode = commit_mode
+        self.time_travel = time_travel
         # Scheme-qualified roots (file://, s3a://, hdfs://) must go
         # through the Hadoop FS API end to end: os.makedirs/open on a
         # URI string silently create a literal "file:/..." RELATIVE
@@ -471,6 +493,123 @@ class Catalog:
         cols = [on] if isinstance(on, str) else list(on)
         self.rewrite(name, lambda df: df.join(keys.select(*cols), cols, "left_anti"))
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str | list[str] | None = None,
+        delete_col: str | None = None,
+    ) -> None:
+        """MERGE the ``source`` batch into the table (CDC apply-changes).
+
+        Delta-style row semantics in one atomic commit:
+
+        - target rows matched by a source row are REPLACED by it
+          (whole-row update — for partial-column updates, join the old
+          values into ``source`` first);
+        - matched source rows whose ``delete_col`` is true DELETE the
+          target row (the CDC tombstone pattern);
+        - unmatched source rows are INSERTED (unless tombstoned);
+        - unmatched target rows are untouched.
+
+        ``on`` defaults to the table's primary keys. A source with two
+        rows for one key is rejected (the match would be ambiguous —
+        same contract as Delta's MERGE); pre-dedupe CDC batches with
+        ``row_number`` on the change sequence first.
+
+        Versus ``upsert`` (append + optimize): merge supports deletes,
+        never persists superseded rows, and performs exactly one
+        commit. Scale shape: the source is typically an incremental
+        batch orders of magnitude smaller than the table, so the
+        duplicate-key probe and the anti-join against target keys are
+        cheap; the commit itself is the table rewrite (file-level
+        Delta-style logs that rewrite only touched files are the next
+        tier, out of scope for this directory-manifest catalog — same
+        trade documented on ``optimize``).
+        """
+        meta = self._meta(name)
+        keys = [on] if isinstance(on, str) else list(on or meta.primary_keys)
+        if not keys:
+            raise ValueError(f"merge needs key columns: {name!r} has no primary keys")
+        cols = [f.name for f in meta.struct.fields]
+        missing = [c for c in keys if c not in cols]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in table schema {cols}")
+        flag = (
+            F.col(delete_col).cast("boolean") if delete_col is not None else F.lit(False)
+        )
+        src = source.select(*cols, F.coalesce(flag, F.lit(False)).alias("__del"))
+        if src.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).filter(
+            F.col("__n") > 1
+        ).limit(1).count():
+            raise ValueError(
+                f"merge source has multiple rows for one ({', '.join(keys)}) key; "
+                "the match is ambiguous — dedupe the batch first"
+            )
+        seq = self._state["next_seq"]
+        self._state["next_seq"] = seq + 1
+        self._save()
+        survivors = (
+            src.filter(~F.col("__del"))
+            .drop("__del")
+            .withColumn(INGEST_COL, F.lit(seq).cast("long"))
+        )
+        src_keys = src.select(*keys)
+
+        def build(full: DataFrame) -> DataFrame:
+            untouched = full.join(src_keys, keys, "left_anti")
+            return untouched.unionByName(survivors)
+
+        self.rewrite(name, build)
+
+    # ---- time travel (manifest mode) ----
+    def history(self, name: str) -> list[dict]:
+        """Readable snapshots, oldest first: ``[{"generation", "dir"}]``.
+
+        Only generations whose manifest AND data directory both survive
+        GC appear — with ``time_travel=N`` that is the current
+        generation plus up to N predecessors. Snapshot granularity is
+        the REWRITE (optimize/rewrite/merge): appends land inside the
+        then-current generation dir, so a historical generation reads
+        as the table just before the next rewrite, not just after its
+        own. (Append-level snapshots need file-set manifests — the
+        Delta-log tier this catalog deliberately stops short of.)
+        """
+        if self.commit_mode != "manifest":
+            raise ValueError("history() requires commit_mode='manifest'")
+        self._meta(name)
+        out = []
+        for g in range(max(0, self._current_gen(name) - KEEP_MANIFESTS), self._current_gen(name) + 1):
+            doc = self._read_manifest(name, g)
+            if doc is None:
+                continue
+            ddir = self._gen_data_dir(name, g)
+            fs, p = self._hfs(ddir)
+            if fs.exists(p):
+                out.append({"generation": g, "dir": os.path.basename(ddir)})
+        return out
+
+    def table_at(self, name: str, generation: int) -> DataFrame:
+        """The table as of ``generation`` (see :meth:`history` for the
+        snapshot semantics and retention rules)."""
+        if self.commit_mode != "manifest":
+            raise ValueError("table_at() requires commit_mode='manifest'")
+        meta = self._meta(name)
+        if self._read_manifest(name, generation) is None:
+            raise LookupError(
+                f"generation {generation} of {name!r} is not readable "
+                "(never committed, or GC'd — raise time_travel to retain more)"
+            )
+        ddir = self._gen_data_dir(name, generation)
+        fs, p = self._hfs(ddir)
+        if not fs.exists(p):
+            raise LookupError(
+                f"generation {generation} of {name!r} data was GC'd — "
+                "raise time_travel to retain more"
+            )
+        df = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(ddir)
+        return df.select(*[f.name for f in meta.struct.fields])
+
     # ---- optimize (PK dedup, last write wins) ----
     def optimize(self, name: str) -> None:
         """PK dedup compaction; recomputes and retries after losing a
@@ -691,7 +830,11 @@ class Catalog:
         #    parses < gen on the NEXT rewrite and is collected then.
         latest = self._current_gen(name)
         keep = {os.path.basename(new_dir)}
-        for g in range(gen, latest + 1):
+        # time_travel widens the keep window below our own gen so the
+        # retained generations stay readable via table_at(); dirs whose
+        # manifest was never committed (orphan stagings) are still
+        # collected regardless of age.
+        for g in range(max(0, gen - self.time_travel), latest + 1):
             doc = self._read_manifest(name, g)
             if doc and isinstance(doc.get("dir"), str):
                 keep.add(doc["dir"])
@@ -702,8 +845,9 @@ class Catalog:
             parsed = self._parse_gen(bn)
             if bn not in keep and parsed is not None and parsed < gen:
                 fs.delete(st.getPath(), True)
-        # Manifest-log GC: readers only ever resolve the LATEST valid
-        # manifest (no time travel), so entries more than
+        # Manifest-log GC: ordinary readers resolve the LATEST valid
+        # manifest and time travel reaches back at most time_travel
+        # (< KEEP_MANIFESTS) generations, so entries more than
         # KEEP_MANIFESTS generations old are dead weight — drop them,
         # keeping a margin so a concurrent reader mid-resolution never
         # loses the file under its feet.
