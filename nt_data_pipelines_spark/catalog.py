@@ -386,6 +386,51 @@ class Catalog:
         empty = self.spark.createDataFrame([], self._with_ingest(schema))
         self._write(name, empty, "overwrite")
 
+    def add_column(self, name: str, field: T.StructField) -> None:
+        """Schema evolution: append a nullable column (metadata-only).
+
+        No data files are touched: the read path scans with the
+        DECLARED schema (``_raw_table``), so parquet files written
+        before the change simply surface NULL for the new column —
+        the same mechanism Delta/Iceberg add-column relies on. Inserts
+        after the change must carry the column (strict by design: a
+        silently null-filled measure hides real pipeline bugs).
+        """
+        meta = self._meta(name)
+        if any(f.name == field.name for f in meta.struct.fields):
+            raise ValueError(f"column {field.name!r} already exists on {name!r}")
+        if field.name == INGEST_COL:
+            raise ValueError(f"{INGEST_COL!r} is reserved")
+        if not field.nullable:
+            raise ValueError(
+                "added columns must be nullable — existing files have no values for them"
+            )
+        new = T.StructType(list(meta.struct.fields) + [field])
+        self._state["tables"][name]["schema_json"] = json.dumps(new.jsonValue())
+        self._save()
+
+    def drop_column(self, name: str, col: str) -> None:
+        """Schema evolution: remove a column (metadata-only).
+
+        Partition and primary-key columns are load-bearing (layout and
+        upsert identity) and cannot be dropped. Existing files keep the
+        physical column; scans stop selecting it — storage is
+        reclaimed lazily by the next full rewrite."""
+        meta = self._meta(name)
+        if col in meta.partition_keys:
+            raise ValueError(f"cannot drop partition column {col!r}")
+        if col in meta.primary_keys:
+            raise ValueError(f"cannot drop primary-key column {col!r}")
+        fields = [f for f in meta.struct.fields if f.name != col]
+        if len(fields) == len(meta.struct.fields):
+            raise KeyError(f"column {col!r} does not exist on {name!r}")
+        if not fields:
+            raise ValueError(f"cannot drop the last column of {name!r}")
+        self._state["tables"][name]["schema_json"] = json.dumps(
+            T.StructType(fields).jsonValue()
+        )
+        self._save()
+
     def drop(self, name: str) -> None:
         if self.exists(name):
             del self._state["tables"][name]
