@@ -3,12 +3,16 @@ from nt_data_pipelines_spark.streaming.incremental import (
     minhash_foreach_batch,
     run_available_now,
     streaming_dup_groups,
+    streaming_enrich,
     streaming_event_counts,
+    streaming_stream_join,
     upsert_foreach_batch,
 )
 
 __all__ = [
     "streaming_event_counts",
+    "streaming_enrich",
+    "streaming_stream_join",
     "upsert_foreach_batch",
     "run_available_now",
     "dedup_foreach_batch",

@@ -113,6 +113,59 @@ def streaming_dedup_ids(
     )
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.
+
+    The static side is re-planned every micro-batch, so a dim table
+    updated between batches is picked up without restarting the query
+    (Spark's documented stream-static semantics). Scale: the dim side
+    goes through the normal join planning — small dims auto-broadcast
+    per batch, so the stream never shuffles; a huge dim falls back to
+    a shuffle join per micro-batch, at which point pre-bucketing the
+    dim (operators/bucketed.py) is the right layout.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(dim, keys, how)
+
+
+def streaming_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    within: str | None = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state.
+
+    Both sides are watermarked and, when ``within`` is given, the join
+    carries an event-time range predicate (right within [left - within,
+    left]); watermark + range bound is what lets Spark EVICT buffered
+    rows instead of holding both streams forever — without them a
+    stream-stream join's state grows monotonically, which is the #1
+    production failure of naive streaming joins. ``within=None`` keeps
+    the pure equi-join (state bounded by the watermarks alone).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol = F.col(f"__l.{left_ts}")
+    rcol = F.col(f"__r.{right_ts}")
+    cond = None
+    for k in keys:
+        c = F.col(f"__l.{k}") == F.col(f"__r.{k}")
+        cond = c if cond is None else cond & c
+    if within is not None:
+        cond = cond & rcol.between(lcol - F.expr(f"INTERVAL {within}"), lcol)
+    return lw.alias("__l").join(rw.alias("__r"), cond, "inner")
+
+
 def upsert_foreach_batch(catalog, table: str):
     """foreachBatch sink: each micro-batch append+optimize upserts.
 
