@@ -109,6 +109,121 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4
+_PQ_K = 8
+_PQ_DIM = 64
+_PQ_W = _PQ_DIM // _PQ_M
+
+# Squared L2 via three dot products (algebraically the fold Spark
+# computes; round-6 absorbs the summation-order ulps, same accepted
+# trade as every cosine oracle).
+_PQ_D2 = (
+    "(ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}), 6) + 0.0)"
+)
+
+_PQ_COMMON = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    blocks AS (SELECT UNNEST(range({_PQ_M})) AS block),
+    blocked AS (
+      SELECT vec_id, block,
+             vec[block * {_PQ_W} + 1 : block * {_PQ_W} + {_PQ_W}] AS sub
+      FROM v CROSS JOIN blocks
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, vec
+      FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    codebook AS (
+      SELECT block, code,
+             vec[block * {_PQ_W} + 1 : block * {_PQ_W} + {_PQ_W}] AS centroid
+      FROM seeds CROSS JOIN blocks
+    ),
+    assigned AS (
+      SELECT vec_id, block, code FROM (
+        SELECT b.vec_id, b.block, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id, b.block
+                 ORDER BY {_PQ_D2.format(a='b.sub', b='cb.centroid')} ASC, cb.code ASC
+               ) AS rk
+        FROM blocked b JOIN codebook cb ON b.block = cb.block)
+      WHERE rk = 1
+    )"""
+
+
+@register(
+    "s_pq_encode",
+    oracle=f"""
+    WITH {_PQ_COMMON}
+    SELECT vec_id, STRING_AGG(code, ',' ORDER BY block) AS codes
+    FROM assigned GROUP BY vec_id
+    """,
+    doc="Product-quantization encoding: each 64-dim vector becomes 4 "
+    "per-block nearest-centroid codes (seed codebook = the 8 lowest-id "
+    "vectors' sub-blocks; trained codebooks are covered by goldens in "
+    "test_pq.py). Round-6 distance argmins with lowest-code ties make "
+    "the codes engine-stable; at rest 64 floats shrink to 4 small ints.",
+)
+def s_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.pq import pq_encode, pq_seed_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    encoded = pq_encode(emb, cb, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM)
+    # the comparison harness has no canonical array dtype — serialize
+    # the code list for the oracle compare (the operator's contract
+    # stays array<bigint>)
+    return encoded.select("vec_id", F.array_join("codes", ",").alias("codes"))
+
+
+@register(
+    "s_pq_search_topk",
+    oracle=f"""
+    WITH {_PQ_COMMON},
+    q AS (
+      SELECT vec_id AS query_id, block,
+             vec[block * {_PQ_W} + 1 : block * {_PQ_W} + {_PQ_W}] AS sub
+      FROM v CROSS JOIN blocks WHERE vec_id < 10
+    ),
+    lut AS (
+      SELECT query_id, cb.block, cb.code,
+             {_PQ_D2.format(a='q.sub', b='cb.centroid')} AS d
+      FROM q JOIN codebook cb ON q.block = cb.block
+    ),
+    scored AS (
+      SELECT lut.query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS approx_dist2
+      FROM assigned a JOIN lut ON a.block = lut.block AND a.code = lut.code
+      WHERE lut.query_id != a.vec_id
+      GROUP BY lut.query_id, a.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, approx_dist2 FROM (
+      SELECT query_id, neighbor_id, approx_dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist2 ASC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="PQ asymmetric-distance search: exact (query x codebook) "
+    "distance LUT broadcast, per-row approximate distance = 4 lookups "
+    "decimal-summed, top-5 ascending. The corpus scan touches codes "
+    "only — never raw vectors — which is what makes exhaustive ADC "
+    "affordable at 100 TB (and composes with IVF cell probing).",
+)
+def s_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.pq import (
+        pq_encode,
+        pq_search,
+        pq_seed_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_search(codes, queries, cb, "vec_id", "embedding", k=5, m=_PQ_M, dim=_PQ_DIM)
+
+
 _Z_BITS = 8
 
 
