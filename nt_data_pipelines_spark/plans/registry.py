@@ -80,6 +80,13 @@ DRIVER_PRIORITY: list[str] = [
     "p_temperature_mix",
     "p_split_assign",
     "a_corpus_report",
+    # round-5 session-2 additions (plans/extra6.py), never driver-verified:
+    "t_unigram_logprob",
+    "s_knn_graph",
+    "p_zorder_key",
+    "a_equidepth_hist",
+    "s_pq_encode",
+    "s_pq_search_topk",
     # Round-5 rotation: the 31 queries with no row in CORRECTNESS_r04
     # (driver-green in r1-r3, re-verified locally each round) go first
     # so the round-5 driver artifact re-greens them; the union of
