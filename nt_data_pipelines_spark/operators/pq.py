@@ -134,6 +134,60 @@ def pq_encode(
     )
 
 
+def ivfpq_search(
+    indexed_codes: DataFrame, queries: DataFrame,
+    centroids: DataFrame, codebook: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, n_probe: int = 2, m: int = 4, dim: int = 64,
+) -> DataFrame:
+    """IVF + PQ composed: probe the coarse cells, ADC-rank inside them.
+
+    ``indexed_codes`` is the at-rest index: (id, cell, codes) — the
+    join of :func:`~nt_data_pipelines_spark.operators.ivf.assign_cells`
+    with :func:`pq_encode`, persisted once. A query touches
+    corpus/n_cells * n_probe rows of 4-byte codes instead of the whole
+    corpus of raw floats — the two reductions multiply, which is the
+    standard billion-vector serving layout (IVF-PQ). Candidate scoring
+    is the same broadcast-LUT decimal sum as :func:`pq_search`.
+    """
+    from nt_data_pipelines_spark.operators.similarity import cosine
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6) + 0.0)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    q_blocked = _blocked(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", vec_col, m, dim
+    )
+    lut = q_blocked.join(F.broadcast(codebook), "block").select(
+        "query_id", "block", "code",
+        (F.round(dist2(F.col("sub"), F.col("centroid")), 6) + 0.0).alias("d"),
+    )
+    cand = (
+        q_cells.join(indexed_codes.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.posexplode("codes").alias("block", "code"))
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d").cast("decimal(28,6)")).cast("double").alias("approx_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist2"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_dist2")
+    )
+
+
 def pq_search(
     codes: DataFrame, queries: DataFrame, codebook: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",

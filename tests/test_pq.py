@@ -102,6 +102,41 @@ def test_pq_search_recall_against_brute_force(spark):
     assert hits >= 15, f"recall {hits}/25 too low for clustered data"
 
 
+def test_ivfpq_composes_with_full_probe_equal_to_pq(spark):
+    """Probing every cell must reproduce the plain PQ full scan; a
+    narrow probe keeps most of the recall on clustered data."""
+    from nt_data_pipelines_spark.operators.ivf import assign_cells, kmeans_train
+    from nt_data_pipelines_spark.operators.pq import ivfpq_search
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(scale=4.0, size=(4, 16))
+    # interleave cluster membership (row i -> cluster i % 4) so the
+    # deterministic lowest-id k-means seeds span all clusters
+    X = np.stack(
+        [centers[i % 4] + rng.normal(scale=0.3, size=16) for i in range(100)]
+    ).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)], SCHEMA
+    )
+    cents = kmeans_train(df, n_cells=4, iterations=2)
+    cells = assign_cells(df, cents, "vec_id", "embedding").select("vec_id", "cell")
+    cb = pq_train(df, m=4, k=8, dim=16, iterations=2)
+    codes = pq_encode(df, cb, m=4, dim=16)
+    indexed = codes.join(cells, "vec_id")
+    queries = df.filter(F.col("vec_id") < 5)
+
+    full = pq_search(codes, queries, cb, k=5, m=4, dim=16).collect()
+    composed = ivfpq_search(
+        indexed, queries, cents, cb, k=5, n_probe=4, m=4, dim=16
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist2"])
+    assert sorted(map(key, composed)) == sorted(map(key, full))
+
+    narrow = ivfpq_search(indexed, queries, cents, cb, k=5, n_probe=1, m=4, dim=16).collect()
+    overlap = len({key(r) for r in narrow} & {key(r) for r in full})
+    assert overlap >= 20, f"1-probe recall {overlap}/25 too low on clustered data"
+
+
 def test_pq_guards(spark):
     df = spark.createDataFrame([(0, [1.0] * 8)], SCHEMA)
     with pytest.raises(ValueError, match="not divisible"):
