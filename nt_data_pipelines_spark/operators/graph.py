@@ -1,0 +1,88 @@
+"""Graph analytics over edge lists (PageRank).
+
+Complements the connected-components tier (operators/dedup.py): where
+min-label propagation answers "which near-dup cluster", PageRank ranks
+nodes by link structure — e.g. scoring documents by citation/link
+graphs, or picking the canonical member of a k-NN cluster.
+
+Scale shape: each iteration is one shuffle of edge contributions on
+the dst key plus a tiny dangling-mass scalar; rank state is one double
+per node, re-derived per iteration with its lineage cut
+(localCheckpoint) so a deep iteration chain never re-executes from the
+source. Nothing is collected to the driver.
+
+Engine-stable like the IVF/PQ kernels: per-iteration ranks are rounded
+to 6 decimals and all cross-row sums go through DECIMAL, so the DuckDB
+oracle (unrolling the same fixed iterations in chained CTEs)
+reproduces ranks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` of standard damped PageRank.
+
+    Nodes are ``distinct(src) ∪ distinct(dst)``; parallel edges count
+    as multi-edges (their contributions add); nodes without out-edges
+    are dangling and redistribute their mass uniformly. Ranks start at
+    1/N and every iteration preserves total mass 1 (up to round-6).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("__out")
+    )
+    # rank0 = 1/N, already round-6 for iteration parity
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1.0) / F.col("__N"), 6).alias("rank")
+    )
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        with_deg = ranks.join(F.broadcast(outdeg), "node", "left")
+        contrib = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
+            .join(with_deg.filter(F.col("__out").isNotNull()), "node")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__out")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("__c").cast("decimal(38,12)")).cast("double").alias("__in"))
+        )
+        dangling = with_deg.filter(F.col("__out").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,12)")).cast("double"), F.lit(0.0)
+            ).alias("__dang")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__N")
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.col("__dang") / F.col("__N")),
+                    6,
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
