@@ -39,15 +39,22 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # The edge list feeds node derivation, out-degrees, and every
+    # iteration's contribution join — an expensive upstream plan (e.g.
+    # the LSH k-NN graph) would otherwise be re-executed 3 + iterations
+    # times. Persist once; released before returning (ranks are
+    # checkpointed, so the result does not depend on it).
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration, rank-sized
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("__out")
-    )
+    ).localCheckpoint(eager=True)
     # rank0 = 1/N, already round-6 for iteration parity
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.round(F.lit(1.0) / F.col("__N"), 6).alias("rank")
@@ -85,4 +92,5 @@ def pagerank(
             )
         )
         ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
     return ranks
