@@ -186,7 +186,10 @@ class Catalog:
         raw = self._state["tables"].get(name)
         if raw is None:
             raise KeyError(f"table {name!r} does not exist")
-        return TableMeta(**raw)
+        # metadata entries may carry extra persisted keys (e.g. the
+        # ANALYZE "stats" block) beyond the structural TableMeta fields
+        fields = {f.name for f in TableMeta.__dataclass_fields__.values()}
+        return TableMeta(**{k: v for k, v in raw.items() if k in fields})
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -604,6 +607,142 @@ class Catalog:
         def build(full: DataFrame) -> DataFrame:
             untouched = full.join(src_keys, keys, "left_anti")
             return untouched.unionByName(survivors)
+
+        self.rewrite(name, build)
+
+    # ---- operational maintenance ----
+    def data_files(self, name: str) -> list[tuple[str, int]]:
+        """(path, bytes) of every live parquet data file."""
+        fs, root = self._hfs(self._data_path(name))
+        out: list[tuple[str, int]] = []
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                elif st.getPath().getName().endswith(".parquet"):
+                    out.append((st.getPath().toString(), st.getLen()))
+        return out
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction: rewrite the table into ~size-targeted
+        files (row content unchanged — this is the NO-dedup sibling of
+        ``optimize``, for the append-heavy tables incremental loads
+        fragment). File count = ceil(current bytes / target); the
+        rewrite commits through the same crash-safe path as every
+        other full rewrite. Partitioned tables range-cluster on the
+        partition keys first so each hive dir gets contiguous output
+        tasks rather than one file per (task x value).
+        """
+        if target_file_bytes <= 0:
+            raise ValueError("target_file_bytes must be positive")
+        meta = self._meta(name)
+        files = self.data_files(name)
+        total = sum(b for _, b in files)
+        n = max(1, -(-total // target_file_bytes))
+        if len(files) <= n:
+            return {"files_before": len(files), "files_after": len(files), "bytes": total}
+
+        def build(full: DataFrame) -> DataFrame:
+            if meta.partition_keys:
+                return full.repartitionByRange(n, *meta.partition_keys)
+            return full.repartition(n)
+
+        self.rewrite(name, build)
+        return {
+            "files_before": len(files),
+            "files_after": len(self.data_files(name)),
+            "bytes": total,
+        }
+
+    _STATS_TYPES = (
+        T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DoubleType,
+        T.FloatType, T.DecimalType, T.StringType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType,
+    )
+
+    def analyze(self, name: str, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: one pass computing row count and per-column
+        null count / min / max / approximate distinct count (HLL++),
+        stored in the catalog metadata for planners and humans
+        (:meth:`stats`). Complex-typed columns (arrays, structs) are
+        skipped — they have no meaningful min/max. Scale: a single
+        scan with map-side partial aggregation; nothing shuffles but
+        the per-column aggregate registers.
+        """
+        meta = self._meta(name)
+        fields = [
+            f for f in meta.struct.fields
+            if isinstance(f.dataType, self._STATS_TYPES)
+            and (columns is None or f.name in columns)
+        ]
+        if columns is not None:
+            missing = set(columns) - {f.name for f in fields}
+            if missing:
+                raise ValueError(f"cannot analyze {sorted(missing)}: absent or complex-typed")
+        df = self.table(name)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in fields:
+            c = F.col(f.name)
+            aggs += [
+                F.count(c).alias(f"__nn_{f.name}"),
+                F.min(c).cast("string").alias(f"__min_{f.name}"),
+                F.max(c).cast("string").alias(f"__max_{f.name}"),
+                F.approx_count_distinct(c).alias(f"__ndv_{f.name}"),
+            ]
+        row = df.agg(*aggs).first()
+        stats = {
+            "rows": row["__rows"],
+            "columns": {
+                f.name: {
+                    "nulls": row["__rows"] - row[f"__nn_{f.name}"],
+                    "min": row[f"__min_{f.name}"],
+                    "max": row[f"__max_{f.name}"],
+                    "approx_ndv": row[f"__ndv_{f.name}"],
+                }
+                for f in fields
+            },
+            "analyzed_at_seq": self._state["next_seq"],
+        }
+        self._state["tables"][name]["stats"] = stats
+        self._save()
+        return stats
+
+    def stats(self, name: str) -> dict | None:
+        """Stored :meth:`analyze` output, or None if never analyzed.
+        Staleness is judged by ``analyzed_at_seq`` vs the current
+        ingest sequence."""
+        self._meta(name)
+        return self._state["tables"][name].get("stats")
+
+    def optimize_layout(self, name: str, cols: list[str], num_files: int = 16, bits: int = 8) -> None:
+        """Rewrite the table clustered along the z-order curve of
+        ``cols`` (Delta's OPTIMIZE ZORDER BY): files end up covering
+        disjoint key intervals, so range predicates on ANY of the
+        clustered columns prune files. Numeric columns only — the
+        Morton quantization grid needs an ordered metric space.
+        Commits atomically through :meth:`rewrite`.
+        """
+        from nt_data_pipelines_spark.operators.layout import ZKEY, add_zorder_key
+
+        meta = self._meta(name)
+        by_name = {f.name: f for f in meta.struct.fields}
+        numeric = (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                   T.DoubleType, T.FloatType, T.DecimalType)
+        bad = [c for c in cols if c not in by_name or not isinstance(by_name[c].dataType, numeric)]
+        if bad:
+            raise ValueError(f"z-order columns must be numeric table columns; bad: {bad}")
+
+        def build(full: DataFrame) -> DataFrame:
+            keyed = add_zorder_key(full, cols, bits=bits)
+            return (
+                keyed.repartitionByRange(num_files, ZKEY)
+                .sortWithinPartitions(ZKEY)
+                .drop(ZKEY)
+            )
 
         self.rewrite(name, build)
 
