@@ -389,6 +389,74 @@ class Catalog:
         empty = self.spark.createDataFrame([], self._with_ingest(schema))
         self._write(name, empty, "overwrite")
 
+    # ---- constraints (insert-time quality gates) ----
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Declare a CHECK constraint (a boolean SQL expression over
+        the table's columns, e.g. ``"close >= 0"`` or
+        ``"ticker IS NOT NULL"``). Every subsequent insert/upsert/merge
+        batch is validated BEFORE any file is written: a violating
+        batch is rejected whole with example rows, so bad data never
+        reaches storage (Delta CHECK-constraint semantics). Existing
+        rows are validated at declaration time too — a constraint the
+        current table already violates is refused.
+        """
+        meta = self._meta(name)
+        entry = self._state["tables"][name]
+        cons = entry.setdefault("constraints", {})
+        if cname in cons:
+            raise ValueError(f"constraint {cname!r} already exists on {name!r}")
+        # validate the expression analyzes AND currently holds
+        probe = self.table(name)
+        try:
+            bad = probe.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(3).collect()
+        except Exception as e:
+            raise ValueError(f"constraint expression {expr!r} does not analyze: {e}") from None
+        if bad:
+            raise ValueError(
+                f"existing rows violate {cname!r} ({expr}): e.g. {[tuple(r) for r in bad]}"
+            )
+        cons[cname] = expr
+        self._save()
+
+    def drop_constraint(self, name: str, cname: str) -> None:
+        self._meta(name)
+        cons = self._state["tables"][name].get("constraints", {})
+        if cname not in cons:
+            raise KeyError(f"no constraint {cname!r} on {name!r}")
+        del cons[cname]
+        self._save()
+
+    def constraints(self, name: str) -> dict[str, str]:
+        self._meta(name)
+        return dict(self._state["tables"][name].get("constraints", {}))
+
+    def _check_constraints(self, name: str, df: DataFrame) -> None:
+        """Reject the batch if any row violates any constraint. One
+        validation pass over the BATCH (not the table). NULL results
+        count as violations: SQL CHECK would accept an unknown, but a
+        silently null-passing gate is exactly how bad rows sneak into
+        a lake — this gate requires the predicate to actually hold."""
+        cons = self.constraints(name)
+        if not cons:
+            return
+        checks = [
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), F.lit(cname))
+            for cname, expr in cons.items()
+        ]
+        viol = (
+            df.withColumn("__viol", F.array_compact(F.array(*checks)))
+            .filter(F.size("__viol") > 0)
+        )
+        sample = viol.limit(3).collect()
+        if sample:
+            detail = [
+                (list(r["__viol"]), tuple(v for k, v in r.asDict().items() if k != "__viol"))
+                for r in sample
+            ]
+            raise ValueError(
+                f"insert into {name!r} rejected: constraint violation(s) {detail}"
+            )
+
     def add_column(self, name: str, field: T.StructField) -> None:
         """Schema evolution: append a nullable column (metadata-only).
 
@@ -484,11 +552,13 @@ class Catalog:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         meta = self._meta(name)
+        cols = [f.name for f in meta.struct.fields]
+        batch = df.select(*cols)
+        self._check_constraints(name, batch)  # gate BEFORE any write
         seq = self._state["next_seq"]
         self._state["next_seq"] = seq + 1
         self._save()
-        cols = [f.name for f in meta.struct.fields]
-        out = df.select(*cols).withColumn(INGEST_COL, F.lit(seq).cast("long"))
+        out = batch.withColumn(INGEST_COL, F.lit(seq).cast("long"))
         self._write(name, out, mode)
 
     def upsert(self, name: str, df: DataFrame) -> None:
@@ -594,14 +664,12 @@ class Catalog:
                 f"merge source has multiple rows for one ({', '.join(keys)}) key; "
                 "the match is ambiguous — dedupe the batch first"
             )
+        incoming = src.filter(~F.col("__del")).drop("__del")
+        self._check_constraints(name, incoming)  # same gate as insert
         seq = self._state["next_seq"]
         self._state["next_seq"] = seq + 1
         self._save()
-        survivors = (
-            src.filter(~F.col("__del"))
-            .drop("__del")
-            .withColumn(INGEST_COL, F.lit(seq).cast("long"))
-        )
+        survivors = incoming.withColumn(INGEST_COL, F.lit(seq).cast("long"))
         src_keys = src.select(*keys)
 
         def build(full: DataFrame) -> DataFrame:
