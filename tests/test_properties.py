@@ -242,3 +242,32 @@ def test_winsorize_bounds_and_interior(spark, rows):
         assert lo - 1e-9 <= r["w"] <= hi + 1e-9
         if lo <= r["x"] <= hi:
             assert r["w"] == r["x"]
+
+
+@given(rows=ROWS, batch=ROWS)
+@settings(**_SETTINGS)
+def test_merge_equals_antijoin_plus_insert(spark, tmp_path_factory, rows, batch):
+    """merge(batch) == (target rows not keyed by batch) ∪ batch, for
+    pure upsert batches deduped on the key — the algebraic contract of
+    CDC apply-changes without tombstones."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mrg") / "lake"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("date", T.DateType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    cat.create("t", schema, None, ["k", "date"], mode="replace")
+    df = _df(spark, rows).dropDuplicates(["k", "date"])
+    src = _df(spark, batch).dropDuplicates(["k", "date"])
+    cat.insert("t", df)
+    cat.merge("t", src)
+    got = sorted(map(tuple, cat.table("t").collect()))
+    expect = sorted(
+        map(tuple, df.join(src, ["k", "date"], "left_anti").unionByName(src).collect())
+    )
+    assert got == expect
+    # and merging the same batch again changes nothing (idempotence)
+    cat.merge("t", src)
+    assert sorted(map(tuple, cat.table("t").collect())) == expect
