@@ -12,9 +12,11 @@ registry queries; this module is the production composition):
    fraction exceeds a threshold,
 5. quality + language gate (length / alpha-ratio / stopword signals,
    n-gram language ID),
-6. PII scrub,
-7. chunk to training windows and pack into fixed-capacity bins,
-8. per-source token accounting.
+6. optional perplexity band filter (corpus-unigram surprisal — the
+   CCNet head/middle/tail cut, keeping the middle),
+7. PII scrub,
+8. chunk to training windows and pack into fixed-capacity bins,
+9. per-source token accounting.
 
 Every stage is a linear shuffle or a broadcast; nothing is pairwise.
 The function returns (packed chunks, per-stage survivor accounting) —
@@ -48,6 +50,10 @@ class CurationConfig:
     pack_capacity: int = 512
     # per-source token budget for the mixing stage; None = no mixing
     token_budget_per_source: int | None = None
+    # perplexity band (CCNet-style): keep docs whose corpus-unigram
+    # bits/token falls inside these quantiles of the surviving
+    # distribution; None disables the stage
+    perplexity_band: tuple[float, float] | None = None
     source_col: str = "source"
     # dup-group resolution routing: 'auto' probes the candidate-pair
     # count and switches to distributed min-label propagation when the
@@ -122,6 +128,15 @@ def curate_corpus(
         .select(*spanned.columns)
     )
     stages.append(("quality_lang_gate", gated))
+
+    if config.perplexity_band is not None:
+        from nt_data_pipelines_spark.operators.lm import perplexity_band_filter
+
+        lo, hi = config.perplexity_band
+        gated = perplexity_band_filter(
+            gated, id_col, text_col, lo_quantile=lo, hi_quantile=hi
+        ).drop("bits_per_token")
+        stages.append(("perplexity_band", gated))
 
     if config.token_budget_per_source is not None:
         gated = TX.mix_sources_to_budget(

@@ -74,3 +74,17 @@ def test_curate_corpus_materializes_shards(spark, tmp_path):
     for f in files[:3]:
         bins = pq.read_table(f, columns=["bin_id"])["bin_id"].to_pylist()
         assert bins == sorted(bins)  # bins contiguous within the file
+
+
+def test_curate_corpus_with_perplexity_band(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=0.95, perplexity_band=(0.1, 0.9)
+        ),
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert "perplexity_band" in acct
+    # the band drops both tails of the surprisal distribution
+    assert 0 < acct["perplexity_band"] < acct["quality_lang_gate"]
