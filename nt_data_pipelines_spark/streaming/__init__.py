@@ -1,8 +1,10 @@
 from nt_data_pipelines_spark.streaming.incremental import (
+    ann_index_foreach_batch,
     dedup_foreach_batch,
     minhash_foreach_batch,
     run_available_now,
     streaming_dup_groups,
+    search_ann_index,
     streaming_enrich,
     streaming_event_counts,
     streaming_stream_join,
@@ -10,6 +12,8 @@ from nt_data_pipelines_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "ann_index_foreach_batch",
+    "search_ann_index",
     "streaming_event_counts",
     "streaming_enrich",
     "streaming_stream_join",

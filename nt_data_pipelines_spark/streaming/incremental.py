@@ -340,6 +340,84 @@ def minhash_foreach_batch(
     return write_batch
 
 
+ANN_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def ann_index_foreach_batch(
+    catalog,
+    index_table: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+):
+    """foreachBatch sink: incremental IVF-PQ index maintenance.
+
+    The serving pattern for a growing embedding corpus: the coarse
+    quantizer (``centroids``) and PQ ``codebook`` are trained offline
+    on a seed corpus (codebook retraining is a batch job — swapping
+    codebooks invalidates every stored code, so it is a reindex, not a
+    stream update). Each micro-batch of new/updated vectors is
+    assigned its IVF cell and PQ codes (both against BROADCAST
+    codebooks — per-batch cost is proportional to the batch, never
+    the corpus) and PK-upserted into ``index_table``. Re-delivered ids
+    converge last-write-wins, so replays are idempotent and a vector
+    update re-indexes it. Searches read the accumulated table through
+    :func:`~nt_data_pipelines_spark.operators.pq.ivfpq_search`.
+
+    Create the index table as::
+
+        catalog.create(index_table, ANN_INDEX_SCHEMA, None, ["vec_id"])
+    """
+    from nt_data_pipelines_spark.operators.ivf import assign_cells
+    from nt_data_pipelines_spark.operators.pq import pq_encode
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cells = assign_cells(batch_df, centroids, id_col, vec_col).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        codes = pq_encode(batch_df, codebook, id_col, vec_col, m=m, dim=dim).select(
+            F.col(id_col).cast("long").alias("vec_id"), "codes"
+        )
+        catalog.upsert(index_table, cells.join(codes, "vec_id"))
+
+    return write_batch
+
+
+def search_ann_index(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ search over the streaming-maintained index table."""
+    from nt_data_pipelines_spark.operators.pq import ivfpq_search
+
+    indexed = catalog.table(index_table)
+    return ivfpq_search(
+        indexed, queries, centroids, codebook,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, m=m, dim=dim,
+    )
+
+
 def streaming_dup_groups(catalog, pairs_table: str) -> DataFrame:
     """(doc_id, canonical_id) over the accumulated streaming pair set —
     the same connected-components resolution as the batch tier, so the

@@ -1,0 +1,84 @@
+"""Streaming IVF-PQ index maintenance: batch parity and replay idempotence."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nt_data_pipelines_spark.catalog import Catalog
+from nt_data_pipelines_spark.operators.ivf import assign_cells, kmeans_train
+from nt_data_pipelines_spark.operators.pq import (
+    ivfpq_search,
+    pq_encode,
+    pq_train,
+)
+from nt_data_pipelines_spark.streaming import (
+    ann_index_foreach_batch,
+    run_available_now,
+    search_ann_index,
+)
+from nt_data_pipelines_spark.streaming.incremental import ANN_INDEX_SCHEMA
+
+DIM, M = 16, 4
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _vectors(n, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=4.0, size=(4, DIM))
+    return [
+        (i, [float(x) for x in (centers[i % 4] + rng.normal(scale=0.3, size=DIM)).round(3)])
+        for i in range(n)
+    ]
+
+
+def test_streaming_ann_index_matches_batch_build(spark, tmp_path):
+    seed_rows = _vectors(40, seed=1)
+    seed = spark.createDataFrame(seed_rows, EMB_SCHEMA)
+    cents = kmeans_train(seed, n_cells=4, iterations=2)
+    cb = pq_train(seed, m=M, k=8, dim=DIM, iterations=1)
+
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    cat.create("ann_idx", ANN_INDEX_SCHEMA, None, ["vec_id"])
+
+    # stream the corpus in two file batches
+    src = str(tmp_path / "stream")
+    spark.createDataFrame(seed_rows[:25], EMB_SCHEMA).write.mode("append").parquet(src)
+    spark.createDataFrame(seed_rows[25:], EMB_SCHEMA).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(src)
+    run_available_now(
+        stream,
+        ann_index_foreach_batch(cat, "ann_idx", cents, cb, m=M, dim=DIM),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    assert cat.table("ann_idx").count() == 40
+
+    queries = seed.filter(F.col("vec_id") < 3)
+    got = search_ann_index(cat, "ann_idx", queries, cents, cb, k=3, m=M, dim=DIM).collect()
+
+    # batch-built twin must agree exactly
+    cells = assign_cells(seed, cents, "vec_id", "embedding").select("vec_id", "cell")
+    codes = pq_encode(seed, cb, m=M, dim=DIM)
+    batch_idx = codes.join(cells, "vec_id")
+    want = ivfpq_search(batch_idx, queries, cents, cb, k=3, m=M, dim=DIM).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["approx_dist2"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # replaying the same data (fresh checkpoint) converges, not duplicates
+    run_available_now(
+        spark.readStream.schema(EMB_SCHEMA).parquet(src),
+        ann_index_foreach_batch(cat, "ann_idx", cents, cb, m=M, dim=DIM),
+        checkpoint=str(tmp_path / "ckpt2"),
+        output_mode="append",
+    )
+    assert cat.table("ann_idx").count() == 40
+    got2 = search_ann_index(cat, "ann_idx", queries, cents, cb, k=3, m=M, dim=DIM).collect()
+    assert sorted(map(key, got2)) == sorted(map(key, want))
