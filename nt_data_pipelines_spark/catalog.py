@@ -497,9 +497,26 @@ class Catalog:
             raise KeyError(f"column {col!r} does not exist on {name!r}")
         if not fields:
             raise ValueError(f"cannot drop the last column of {name!r}")
+        # A CHECK constraint referencing the column would make every
+        # future insert fail at analysis — refuse the drop instead of
+        # bricking the table. Detection is by re-analyzing each
+        # constraint against the narrowed schema (robust to quoting
+        # and expressions, unlike substring matching).
+        narrowed = self.spark.createDataFrame([], T.StructType(fields))
+        for cname, expr in self.constraints(name).items():
+            try:
+                narrowed.filter(F.expr(expr))
+            except Exception:
+                raise ValueError(
+                    f"cannot drop {col!r}: constraint {cname!r} ({expr}) references it — "
+                    "drop the constraint first"
+                ) from None
         self._state["tables"][name]["schema_json"] = json.dumps(
             T.StructType(fields).jsonValue()
         )
+        stats = self._state["tables"][name].get("stats")
+        if stats:
+            stats.get("columns", {}).pop(col, None)
         self._save()
 
     def drop(self, name: str) -> None:
@@ -554,12 +571,23 @@ class Catalog:
         meta = self._meta(name)
         cols = [f.name for f in meta.struct.fields]
         batch = df.select(*cols)
-        self._check_constraints(name, batch)  # gate BEFORE any write
-        seq = self._state["next_seq"]
-        self._state["next_seq"] = seq + 1
-        self._save()
-        out = batch.withColumn(INGEST_COL, F.lit(seq).cast("long"))
-        self._write(name, out, mode)
+        gated = bool(self.constraints(name))
+        if gated:
+            # Pin ONE materialization: the gate and the write are
+            # separate jobs, and a non-deterministic batch (rand(),
+            # sample(), a source mutated between jobs) could otherwise
+            # pass validation yet persist different, violating rows.
+            batch = batch.persist()
+        try:
+            self._check_constraints(name, batch)  # gate BEFORE any write
+            seq = self._state["next_seq"]
+            self._state["next_seq"] = seq + 1
+            self._save()
+            out = batch.withColumn(INGEST_COL, F.lit(seq).cast("long"))
+            self._write(name, out, mode)
+        finally:
+            if gated:
+                batch.unpersist()
 
     def upsert(self, name: str, df: DataFrame) -> None:
         self.insert(name, df, mode="append")
@@ -656,27 +684,34 @@ class Catalog:
         flag = (
             F.col(delete_col).cast("boolean") if delete_col is not None else F.lit(False)
         )
-        src = source.select(*cols, F.coalesce(flag, F.lit(False)).alias("__del"))
-        if src.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).filter(
-            F.col("__n") > 1
-        ).limit(1).count():
-            raise ValueError(
-                f"merge source has multiple rows for one ({', '.join(keys)}) key; "
-                "the match is ambiguous — dedupe the batch first"
-            )
-        incoming = src.filter(~F.col("__del")).drop("__del")
-        self._check_constraints(name, incoming)  # same gate as insert
-        seq = self._state["next_seq"]
-        self._state["next_seq"] = seq + 1
-        self._save()
-        survivors = incoming.withColumn(INGEST_COL, F.lit(seq).cast("long"))
-        src_keys = src.select(*keys)
+        # Pin ONE materialization of the source: the duplicate-key
+        # probe, the constraint gate, and the rewrite are separate
+        # jobs — a non-deterministic source could pass the probes yet
+        # commit different rows (including duplicate keys).
+        src = source.select(*cols, F.coalesce(flag, F.lit(False)).alias("__del")).persist()
+        try:
+            if src.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).filter(
+                F.col("__n") > 1
+            ).limit(1).count():
+                raise ValueError(
+                    f"merge source has multiple rows for one ({', '.join(keys)}) key; "
+                    "the match is ambiguous — dedupe the batch first"
+                )
+            incoming = src.filter(~F.col("__del")).drop("__del")
+            self._check_constraints(name, incoming)  # same gate as insert
+            seq = self._state["next_seq"]
+            self._state["next_seq"] = seq + 1
+            self._save()
+            survivors = incoming.withColumn(INGEST_COL, F.lit(seq).cast("long"))
+            src_keys = src.select(*keys)
 
-        def build(full: DataFrame) -> DataFrame:
-            untouched = full.join(src_keys, keys, "left_anti")
-            return untouched.unionByName(survivors)
+            def build(full: DataFrame) -> DataFrame:
+                untouched = full.join(src_keys, keys, "left_anti")
+                return untouched.unionByName(survivors)
 
-        self.rewrite(name, build)
+            self.rewrite(name, build)
+        finally:
+            src.unpersist()
 
     # ---- operational maintenance ----
     def data_files(self, name: str) -> list[tuple[str, int]]:
@@ -794,7 +829,7 @@ class Catalog:
         Morton quantization grid needs an ordered metric space.
         Commits atomically through :meth:`rewrite`.
         """
-        from nt_data_pipelines_spark.operators.layout import ZKEY, add_zorder_key
+        from nt_data_pipelines_spark.operators.layout import zorder_clustered
 
         meta = self._meta(name)
         by_name = {f.name: f for f in meta.struct.fields}
@@ -803,16 +838,7 @@ class Catalog:
         bad = [c for c in cols if c not in by_name or not isinstance(by_name[c].dataType, numeric)]
         if bad:
             raise ValueError(f"z-order columns must be numeric table columns; bad: {bad}")
-
-        def build(full: DataFrame) -> DataFrame:
-            keyed = add_zorder_key(full, cols, bits=bits)
-            return (
-                keyed.repartitionByRange(num_files, ZKEY)
-                .sortWithinPartitions(ZKEY)
-                .drop(ZKEY)
-            )
-
-        self.rewrite(name, build)
+        self.rewrite(name, lambda full: zorder_clustered(full, cols, num_files, bits))
 
     # ---- time travel (manifest mode) ----
     def history(self, name: str) -> list[dict]:
@@ -826,19 +852,27 @@ class Catalog:
         as the table just before the next rewrite, not just after its
         own. (Append-level snapshots need file-set manifests — the
         Delta-log tier this catalog deliberately stops short of.)
+        A table that has never been rewritten has NO generations yet —
+        its live state (readable via :meth:`table`) becomes snapshot 0
+        at the first optimize/rewrite/merge commit — so ``history``
+        returns an empty list until then.
         """
         if self.commit_mode != "manifest":
             raise ValueError("history() requires commit_mode='manifest'")
         self._meta(name)
+        cur = self._current_gen(name)  # one manifest-dir LIST
         out = []
-        for g in range(max(0, self._current_gen(name) - KEEP_MANIFESTS), self._current_gen(name) + 1):
-            doc = self._read_manifest(name, g)
+        for g in range(max(0, cur - KEEP_MANIFESTS), cur + 1):
+            doc = self._read_manifest(name, g)  # one read per generation
             if doc is None:
                 continue
-            ddir = self._gen_data_dir(name, g)
-            fs, p = self._hfs(ddir)
+            dir_name = (
+                doc["dir"] if isinstance(doc.get("dir"), str)
+                else os.path.basename(self._gen_dir(name, g))
+            )
+            fs, p = self._hfs(os.path.join(self.root, dir_name))
             if fs.exists(p):
-                out.append({"generation": g, "dir": os.path.basename(ddir)})
+                out.append({"generation": g, "dir": dir_name})
         return out
 
     def table_at(self, name: str, generation: int) -> DataFrame:

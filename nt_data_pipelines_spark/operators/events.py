@@ -93,12 +93,14 @@ def cohort_retention(
     active = events.select(
         F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("__p")
     ).distinct()
-    unit = {"week": 7 * 86400, "day": 86400}.get(period)
-    if unit is None:
+    unit_days = {"week": 7, "day": 1}.get(period)
+    if unit_days is None:
         raise ValueError(f"period must be week|day, got {period!r}")
-    age = (
-        (F.unix_timestamp("__p") - F.unix_timestamp("cohort")) / unit
-    ).cast("long")
+    # age in DAYS, not epoch seconds: date_trunc boundaries sit on
+    # local midnights, so an epoch delta is off by an hour across a
+    # DST transition in non-UTC sessions and the truncating division
+    # would misbucket the age; datediff counts calendar days exactly
+    age = (F.datediff(F.col("__p"), F.col("cohort")) / unit_days).cast("long")
     return (
         active.join(first, user_col)
         # date_trunc returns a timestamp in Spark but a DATE in DuckDB

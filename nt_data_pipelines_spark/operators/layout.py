@@ -96,6 +96,22 @@ def add_zorder_key(
     )
 
 
+def zorder_clustered(
+    df: DataFrame, cols: list[str], num_files: int = 16, bits: int = 8
+) -> DataFrame:
+    """``df`` re-clustered along the z-order curve: range-partitioned
+    into ``num_files`` tasks with a within-partition sort on the key
+    (then dropped — derivable, and storing it would only widen scans).
+    The single clustering recipe behind :func:`write_zordered` and
+    ``Catalog.optimize_layout``."""
+    keyed = add_zorder_key(df, cols, bits=bits)
+    return (
+        keyed.repartitionByRange(num_files, ZKEY)
+        .sortWithinPartitions(ZKEY)
+        .drop(ZKEY)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -109,15 +125,6 @@ def write_zordered(
     key interval (range boundaries are exact partition bounds), and
     the within-partition sort keeps parquet row-group min/max stats
     tight — a reader filtering on any z-ordered column prunes files
-    whose hyper-rectangle misses the predicate. The key column itself
-    is dropped from the stored schema; it is derivable and would only
-    widen the scan.
+    whose hyper-rectangle misses the predicate.
     """
-    keyed = add_zorder_key(df, cols, bits=bits)
-    (
-        keyed.repartitionByRange(num_files, ZKEY)
-        .sortWithinPartitions(ZKEY)
-        .drop(ZKEY)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    zorder_clustered(df, cols, num_files, bits).write.mode("overwrite").parquet(path)

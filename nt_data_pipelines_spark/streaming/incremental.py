@@ -408,13 +408,22 @@ def search_ann_index(
     m: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """IVF-PQ search over the streaming-maintained index table."""
+    """IVF-PQ search over the streaming-maintained index table.
+
+    ``id_col``/``vec_col`` name the QUERY frame's columns; the index
+    table's id column is always ``vec_id`` (ANN_INDEX_SCHEMA) — the
+    query ids are normalized onto it before the search so a corpus
+    keyed by e.g. ``doc_id`` searches correctly.
+    """
     from nt_data_pipelines_spark.operators.pq import ivfpq_search
 
     indexed = catalog.table(index_table)
+    q = queries.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias(vec_col)
+    )
     return ivfpq_search(
-        indexed, queries, centroids, codebook,
-        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe, m=m, dim=dim,
+        indexed, q, centroids, codebook,
+        id_col="vec_id", vec_col=vec_col, k=k, n_probe=n_probe, m=m, dim=dim,
     )
 
 

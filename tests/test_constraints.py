@@ -82,3 +82,12 @@ def test_constraint_management(cat, spark):
     assert fresh.constraints("px") == {"c2": "year >= 2000"}
     with pytest.raises(ValueError, match="c2"):
         fresh.insert("px", _rows(spark, [("Z", dt.date(1999, 1, 1), 1.0)]))
+
+
+def test_drop_column_refuses_while_constraint_references_it(cat, spark):
+    cat.add_constraint("px", "close_nonneg", "close >= 0")
+    with pytest.raises(ValueError, match="references it"):
+        cat.drop_column("px", "close")
+    cat.drop_constraint("px", "close_nonneg")
+    cat.drop_column("px", "close")  # now fine
+    assert "close" not in cat.table("px").columns

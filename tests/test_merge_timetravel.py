@@ -133,3 +133,12 @@ def test_time_travel_guards(spark, tmp_path):
         cat.history("m")
     with pytest.raises(ValueError, match="requires commit_mode='manifest'"):
         cat.table_at("m", 0)
+
+
+def test_history_empty_before_first_rewrite(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "h0"), commit_mode="manifest", time_travel=2)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    assert cat.history("m") == []  # appends only: no generations yet
+    cat.merge("m", _rows(spark, [("A", D1, 2.0)]))
+    assert [h["generation"] for h in cat.history("m")] == [0]

@@ -82,3 +82,21 @@ def test_streaming_ann_index_matches_batch_build(spark, tmp_path):
     assert cat.table("ann_idx").count() == 40
     got2 = search_ann_index(cat, "ann_idx", queries, cents, cb, k=3, m=M, dim=DIM).collect()
     assert sorted(map(key, got2)) == sorted(map(key, want))
+
+
+def test_search_ann_index_with_custom_query_id_col(spark, tmp_path):
+    rows = _vectors(20, seed=5)
+    seed = spark.createDataFrame(rows, EMB_SCHEMA)
+    cents = kmeans_train(seed, n_cells=2, iterations=1)
+    cb = pq_train(seed, m=M, k=4, dim=DIM, iterations=1)
+    cat = Catalog(spark, str(tmp_path / "lake"))
+    cat.create("idx", ANN_INDEX_SCHEMA, None, ["vec_id"])
+    cells = assign_cells(seed, cents, "vec_id", "embedding").select("vec_id", "cell")
+    codes = pq_encode(seed, cb, m=M, dim=DIM)
+    cat.insert("idx", codes.join(cells, "vec_id").select("vec_id", "cell", "codes"))
+    # queries keyed by a different id column must still resolve
+    q = seed.limit(2).withColumnRenamed("vec_id", "doc_id")
+    got = search_ann_index(cat, "idx", q, cents, cb, id_col="doc_id",
+                           k=3, n_probe=2, m=M, dim=DIM)
+    assert got.count() > 0
+    assert got.columns == ["query_id", "rank", "neighbor_id", "approx_dist2"]
