@@ -23,7 +23,7 @@ a standard trick that needs no engine-specific hash function.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.operators.text import words
@@ -162,6 +162,39 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_spanning_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Linear-size edge set with the SAME connected components as
+    :func:`minhash_lsh_candidates`.
+
+    The hot-bucket problem: a boilerplate-heavy corpus drops thousands
+    of near-identical documents into ONE (band, band_hash) bucket, and
+    the all-pairs candidate join emits O(bucket^2) rows — at 100 TB a
+    single million-doc bucket is 10^12 pairs. Dup-GROUP resolution
+    never needed the clique: connecting each bucket's members in a
+    CHAIN (consecutive ids after a per-bucket sort) reaches exactly
+    the same transitive closure with O(bucket) edges. Use this when
+    the pairs feed connected components; use the all-pairs form when
+    each candidate pair is individually verified (a chain edge's
+    Jaccard says nothing about the other members).
+
+    One extra shuffle (the per-bucket window sort) replaces the
+    self-join; output is (id_a, id_b) distinct with id_a < id_b.
+    """
+    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
+    w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+    chained = long.select(
+        F.col(id_col).alias("id_a"),
+        F.lead(id_col).over(w).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    return chained.select("id_a", "id_b").distinct()
 
 
 def simhash_near_pairs(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from nt_data_pipelines_spark.operators import text as TX
 from nt_data_pipelines_spark.operators.dedup import (
     exact_dedup,
-    minhash_lsh_candidates,
+    minhash_lsh_spanning_edges,
     resolve_dup_groups_auto,
 )
 
@@ -92,7 +92,10 @@ def curate_corpus(
     exact = norm.join(survivors, id_col, "left_semi")
     stages.append(("exact_dedup", exact))
 
-    pairs = minhash_lsh_candidates(exact, id_col, text_col)
+    # spanning edges, not the all-pairs clique: identical connected
+    # components with O(bucket) instead of O(bucket^2) edges — the
+    # hot-bucket guard a boilerplate-heavy 100 TB corpus needs
+    pairs = minhash_lsh_spanning_edges(exact, id_col, text_col)
     groups = resolve_dup_groups_auto(  # (doc_id, canonical_id)
         pairs,
         max_driver_edges=config.max_driver_edges,

@@ -131,3 +131,24 @@ def test_curate_corpus_distributed_resolver_matches_driver(spark):
             packed.count(),
         )
     assert outs["driver"] == outs["distributed"]
+
+
+def test_spanning_edges_same_components_linear_size(spark):
+    """Chain edges must reach exactly the clique's transitive closure,
+    with edge count bounded by signature rows instead of bucket^2."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_spanning_edges,
+        resolve_dup_groups,
+    )
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    clique = minhash_lsh_candidates(docs, "doc_id")
+    chain = minhash_lsh_spanning_edges(docs, "doc_id")
+    assert chain.count() <= clique.count()
+    g1 = {(r["doc_id"], r["canonical_id"])
+          for r in resolve_dup_groups(clique, "id_a", "id_b").collect()}
+    g2 = {(r["doc_id"], r["canonical_id"])
+          for r in resolve_dup_groups(chain, "id_a", "id_b").collect()}
+    assert g1 == g2
