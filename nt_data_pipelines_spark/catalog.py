@@ -89,23 +89,34 @@ class Catalog:
           valid manifest; a crashed commit leaves garbage, never a
           torn table.
 
-        ``time_travel`` (manifest mode only) keeps that many SUPERSEDED
-        generations' data on disk, readable via :meth:`table_at` /
-        :meth:`history`. Each retained generation is a full table copy
-        (this catalog's manifests reference whole directories, not file
-        sets), so the storage cost is ``time_travel + 1`` copies —
-        retention is opt-in and bounded by ``KEEP_MANIFESTS``. The
-        default 0 GCs superseded generations at the next commit,
-        exactly as before.
+        - ``"filelist"``: the Delta-log tier. Manifests list FILES,
+          not directories: appends write a fresh batch dir and commit
+          a manifest referencing old + new files (one small-object
+          write — appends become atomic, snapshot-able commits, fixing
+          manifest mode's append-mutates-generation caveat); rewrites
+          commit a manifest referencing only the staged files, so
+          readers of older snapshots keep their exact file set. GC
+          removes batch dirs no retained manifest references.
+
+        ``time_travel`` (manifest/filelist modes) keeps that many
+        SUPERSEDED generations readable via :meth:`table_at` /
+        :meth:`history`. In manifest mode each retained generation is
+        a full table copy; in filelist mode retained generations SHARE
+        unchanged files (append-mostly tables retain history almost
+        for free — the Delta economics). Retention is opt-in and
+        bounded by ``KEEP_MANIFESTS``; the default 0 GCs superseded
+        data at the next rewrite commit.
         """
-        if commit_mode not in ("rename", "manifest"):
-            raise ValueError(f"commit_mode must be rename|manifest, got {commit_mode!r}")
+        if commit_mode not in ("rename", "manifest", "filelist"):
+            raise ValueError(
+                f"commit_mode must be rename|manifest|filelist, got {commit_mode!r}"
+            )
         if type(time_travel) is not int or not 0 <= time_travel < KEEP_MANIFESTS:
             raise ValueError(
                 f"time_travel must be an int in [0, {KEEP_MANIFESTS}), got {time_travel!r}"
             )
-        if time_travel and commit_mode != "manifest":
-            raise ValueError("time_travel requires commit_mode='manifest'")
+        if time_travel and commit_mode == "rename":
+            raise ValueError("time_travel requires commit_mode='manifest' or 'filelist'")
         self.spark = spark
         self.root = root
         self.commit_mode = commit_mode
@@ -219,6 +230,24 @@ class Catalog:
                 return g
         return -1
 
+    def _next_gen(self, name: str) -> int:
+        """The next commit target: one past the highest manifest file
+        present, VALID OR TORN. A torn manifest (writer died mid-
+        commit) burns its generation number — overwriting it would let
+        two repairers both 'win' the same gen, so commits skip past it
+        and readers keep resolving the highest valid one."""
+        hi = self._current_gen(name)
+        fs, mdir = self._hfs(self._manifest_dir(name))
+        if fs.exists(mdir):
+            for st in fs.listStatus(mdir):
+                fname = st.getPath().getName()
+                if fname.endswith(".json"):
+                    try:
+                        hi = max(hi, int(fname[: -len(".json")]))
+                    except ValueError:
+                        continue
+        return hi + 1
+
     def _gen_dir(self, name: str, gen: int) -> str:
         return self._path(name) if gen < 0 else f"{self._path(name)}.g{gen}"
 
@@ -289,7 +318,10 @@ class Catalog:
             return None
         return doc if isinstance(doc, dict) and doc.get("generation") == gen else None
 
-    def _commit_manifest(self, name: str, gen: int, dir_name: str) -> None:
+    def _commit_manifest(
+        self, name: str, gen: int, dir_name: str | None = None,
+        files: list[str] | None = None, file_stats: dict | None = None,
+    ) -> None:
         """THE commit: create manifest file ``gen.json`` exclusively.
 
         One small-object write — a single PUT on S3-class stores, so
@@ -316,7 +348,14 @@ class Catalog:
             raise ConcurrentWriteError(
                 f"generation {gen} of {name!r} was committed by another writer"
             )
-        payload = json.dumps({"generation": gen, "dir": dir_name})
+        doc: dict = {"generation": gen}
+        if dir_name is not None:
+            doc["dir"] = dir_name
+        if files is not None:
+            doc["files"] = files
+        if file_stats:
+            doc["file_stats"] = file_stats
+        payload = json.dumps(doc)
         try:
             out = fs.create(p, False)
         except Exception as e:  # exclusive-create race on the same gen
@@ -338,6 +377,191 @@ class Catalog:
         if self.commit_mode == "manifest":
             return self._gen_data_dir(name, self._current_gen(name))
         return self._path(name)
+
+    # ---- filelist commit protocol (commit_mode="filelist") ----
+    def _fl_root(self, name: str) -> str:
+        return self._path(name) + ".data"
+
+    def _fl_manifest_files(self, name: str, gen: int) -> list[str] | None:
+        """Relative file paths a generation's manifest references."""
+        doc = self._read_manifest(name, gen)
+        if doc is None:
+            return None
+        files = doc.get("files")
+        return list(files) if isinstance(files, list) else []
+
+    def _fl_abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def _fl_list_parquet(self, name: str, dir_path: str) -> list[str]:
+        """Root-relative paths of every parquet file under a dir.
+
+        Relative paths keep manifests portable if the lake root moves;
+        the split marker is the table's data-dir basename, so the same
+        code works whether the FS layer reports scheme-qualified or
+        plain paths."""
+        fs, root = self._hfs(dir_path)
+        marker = os.path.basename(self._fl_root(name)) + "/"
+        out: list[str] = []
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            if not fs.exists(p):
+                continue
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                elif st.getPath().getName().endswith(".parquet"):
+                    full = st.getPath().toString()
+                    idx = full.rfind(marker)
+                    out.append(full[idx:])
+        return sorted(out)
+
+    def _fl_write_batch(
+        self, name: str, df: DataFrame
+    ) -> tuple[str, list[str], dict[str, dict]]:
+        """Write one immutable batch dir; returns (dir, relative files,
+        per-file partition-column stats).
+
+        Filelist batches do NOT use hive ``partitionBy`` layout: Spark's
+        path-based partition inference cannot reconcile ``key=value``
+        segments nested under differing batch dirs (CONFLICTING_
+        DIRECTORY_STRUCTURES). Instead — exactly Delta's design — the
+        partition columns stay IN the data and pruning metadata lives
+        in the manifest: rows are clustered on the partition keys so
+        files cover narrow key ranges, and each file's min/max per
+        partition column is recorded for :meth:`scan_pruned` to skip
+        files at planning time without touching footers.
+        """
+        import uuid
+
+        meta = self._meta(name)
+        bdir = os.path.join(self._fl_root(name), f"b{uuid.uuid4().hex[:12]}")
+        out = df
+        if meta.partition_keys:
+            out = df.repartition(*[F.col(c) for c in meta.partition_keys])
+        out.write.mode("overwrite").parquet(bdir)
+        files = self._fl_list_parquet(name, bdir)
+        stats: dict[str, dict] = {}
+        if meta.partition_keys and files:
+            back = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(bdir)
+            aggs = []
+            for c in meta.partition_keys:
+                aggs.append(F.min(F.col(c).cast("string")).alias(f"__lo_{c}"))
+                aggs.append(F.max(F.col(c).cast("string")).alias(f"__hi_{c}"))
+            rows = back.withColumn("__f", F.input_file_name()).groupBy("__f").agg(*aggs).collect()
+            marker = os.path.basename(self._fl_root(name)) + "/"
+            for r in rows:
+                rel = r["__f"][r["__f"].rfind(marker):]
+                stats[rel] = {
+                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in meta.partition_keys
+                }
+        return bdir, files, stats
+
+    def _fl_commit_append(
+        self, name: str, new_files: list[str], new_stats: dict | None = None
+    ) -> None:
+        """Append commit: manifest g+1 = files(g) + new (stats merged
+        the same way). The batch's data is independent of the base
+        generation, so losing a commit race just re-reads the new
+        current file set and retries — no recompute, appends never
+        conflict with each other."""
+        for _ in range(25):
+            cur = self._current_gen(name)
+            doc = self._read_manifest(name, cur) or {}
+            prev = doc.get("files") or []
+            stats = dict(doc.get("file_stats") or {})
+            stats.update(new_stats or {})
+            try:
+                self._commit_manifest(
+                    name, self._next_gen(name),
+                    files=sorted(set(prev) | set(new_files)), file_stats=stats,
+                )
+            except ConcurrentWriteError:
+                continue
+            self._fl_gc(name, self._current_gen(name))
+            return
+        raise ConcurrentWriteError(
+            f"append to {name!r} lost {25} consecutive commit races"
+        )
+
+    def _rewrite_table_filelist(self, name: str, deduped: DataFrame) -> None:
+        """Full-rewrite commit: manifest g+1 references ONLY the staged
+        batch's files; older snapshots keep their exact file sets. A
+        lost race deletes the staged dir and surfaces the OCC signal
+        (the caller recomputes against the winner's rows)."""
+        bdir, files, stats = self._fl_write_batch(name, deduped)
+        gen = self._next_gen(name)
+        try:
+            self._commit_manifest(name, gen, files=files, file_stats=stats)
+        except ConcurrentWriteError:
+            self._fs_delete(bdir)
+            raise
+        self._fl_gc(name, gen)
+        self._refresh(name)
+
+    def _fl_gc(self, name: str, committed_gen: int) -> None:
+        """Collect files no retained manifest references.
+
+        keep = files of every log manifest with gen >= committed -
+        time_travel; delete = files referenced by OLDER log manifests
+        only. A batch dir that was never referenced by any manifest is
+        NOT touched — it may belong to an in-flight writer (crash
+        debris is bounded by writer failures and collectible offline;
+        garbage over loss, as everywhere in this catalog). Afterwards,
+        manifest-log entries older than KEEP_MANIFESTS drop — their
+        unique files are provably gone by then since every commit runs
+        this GC with the narrower time_travel window.
+        """
+        fs, mdir = self._hfs(self._manifest_dir(name))
+        if not fs.exists(mdir):
+            return
+        gens = []
+        for st in fs.listStatus(mdir):
+            fname = st.getPath().getName()
+            if fname.endswith(".json"):
+                try:
+                    gens.append(int(fname[: -len(".json")]))
+                except ValueError:
+                    continue
+        cutoff = committed_gen - self.time_travel
+        keep: set[str] = set()
+        drop_candidates: set[str] = set()
+        for g in gens:
+            files = self._fl_manifest_files(name, g)
+            if files is None:
+                continue
+            (keep if g >= cutoff else drop_candidates).update(files)
+        for rel in sorted(drop_candidates - keep):
+            self._fs_delete(self._fl_abs(rel))
+        # drop superseded log entries (same margin as manifest mode)
+        for g in gens:
+            if g <= committed_gen - KEEP_MANIFESTS:
+                fs.delete(
+                    self.spark._jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(self._manifest_dir(name), f"{g}.json")
+                    ),
+                    False,
+                )
+
+    def _fl_read(self, name: str, gen: int | None = None) -> DataFrame:
+        """Scan a filelist generation (current if None) with hive
+        partition columns resolved via basePath."""
+        meta = self._meta(name)
+        g = self._current_gen(name) if gen is None else gen
+        files = self._fl_manifest_files(name, g) if g >= 0 else None
+        schema = self._with_ingest(meta.struct)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [self._fl_abs(f) for f in files]
+        for p in paths[:1]:  # cheap existence probe: GC'd snapshots fail loudly
+            fs, hp = self._hfs(p)
+            if not fs.exists(hp):
+                raise LookupError(
+                    f"generation {g} of {name!r} data was GC'd — "
+                    "raise time_travel to retain more"
+                )
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # ---- filesystem (Hadoop FS API: works on file://, s3a://, hdfs://) ----
     def _hfs(self, path: str):
@@ -533,6 +757,7 @@ class Catalog:
         jvm = self.spark._jvm
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(self._path(name) + ".g*")) or []:
             fs.delete(st.getPath(), True)
+        self._fs_delete(self._fl_root(name))
         self._fs_delete(self._manifest_dir(name))
 
     # ---- write path ----
@@ -541,6 +766,14 @@ class Catalog:
         return T.StructType(list(schema.fields) + [T.StructField(INGEST_COL, T.LongType())])
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
+        if self.commit_mode == "filelist":
+            if mode == "overwrite":
+                self._rewrite_table_filelist(name, df)
+            else:
+                _, files, stats = self._fl_write_batch(name, df)
+                self._fl_commit_append(name, files, stats)
+                self._refresh(name)
+            return
         meta = self._meta(name)
         writer = df.write.mode(mode)
         # Hive partition layout in EVERY commit mode. Manifest
@@ -562,6 +795,9 @@ class Catalog:
         # Spark caches parquet file listings per path; a rewrite that
         # deletes files would otherwise poison later scans in the same
         # session (FAILED_READ_FILE.FILE_NOT_EXIST).
+        if self.commit_mode == "filelist":
+            self.spark.catalog.refreshByPath(self._fl_root(name))
+            return
         self.spark.catalog.refreshByPath(self._data_path(name))
 
     def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
@@ -713,9 +949,71 @@ class Catalog:
         finally:
             src.unpersist()
 
+    def scan_pruned(self, name: str, **equals) -> DataFrame:
+        """Filelist-mode scan with MANIFEST-level file skipping.
+
+        ``equals`` maps partition columns to required values; files
+        whose recorded [min, max] range excludes a value are dropped
+        from the read at PLANNING time — no footer reads, no listing
+        (Delta's data-skipping model: pruning metadata lives in the
+        log, not the directory tree). The predicate is re-applied to
+        the surviving rows, so the result equals
+        ``table(name).filter(...)`` exactly; files without stats are
+        conservatively kept.
+        """
+        if self.commit_mode != "filelist":
+            raise ValueError("scan_pruned() requires commit_mode='filelist'")
+        meta = self._meta(name)
+        unknown = set(equals) - set(meta.partition_keys)
+        if unknown:
+            raise ValueError(
+                f"scan_pruned prunes on partition columns {meta.partition_keys}; "
+                f"unknown: {sorted(unknown)}"
+            )
+        gen = self._current_gen(name)
+        doc = self._read_manifest(name, gen) or {}
+        files = doc.get("files") or []
+        stats = doc.get("file_stats") or {}
+        def _contains(rng, val) -> bool:
+            # stats are stored as strings; numeric values must compare
+            # numerically (lexicographic "1000" < "999" would misprune)
+            try:
+                return float(rng[0]) <= float(val) <= float(rng[1])
+            except (TypeError, ValueError):
+                return str(rng[0]) <= str(val) <= str(rng[1])
+
+        kept = []
+        for rel in files:
+            st = stats.get(rel)
+            keep = True
+            if st:
+                for col, val in equals.items():
+                    rng = st.get(col)
+                    if rng and rng[0] is not None and not _contains(rng, val):
+                        keep = False
+                        break
+            if keep:
+                kept.append(self._fl_abs(rel))
+        schema = self._with_ingest(meta.struct)
+        base = (
+            self.spark.read.schema(schema).parquet(*kept)
+            if kept
+            else self.spark.createDataFrame([], schema)
+        )
+        for col, val in equals.items():
+            base = base.filter(F.col(col) == F.lit(val))
+        return base.select(*[f.name for f in meta.struct.fields])
+
     # ---- operational maintenance ----
     def data_files(self, name: str) -> list[tuple[str, int]]:
         """(path, bytes) of every live parquet data file."""
+        if self.commit_mode == "filelist":
+            out = []
+            for rel in self._fl_manifest_files(name, self._current_gen(name)) or []:
+                fs, p = self._hfs(self._fl_abs(rel))
+                if fs.exists(p):
+                    out.append((p.toString(), fs.getFileStatus(p).getLen()))
+            return out
         fs, root = self._hfs(self._data_path(name))
         out: list[tuple[str, int]] = []
         stack = [root]
@@ -852,19 +1150,32 @@ class Catalog:
         as the table just before the next rewrite, not just after its
         own. (Append-level snapshots need file-set manifests — the
         Delta-log tier this catalog deliberately stops short of.)
-        A table that has never been rewritten has NO generations yet —
-        its live state (readable via :meth:`table`) becomes snapshot 0
-        at the first optimize/rewrite/merge commit — so ``history``
-        returns an empty list until then.
+        A manifest-mode table that has never been rewritten has NO
+        generations yet — its live state (readable via :meth:`table`)
+        becomes snapshot 0 at the first optimize/rewrite/merge commit
+        — so ``history`` returns an empty list until then. In filelist
+        mode EVERY commit (appends included) is a generation, so
+        history starts at table creation.
         """
-        if self.commit_mode != "manifest":
-            raise ValueError("history() requires commit_mode='manifest'")
+        if self.commit_mode == "rename":
+            raise ValueError("history() requires commit_mode='manifest' or 'filelist'")
         self._meta(name)
         cur = self._current_gen(name)  # one manifest-dir LIST
         out = []
         for g in range(max(0, cur - KEEP_MANIFESTS), cur + 1):
             doc = self._read_manifest(name, g)  # one read per generation
             if doc is None:
+                continue
+            if self.commit_mode == "filelist":
+                files = doc.get("files")
+                if not isinstance(files, list):
+                    continue
+                readable = True
+                for rel in files[:1]:
+                    fs, p = self._hfs(self._fl_abs(rel))
+                    readable = fs.exists(p)
+                if readable:
+                    out.append({"generation": g, "n_files": len(files)})
                 continue
             dir_name = (
                 doc["dir"] if isinstance(doc.get("dir"), str)
@@ -878,14 +1189,17 @@ class Catalog:
     def table_at(self, name: str, generation: int) -> DataFrame:
         """The table as of ``generation`` (see :meth:`history` for the
         snapshot semantics and retention rules)."""
-        if self.commit_mode != "manifest":
-            raise ValueError("table_at() requires commit_mode='manifest'")
+        if self.commit_mode == "rename":
+            raise ValueError("table_at() requires commit_mode='manifest' or 'filelist'")
         meta = self._meta(name)
         if self._read_manifest(name, generation) is None:
             raise LookupError(
                 f"generation {generation} of {name!r} is not readable "
                 "(never committed, or GC'd — raise time_travel to retain more)"
             )
+        if self.commit_mode == "filelist":
+            df = self._fl_read(name, generation)
+            return df.select(*[f.name for f in meta.struct.fields])
         ddir = self._gen_data_dir(name, generation)
         fs, p = self._hfs(ddir)
         if not fs.exists(p):
@@ -921,7 +1235,7 @@ class Catalog:
         w = Window.partitionBy(*pks).orderBy(
             F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
         )
-        if meta.partition_keys and self.commit_mode == "manifest":
+        if meta.partition_keys and self.commit_mode in ("manifest", "filelist"):
             # The dirty-partition dynamic overwrite mutates the CURRENT
             # generation dir in place — outside the manifest commit
             # protocol, so a crash mid-overwrite would tear a committed
@@ -1022,6 +1336,9 @@ class Catalog:
         if self.commit_mode == "manifest":
             self._rewrite_table_manifest(name, deduped)
             return
+        if self.commit_mode == "filelist":
+            self._rewrite_table_filelist(name, deduped)
+            return
         staging = self._path(name) + ".staging"
         old = self._path(name) + ".old"
         # Heal first: if a prior rewrite crashed between its two
@@ -1058,8 +1375,10 @@ class Catalog:
         table."""
         import uuid
 
-        cur_gen = self._current_gen(name)
-        gen = cur_gen + 1
+        # _next_gen (not current+1): a TORN manifest at current+1 would
+        # otherwise deadlock every retry — burned generations are
+        # skipped, readers still resolve the highest valid manifest
+        gen = self._next_gen(name)
         # Writer-unique staging dir: two racing writers targeting the
         # same generation can never overwrite each other's files; the
         # exclusive manifest create decides whose dir wins.
@@ -1159,8 +1478,8 @@ class Catalog:
         crash hit after the commit; the leftover ``.old`` is stale and
         removable — handled lazily by the next rewrite's cleanup.)
         """
-        if self.commit_mode == "manifest":
-            return  # manifest commits never leave a headless state
+        if self.commit_mode != "rename":
+            return  # manifest/filelist commits never leave a headless state
         fs, live = self._hfs(self._path(name))
         _, old = self._hfs(self._path(name) + ".old")
         if not fs.exists(live) and fs.exists(old):
@@ -1171,6 +1490,8 @@ class Catalog:
     def _raw_table(self, name: str) -> DataFrame:
         meta = self._meta(name)
         self._recover(name)  # heal an interrupted rewrite commit, if any
+        if self.commit_mode == "filelist":
+            return self._fl_read(name)
         df = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(self._data_path(name))
         # partition columns come back typed by the declared schema
         return df
