@@ -949,6 +949,60 @@ class Catalog:
         finally:
             src.unpersist()
 
+    def vacuum(self, name: str, older_than_hours: float = 168.0) -> list[str]:
+        """Collect filelist crash debris: batch dirs NO log manifest
+        references, older than the age margin.
+
+        The commit-time GC deliberately never touches unreferenced
+        dirs — they are indistinguishable from an in-flight writer's
+        staging area. VACUUM closes that loop offline the way Delta's
+        does: an unreferenced dir whose newest file is older than
+        ``older_than_hours`` provably belongs to a writer that died
+        (no write survives a week in flight). Returns the deleted
+        dirs. Keep the margin far above the longest plausible write;
+        a too-small margin can delete an in-flight batch, which fails
+        that writer's commit but never corrupts committed data.
+        """
+        if self.commit_mode != "filelist":
+            raise ValueError("vacuum() requires commit_mode='filelist'")
+        self._meta(name)
+        fs, mdir = self._hfs(self._manifest_dir(name))
+        referenced: set[str] = set()
+        if fs.exists(mdir):
+            for st in fs.listStatus(mdir):
+                fname = st.getPath().getName()
+                if not fname.endswith(".json"):
+                    continue
+                try:
+                    g = int(fname[: -len(".json")])
+                except ValueError:
+                    continue
+                for rel in self._fl_manifest_files(name, g) or []:
+                    # first path segment under the data root = batch dir
+                    parts = rel.split("/")
+                    if len(parts) >= 2:
+                        referenced.add(parts[1])
+        import time as _time
+
+        cutoff_ms = (_time.time() - older_than_hours * 3600) * 1000
+        deleted = []
+        fs2, droot = self._hfs(self._fl_root(name))
+        if fs2.exists(droot):
+            for st in fs2.listStatus(droot):
+                if not st.isDirectory():
+                    continue
+                bn = st.getPath().getName()
+                if bn in referenced:
+                    continue
+                newest = max(
+                    (f.getModificationTime() for f in fs2.listStatus(st.getPath())),
+                    default=st.getModificationTime(),
+                )
+                if newest < cutoff_ms:
+                    fs2.delete(st.getPath(), True)
+                    deleted.append(bn)
+        return deleted
+
     def scan_pruned(self, name: str, **equals) -> DataFrame:
         """Filelist-mode scan with MANIFEST-level file skipping.
 

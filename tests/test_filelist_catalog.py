@@ -176,3 +176,27 @@ def test_filelist_compact_and_layout(spark, tmp_path):
     out = cat.compact("px", target_file_bytes=1 << 30)
     assert out["files_before"] == before and out["files_after"] == 1
     assert cat.table("px").count() == 5
+
+
+def test_vacuum_collects_only_old_unreferenced_dirs(spark, tmp_path):
+    root = str(tmp_path / "fl")
+    cat = Catalog(spark, root, commit_mode="filelist")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    # plant an orphan batch dir (a crashed writer's staging area)
+    orphan = os.path.join(root, "m.data", "bdeadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    # fresh orphan: inside the age margin, must survive
+    assert cat.vacuum("m", older_than_hours=1.0) == []
+    assert os.path.isdir(orphan)
+    # age it past the margin: collected; referenced dirs untouched
+    old = 1  # epoch seconds, far in the past
+    os.utime(os.path.join(orphan, "part-0.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+    assert cat.vacuum("m", older_than_hours=1.0) == ["bdeadbeef0000"]
+    assert not os.path.isdir(orphan)
+    assert _state(cat, "m") == [("A", 1.0)]
+    with pytest.raises(ValueError, match="requires commit_mode"):
+        Catalog(spark, str(tmp_path / "r")).vacuum("m")
