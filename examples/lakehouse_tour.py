@@ -71,6 +71,16 @@ def main() -> None:
     cat.add_column("px", T.StructField("volume", T.DoubleType()))
     print("  evolved columns:", cat.table("px").columns)
 
+    print("== 1b. filelist mode: append-level snapshots + log pruning ==")
+    fl = Catalog(spark, f"{tmp}/fl_lake", commit_mode="filelist", time_travel=3)
+    fl.create("px", schema, None, ["ticker", "date"])
+    fl.insert("px", spark.createDataFrame([("A", d, 1.0)], schema))
+    fl.insert("px", spark.createDataFrame([("B", d, 2.0)], schema))
+    hist = fl.history("px")
+    print("  every commit is a snapshot:", hist)
+    g = hist[1]["generation"]
+    print("  as of gen", g, ":", [r.ticker for r in fl.table_at("px", g).collect()])
+
     print("== 2. JSONL ingest with quarantine ==")
     doc_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
