@@ -594,10 +594,25 @@ class Catalog:
         partition_keys: list[str] | None = None,
         primary_keys: list[str] | None = None,
         mode: str = "skip",
+        generated: dict[str, str] | None = None,
     ) -> None:
-        """mode="replace": drop + recreate; mode="skip": create if absent."""
+        """mode="replace": drop + recreate; mode="skip": create if absent.
+
+        ``generated`` maps schema columns to SQL expressions derived
+        from the other columns (Delta generated columns), e.g.
+        ``{"year": "year(date)"}`` — the reference's every flow
+        materializes that redundant partition column by hand
+        (returns_flow.py:19). Inserts may omit a generated column (it
+        is computed) or carry it (it is VALIDATED against the
+        expression; silently divergent partition columns are how rows
+        end up unprunable).
+        """
         if mode not in ("replace", "skip"):
             raise ValueError(f"mode must be replace|skip, got {mode!r}")
+        names = {f.name for f in schema.fields}
+        for col, expr in (generated or {}).items():
+            if col not in names:
+                raise ValueError(f"generated column {col!r} not in schema")
         if self.exists(name):
             if mode == "skip":
                 return
@@ -608,10 +623,43 @@ class Catalog:
             "partition_keys": list(partition_keys or []),
             "primary_keys": list(primary_keys or []),
         }
+        if generated:
+            self._state["tables"][name]["generated"] = dict(generated)
         self._save()
         # materialize an empty table dir so scans of a fresh table work
         empty = self.spark.createDataFrame([], self._with_ingest(schema))
         self._write(name, empty, "overwrite")
+
+    # ---- generated columns ----
+    def _generated(self, name: str) -> dict[str, str]:
+        return dict(self._state["tables"][name].get("generated", {}))
+
+    def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
+        """Compute omitted generated columns; validate provided ones.
+
+        A provided value that disagrees with its expression is
+        rejected whole-batch (same philosophy as constraints: a
+        divergent partition column silently lands rows where pruning
+        never finds them)."""
+        gen = self._generated(name)
+        if not gen:
+            return df
+        meta = self._meta(name)
+        types = {f.name: f.dataType for f in meta.struct.fields}
+        out = df
+        for col, expr in gen.items():
+            derived = F.expr(expr).cast(types[col])
+            if col in out.columns:
+                bad = out.filter(~F.col(col).eqNullSafe(derived)).limit(3).collect()
+                if bad:
+                    raise ValueError(
+                        f"insert into {name!r} rejected: column {col!r} disagrees "
+                        f"with its generation expression {expr!r}: e.g. "
+                        f"{[tuple(r) for r in bad]}"
+                    )
+            else:
+                out = out.withColumn(col, derived)
+        return out
 
     # ---- constraints (insert-time quality gates) ----
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
@@ -806,7 +854,7 @@ class Catalog:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         meta = self._meta(name)
         cols = [f.name for f in meta.struct.fields]
-        batch = df.select(*cols)
+        batch = self._apply_generated(name, df).select(*cols)
         gated = bool(self.constraints(name))
         if gated:
             # Pin ONE materialization: the gate and the write are
@@ -924,7 +972,9 @@ class Catalog:
         # probe, the constraint gate, and the rewrite are separate
         # jobs — a non-deterministic source could pass the probes yet
         # commit different rows (including duplicate keys).
-        src = source.select(*cols, F.coalesce(flag, F.lit(False)).alias("__del")).persist()
+        src = self._apply_generated(name, source).select(
+            *cols, F.coalesce(flag, F.lit(False)).alias("__del")
+        ).persist()
         try:
             if src.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).filter(
                 F.col("__n") > 1
@@ -948,6 +998,55 @@ class Catalog:
             self.rewrite(name, build)
         finally:
             src.unpersist()
+
+    def changes_between(self, name: str, g_from: int, g_to: int) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta CDF
+        semantics, computed by diffing): one row per changed primary
+        key with ``_change_type`` in {insert, delete, update} —
+        updates carry the POST-image, deletes the pre-image. Tables
+        without primary keys diff whole rows (updates then appear as
+        delete+insert pairs). The diff is one full-outer join on the
+        key — linear shuffles, no driver materialization — so a
+        downstream consumer can replay a table's evolution without the
+        writer ever having emitted explicit CDC."""
+        meta = self._meta(name)
+        old = self.table_at(name, g_from)
+        new = self.table_at(name, g_to)
+        cols = [f.name for f in meta.struct.fields]
+        pks = meta.primary_keys or cols
+        payload = [c for c in cols if c not in pks]
+        o = old.select(*[F.col(c).alias(f"__o_{c}") for c in cols])
+        n = new.select(*[F.col(c).alias(f"__n_{c}") for c in cols])
+        cond = None
+        for k in pks:
+            c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            cond = c if cond is None else cond & c
+        joined = n.join(o, cond, "full_outer")
+        same_payload = F.lit(True)
+        for c in payload:
+            same_payload = same_payload & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        # presence flags: a side is absent iff every one of its key
+        # columns is NULL (full-outer non-match) — robust to single
+        # nullable key columns
+        o_present = None
+        n_present = None
+        for k in pks:
+            o_present = F.col(f"__o_{k}").isNotNull() if o_present is None else o_present | F.col(f"__o_{k}").isNotNull()
+            n_present = F.col(f"__n_{k}").isNotNull() if n_present is None else n_present | F.col(f"__n_{k}").isNotNull()
+        kind = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .when(~same_payload, F.lit("update"))
+        )
+        out_cols = [
+            F.when(kind == "delete", F.col(f"__o_{c}")).otherwise(F.col(f"__n_{c}")).alias(c)
+            for c in cols
+        ]
+        return (
+            joined.withColumn("_change_type", kind)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
 
     def vacuum(self, name: str, older_than_hours: float = 168.0) -> list[str]:
         """Collect filelist crash debris: batch dirs NO log manifest

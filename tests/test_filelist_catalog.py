@@ -200,3 +200,27 @@ def test_vacuum_collects_only_old_unreferenced_dirs(spark, tmp_path):
     assert _state(cat, "m") == [("A", 1.0)]
     with pytest.raises(ValueError, match="requires commit_mode"):
         Catalog(spark, str(tmp_path / "r")).vacuum("m")
+
+
+def test_changes_between_generations(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cdf"), commit_mode="filelist", time_travel=5)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+    g1 = cat.history("m")[-1]["generation"]
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("deleted", T.BooleanType())])
+    cat.merge(
+        "m",
+        spark.createDataFrame(
+            [("A", D1, 2024, 10.0, False),   # update
+             ("B", D2, 2025, 0.0, True),     # delete
+             ("C", D1, 2024, 3.0, False)],   # insert
+            wide,
+        ),
+        delete_col="deleted",
+    )
+    g2 = cat.history("m")[-1]["generation"]
+    feed = {r["ticker"]: (r["_change_type"], r["close"])
+            for r in cat.changes_between("m", g1, g2).collect()}
+    assert feed == {"A": ("update", 10.0), "B": ("delete", 2.0), "C": ("insert", 3.0)}
+    # self-diff is empty
+    assert cat.changes_between("m", g2, g2).count() == 0

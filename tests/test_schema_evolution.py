@@ -68,3 +68,29 @@ def test_drop_column_and_guards(spark, tmp_path):
     narrow = T.StructType([f for f in SCHEMA.fields if f.name != "close"])
     cat.insert("px", spark.createDataFrame([("B", D2, 2025)], narrow))
     assert sorted(r["ticker"] for r in cat.table("px").collect()) == ["A", "B"]
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    from nt_data_pipelines_spark.catalog import Catalog as Cat
+
+    cat = Cat(spark, str(tmp_path / "gen"))
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"],
+               mode="replace", generated={"year": "year(date)"})
+    narrow = T.StructType([f for f in SCHEMA.fields if f.name != "year"])
+    # omitted: computed
+    cat.insert("px", spark.createDataFrame([("A", D1, 1.0)], narrow))
+    got = cat.table("px").collect()
+    assert got[0]["year"] == 2024
+    # provided and consistent: accepted
+    cat.insert("px", spark.createDataFrame([("B", D2, 2025, 2.0)], SCHEMA))
+    # provided but divergent: whole batch rejected
+    with pytest.raises(ValueError, match="disagrees"):
+        cat.insert("px", spark.createDataFrame([("C", D2, 1999, 3.0)], SCHEMA))
+    assert cat.table("px").count() == 2
+    # merge computes generated columns too
+    cat.merge("px", spark.createDataFrame([("A", D1, 9.0)], narrow))
+    assert {r["ticker"]: (r["close"], r["year"]) for r in cat.table("px").collect()} == {
+        "A": (9.0, 2024), "B": (2.0, 2025)
+    }
+    with pytest.raises(ValueError, match="not in schema"):
+        cat.create("bad", SCHEMA, None, None, mode="replace", generated={"nope": "1"})
