@@ -104,6 +104,108 @@ def a_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev)
 
 
+@register(
+    "w_user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+    doc="Longest run of consecutive active days per user — the "
+    "gaps-and-islands idiom: date minus per-user row_number is "
+    "constant within a run, so one window sort + two aggregates "
+    "(all shuffling on the user key) replace any iterative scan.",
+)
+def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id", "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("g"),
+    )
+    runs = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "t_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != ''
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY doc_id, word
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM wc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_types, 0) AS n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+    doc="Per-doc lexical diversity: type-token ratio and hapax "
+    "fraction — the vocabulary-richness quality signals (template spam "
+    "scores low TTR, gibberish scores hapax ~1). One (doc, word) "
+    "count shuffle plus the per-doc roll-up.",
+)
+def t_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0).cast("long")).alias("n_types"),
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias("hapax_frac"),
+        )
+    )
+
+
 _PR_ITERS = 3
 
 
