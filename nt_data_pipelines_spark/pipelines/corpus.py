@@ -54,6 +54,13 @@ class CurationConfig:
     # bits/token falls inside these quantiles of the surviving
     # distribution; None disables the stage
     perplexity_band: tuple[float, float] | None = None
+    # embedding-cosine semantic dedup: docs whose embeddings exceed
+    # this cosine threshold collapse to one canonical survivor
+    # (requires an `embeddings` frame passed to curate_corpus);
+    # None disables the stage
+    semantic_threshold: float | None = None
+    semantic_planes: int = 8
+    semantic_dim: int = 64
     source_col: str = "source"
     # dup-group resolution routing: 'auto' probes the candidate-pair
     # count and switches to distributed min-label propagation when the
@@ -72,6 +79,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     config: CurationConfig = CurationConfig(),
+    embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns (packed, accounting).
 
@@ -110,6 +118,44 @@ def curate_corpus(
         .drop("canonical_id")
     )
     stages.append(("near_dedup", near))
+
+    if config.semantic_threshold is not None:
+        if embeddings is None:
+            raise ValueError(
+                "semantic_threshold set but no embeddings frame was passed"
+            )
+        from nt_data_pipelines_spark.operators.similarity import lsh_near_dup_pairs
+
+        # lexical near-dedup catches shared text; the embedding tier
+        # catches PARAPHRASES — same content, different words. Pairs
+        # come from LSH buckets + exact cosine verify; groups collapse
+        # to the min-id canonical, same contract as the lexical tier.
+        # the embedding frame's FIRST column is its id; align it with
+        # the document id so the semi-join and group mapping share keys
+        emb = embeddings.withColumnRenamed(embeddings.columns[0], id_col)
+        surviving_emb = emb.join(near.select(id_col), id_col, "left_semi")
+        sem_pairs = lsh_near_dup_pairs(
+            surviving_emb,
+            id_col,
+            "embedding",
+            threshold=config.semantic_threshold,
+            num_planes=config.semantic_planes,
+            dim=config.semantic_dim,
+        )
+        sem_groups = resolve_dup_groups_auto(
+            sem_pairs,
+            max_driver_edges=config.max_driver_edges,
+            mode=config.dup_group_resolver,
+        )
+        near = (
+            near.join(sem_groups.withColumnRenamed("doc_id", id_col), id_col, "left")
+            .filter(
+                F.col("canonical_id").isNull()
+                | (F.col("canonical_id") == F.col(id_col))
+            )
+            .drop("canonical_id")
+        )
+        stages.append(("semantic_dedup", near))
 
     span = TX.duplicated_ngram_fraction(near, id_col, text_col, n=config.ngram_n)
     spanned = near.join(

@@ -88,3 +88,43 @@ def test_curate_corpus_with_perplexity_band(spark):
     assert "perplexity_band" in acct
     # the band drops both tails of the surprisal distribution
     assert 0 < acct["perplexity_band"] < acct["quality_lang_gate"]
+
+
+def test_curate_corpus_semantic_dedup_stage(spark):
+    """Paraphrase tier: docs with near-identical embeddings collapse to
+    the min-id canonical even when their TEXT shares nothing."""
+    import pytest
+    from pyspark.sql import types as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta " * 3, "en", "web", 10),
+            (1, "one two three four five six seven eight nine ten " * 3, "en", "web", 10),
+            (2, "uno dos tres cuatro cinco seis siete ocho nueve " * 3, "en", "web", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    base = [float(i % 7 - 3) for i in range(64)]
+    other = [float((i * 3) % 11 - 5) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, other)],  # 0 and 1 are paraphrases
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=3, max_dup_ngram_frac=1.0, keep_langs=("en", "und"),
+            semantic_threshold=0.95,
+        ),
+        embeddings=emb,
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert acct["near_dedup"] == 3
+    assert acct["semantic_dedup"] == 2  # doc 1 collapsed into doc 0
+    with pytest.raises(ValueError, match="no embeddings"):
+        curate_corpus(docs, config=CurationConfig(semantic_threshold=0.9))
