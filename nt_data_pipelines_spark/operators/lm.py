@@ -75,6 +75,59 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bigram_bits_per_token",
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    bigram MLE: p(w2|w1) = c(w1 w2) / c(w1 ·), with c(w1 ·) the count
+    of w1 as a bigram PREFIX (proper conditional normalization).
+
+    The context-sensitive sibling of :func:`unigram_logprob`: word
+    salad built from common words fools a unigram model (every token
+    is frequent) but scores high bigram surprisal because the
+    TRANSITIONS are rare. Every document's bigrams exist in the corpus
+    by construction, so probabilities never hit zero. Documents with
+    fewer than two tokens return NULL. Scale shape: bigram counts and
+    prefix counts are two linear shuffles on the gram/prefix keys; the
+    per-doc roll-up is a third — no pairwise joins, no Python.
+    """
+    from nt_data_pipelines_spark.operators.text import _word_ngrams
+
+    grams = df.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, 2)).alias("gram")
+    ).withColumn("prefix", F.substring_index("gram", " ", 1))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__cg"))
+    prefix_counts = grams.groupBy("prefix").agg(F.count(F.lit(1)).alias("__cp"))
+    surprisal = F.round(
+        -F.log2(F.col("__cg").cast("double") / F.col("__cp")), 6
+    )
+    per_doc = (
+        grams.join(counts, "gram")
+        .join(prefix_counts, "prefix")
+        .select(F.col(id_col), surprisal.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("__s").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(F.col("__m"), 6).alias(out_col),
+        )
+    )
+
+
 def perplexity_band_filter(
     df: DataFrame,
     id_col: str = "doc_id",

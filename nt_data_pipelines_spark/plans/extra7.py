@@ -206,6 +206,40 @@ def t_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_bigram_logprob",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram, ws[i] AS prefix
+      FROM d CROSS JOIN UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    cg AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+    cp AS (SELECT prefix, COUNT(*) AS cp FROM g GROUP BY prefix),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(ROUND(-log2(CAST(c AS DOUBLE) / cp), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM g JOIN cg USING (gram) JOIN cp USING (prefix)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+           ROUND(m, 6) AS bigram_bits_per_token
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+    doc="Context-sensitive quality score: mean bigram surprisal under "
+    "the corpus bigram MLE (conditional on the prefix count). Word "
+    "salad of common words fools a unigram model; rare TRANSITIONS do "
+    "not hide. Three linear shuffles (gram counts, prefix counts, "
+    "per-doc roll-up), rounded-then-decimal-summed for parity.",
+)
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.lm import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
+
+
 _PR_ITERS = 3
 
 

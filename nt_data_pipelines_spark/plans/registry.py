@@ -93,11 +93,12 @@ DRIVER_PRIORITY: list[str] = [
     "g_pagerank_knn",
     "w_user_streaks",
     "t_lexical_diversity",
-    # With 24 never-verified queries fronted, only 26 of the 31
+    "t_bigram_logprob",
+    # With 25 never-verified queries fronted, only 25 of the 31
     # r1-r3-only rotation queries below fit the 50 driver slots; the
-    # last five (a_cube_counts, a_grouping_sets, o1_multisort_limit,
-    # a_median_exact, d_lsh_verified_dedup) keep their r1-r3 rows +
-    # local parity greens and rotate into round 6's slots.
+    # last six (s_centroid_per_label, a_cube_counts, a_grouping_sets,
+    # o1_multisort_limit, a_median_exact, d_lsh_verified_dedup) keep
+    # their r1-r3 rows + local parity greens and rotate into round 6.
     # Round-5 rotation: the 31 queries with no row in CORRECTNESS_r04
     # (driver-green in r1-r3, re-verified locally each round) go first
     # so the round-5 driver artifact re-greens them; the union of
