@@ -209,14 +209,13 @@ class Catalog:
     def _manifest_dir(self, name: str) -> str:
         return self._path(name) + "._manifest"
 
-    def _current_gen(self, name: str) -> int:
-        """Highest generation with a VALID manifest file, or -1 (the
-        pre-manifest plain table dir). A torn manifest (crash mid-
-        write) parses as invalid JSON and is skipped — the previous
-        generation stays current."""
+    def _manifest_gens(self, name: str) -> list[int]:
+        """All generation numbers with a manifest FILE present (valid
+        or torn), ascending — the single listing helper behind
+        _current_gen/_next_gen/GC/vacuum."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
-            return -1
+            return []
         gens = []
         for st in fs.listStatus(mdir):
             fname = st.getPath().getName()
@@ -225,7 +224,14 @@ class Catalog:
                     gens.append(int(fname[: -len(".json")]))
                 except ValueError:
                     continue
-        for g in sorted(gens, reverse=True):
+        return sorted(gens)
+
+    def _current_gen(self, name: str) -> int:
+        """Highest generation with a VALID manifest file, or -1 (the
+        pre-manifest plain table dir). A torn manifest (crash mid-
+        write) parses as invalid JSON and is skipped — the previous
+        generation stays current."""
+        for g in reversed(self._manifest_gens(name)):
             if self._read_manifest(name, g) is not None:
                 return g
         return -1
@@ -236,17 +242,8 @@ class Catalog:
         commit) burns its generation number — overwriting it would let
         two repairers both 'win' the same gen, so commits skip past it
         and readers keep resolving the highest valid one."""
-        hi = self._current_gen(name)
-        fs, mdir = self._hfs(self._manifest_dir(name))
-        if fs.exists(mdir):
-            for st in fs.listStatus(mdir):
-                fname = st.getPath().getName()
-                if fname.endswith(".json"):
-                    try:
-                        hi = max(hi, int(fname[: -len(".json")]))
-                    except ValueError:
-                        continue
-        return hi + 1
+        gens = self._manifest_gens(name)
+        return (gens[-1] if gens else -1) + 1
 
     def _gen_dir(self, name: str, gen: int) -> str:
         return self._path(name) if gen < 0 else f"{self._path(name)}.g{gen}"
@@ -401,7 +398,15 @@ class Catalog:
         code works whether the FS layer reports scheme-qualified or
         plain paths."""
         fs, root = self._hfs(dir_path)
-        marker = os.path.basename(self._fl_root(name)) + "/"
+        # marker = the first root-relative path component of dir_path
+        # ("<t>.data/" for batch dirs, "<t>/" for a legacy plain dir
+        # being imported) — scheme-agnostic either way
+        fl_base = os.path.basename(self._fl_root(name))
+        marker = (
+            fl_base + "/"
+            if f"/{fl_base}/" in dir_path + "/" or dir_path.endswith(fl_base)
+            else os.path.basename(self._path(name)) + "/"
+        )
         out: list[str] = []
         stack = [root]
         while stack:
@@ -439,7 +444,11 @@ class Catalog:
         bdir = os.path.join(self._fl_root(name), f"b{uuid.uuid4().hex[:12]}")
         out = df
         if meta.partition_keys:
-            out = df.repartition(*[F.col(c) for c in meta.partition_keys])
+            # RANGE partitioning, not hash: each output file covers a
+            # narrow contiguous key interval, which is what makes the
+            # recorded min/max stats actually prune (hash mixing would
+            # give every file near-domain-wide ranges)
+            out = df.repartitionByRange(*[F.col(c) for c in meta.partition_keys])
         out.write.mode("overwrite").parquet(bdir)
         files = self._fl_list_parquet(name, bdir)
         stats: dict[str, dict] = {}
@@ -447,8 +456,11 @@ class Catalog:
             back = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(bdir)
             aggs = []
             for c in meta.partition_keys:
-                aggs.append(F.min(F.col(c).cast("string")).alias(f"__lo_{c}"))
-                aggs.append(F.max(F.col(c).cast("string")).alias(f"__hi_{c}"))
+                # min/max on the NATIVE type, cast after: string-side
+                # extremes are lexicographic ('10' < '2') and would
+                # record inverted ranges that misprune matching files
+                aggs.append(F.min(F.col(c)).cast("string").alias(f"__lo_{c}"))
+                aggs.append(F.max(F.col(c)).cast("string").alias(f"__hi_{c}"))
             rows = back.withColumn("__f", F.input_file_name()).groupBy("__f").agg(*aggs).collect()
             marker = os.path.basename(self._fl_root(name)) + "/"
             for r in rows:
@@ -461,25 +473,49 @@ class Catalog:
     def _fl_commit_append(
         self, name: str, new_files: list[str], new_stats: dict | None = None
     ) -> None:
-        """Append commit: manifest g+1 = files(g) + new (stats merged
+        """Append commit: manifest = files(base) + new (stats merged
         the same way). The batch's data is independent of the base
         generation, so losing a commit race just re-reads the new
         current file set and retries — no recompute, appends never
-        conflict with each other."""
+        conflict with each other.
+
+        ORDERING IS THE CORRECTNESS: the commit target gen is pinned
+        BEFORE the base file set is read. Any rival commit then either
+        (a) landed at or below the base read — its files are IN our
+        base — or (b) targets our pinned gen or later — our exclusive
+        create collides and we retry. Allocating the target AFTER
+        reading the base would let a rival slip a commit in between
+        and have its files silently dropped from every later
+        generation (permanent committed-data loss).
+        """
         for _ in range(25):
+            target = self._next_gen(name)
             cur = self._current_gen(name)
-            doc = self._read_manifest(name, cur) or {}
-            prev = doc.get("files") or []
-            stats = dict(doc.get("file_stats") or {})
+            if cur >= target:
+                continue  # a rival advanced past our pinned target
+            if cur >= 0:
+                doc = self._read_manifest(name, cur) or {}
+                prev = doc.get("files") or []
+                stats = dict(doc.get("file_stats") or {})
+            else:
+                # migration: import a pre-manifest plain dir's files
+                # into the first filelist generation's base
+                fs, plain = self._hfs(self._path(name))
+                prev = (
+                    self._fl_list_parquet(name, self._path(name))
+                    if fs.exists(plain)
+                    else []
+                )
+                stats = {}
             stats.update(new_stats or {})
             try:
                 self._commit_manifest(
-                    name, self._next_gen(name),
+                    name, target,
                     files=sorted(set(prev) | set(new_files)), file_stats=stats,
                 )
             except ConcurrentWriteError:
                 continue
-            self._fl_gc(name, self._current_gen(name))
+            self._fl_gc(name, target)
             return
         raise ConcurrentWriteError(
             f"append to {name!r} lost {25} consecutive commit races"
@@ -489,9 +525,15 @@ class Catalog:
         """Full-rewrite commit: manifest g+1 references ONLY the staged
         batch's files; older snapshots keep their exact file sets. A
         lost race deletes the staged dir and surfaces the OCC signal
-        (the caller recomputes against the winner's rows)."""
-        bdir, files, stats = self._fl_write_batch(name, deduped)
+        (the caller recomputes against the winner's rows).
+
+        The target gen is pinned BEFORE the (long) staging write, like
+        manifest mode: a rival that commits while our Spark job runs
+        takes our pinned number, our exclusive create then collides,
+        and the OCC retry recomputes with the rival's rows — allocating
+        after the write would silently supersede the rival instead."""
         gen = self._next_gen(name)
+        bdir, files, stats = self._fl_write_batch(name, deduped)
         try:
             self._commit_manifest(name, gen, files=files, file_stats=stats)
         except ConcurrentWriteError:
@@ -516,14 +558,7 @@ class Catalog:
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             return
-        gens = []
-        for st in fs.listStatus(mdir):
-            fname = st.getPath().getName()
-            if fname.endswith(".json"):
-                try:
-                    gens.append(int(fname[: -len(".json")]))
-                except ValueError:
-                    continue
+        gens = self._manifest_gens(name)
         cutoff = committed_gen - self.time_travel
         keep: set[str] = set()
         drop_candidates: set[str] = set()
@@ -549,8 +584,18 @@ class Catalog:
         partition columns resolved via basePath."""
         meta = self._meta(name)
         g = self._current_gen(name) if gen is None else gen
-        files = self._fl_manifest_files(name, g) if g >= 0 else None
         schema = self._with_ingest(meta.struct)
+        if g < 0:
+            # pre-manifest state: a table written under rename/manifest
+            # mode being reopened as filelist — read the plain dir so
+            # the migration path shows the data instead of an empty
+            # table (the first filelist append imports these files
+            # into manifest 0's base)
+            fs, plain = self._hfs(self._path(name))
+            if fs.exists(plain):
+                return self.spark.read.schema(schema).parquet(self._path(name))
+            return self.spark.createDataFrame([], schema)
+        files = self._fl_manifest_files(name, g)
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [self._fl_abs(f) for f in files]
@@ -1015,8 +1060,18 @@ class Catalog:
         cols = [f.name for f in meta.struct.fields]
         pks = meta.primary_keys or cols
         payload = [c for c in cols if c not in pks]
-        o = old.select(*[F.col(c).alias(f"__o_{c}") for c in cols])
-        n = new.select(*[F.col(c).alias(f"__n_{c}") for c in cols])
+        # per-side literal markers: presence must not be inferred from
+        # key nullness (the join deliberately uses eqNullSafe, so a
+        # legitimately-NULL key row would otherwise read as absent and
+        # be misreported as an insert)
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            F.lit(True).alias("__o_mark"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            F.lit(True).alias("__n_mark"),
+        )
         cond = None
         for k in pks:
             c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
@@ -1025,17 +1080,9 @@ class Catalog:
         same_payload = F.lit(True)
         for c in payload:
             same_payload = same_payload & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        # presence flags: a side is absent iff every one of its key
-        # columns is NULL (full-outer non-match) — robust to single
-        # nullable key columns
-        o_present = None
-        n_present = None
-        for k in pks:
-            o_present = F.col(f"__o_{k}").isNotNull() if o_present is None else o_present | F.col(f"__o_{k}").isNotNull()
-            n_present = F.col(f"__n_{k}").isNotNull() if n_present is None else n_present | F.col(f"__n_{k}").isNotNull()
         kind = (
-            F.when(~o_present, F.lit("insert"))
-            .when(~n_present, F.lit("delete"))
+            F.when(F.col("__o_mark").isNull(), F.lit("insert"))
+            .when(F.col("__n_mark").isNull(), F.lit("delete"))
             .when(~same_payload, F.lit("update"))
         )
         out_cols = [
@@ -1065,22 +1112,13 @@ class Catalog:
         if self.commit_mode != "filelist":
             raise ValueError("vacuum() requires commit_mode='filelist'")
         self._meta(name)
-        fs, mdir = self._hfs(self._manifest_dir(name))
         referenced: set[str] = set()
-        if fs.exists(mdir):
-            for st in fs.listStatus(mdir):
-                fname = st.getPath().getName()
-                if not fname.endswith(".json"):
-                    continue
-                try:
-                    g = int(fname[: -len(".json")])
-                except ValueError:
-                    continue
-                for rel in self._fl_manifest_files(name, g) or []:
-                    # first path segment under the data root = batch dir
-                    parts = rel.split("/")
-                    if len(parts) >= 2:
-                        referenced.add(parts[1])
+        for g in self._manifest_gens(name):
+            for rel in self._fl_manifest_files(name, g) or []:
+                # first path segment under the data root = batch dir
+                parts = rel.split("/")
+                if len(parts) >= 2:
+                    referenced.add(parts[1])
         import time as _time
 
         cutoff_ms = (_time.time() - older_than_hours * 3600) * 1000

@@ -110,7 +110,9 @@ def curate_corpus(
         mode=config.dup_group_resolver,
     )
     near = (
-        exact.join(groups, id_col, "left")
+        # the resolver's output id column is literally "doc_id" — align
+        # it with the caller's id_col (same as the semantic tier below)
+        exact.join(groups.withColumnRenamed("doc_id", id_col), id_col, "left")
         .filter(
             F.col("canonical_id").isNull()
             | (F.col("canonical_id") == F.col(id_col))

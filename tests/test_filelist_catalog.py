@@ -224,3 +224,70 @@ def test_changes_between_generations(spark, tmp_path):
     assert feed == {"A": ("update", 10.0), "B": ("delete", 2.0), "C": ("insert", 3.0)}
     # self-diff is empty
     assert cat.changes_between("m", g2, g2).count() == 0
+
+
+def test_append_race_preserves_rival_files(spark, tmp_path):
+    """Regression (review finding): a rival append committing between
+    our base read and our commit must either land in our base or force
+    a retry — its files may never silently drop from later manifests."""
+    root = str(tmp_path / "race2")
+    a = Catalog(spark, root, commit_mode="filelist")
+    a.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    b = Catalog(spark, root, commit_mode="filelist")
+
+    real_next = a._next_gen
+    fired = {"done": False}
+
+    def racing_next(name):
+        # rival commits AFTER our target is pinned: we must collide+retry
+        target = real_next(name)
+        if not fired["done"]:
+            fired["done"] = True
+            b.insert("m", _rows(spark, [("R", D1, 7.0)]))
+        return target
+
+    a._next_gen = racing_next
+    a.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    a._next_gen = real_next
+    assert _state(a, "m") == [("A", 1.0), ("R", 7.0)]  # both appends survive
+
+
+def test_scan_pruned_numeric_stats_not_lexicographic(spark, tmp_path):
+    """Regression (review finding): min/max must be computed on the
+    native type — string-side extremes invert ranges like [10, 2] and
+    silently prune matching files."""
+    cat = Catalog(spark, str(tmp_path / "lex"), commit_mode="filelist")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    lo = dt.date(999, 1, 2)    # 3-digit year: '999' > '1000' as strings
+    hi = dt.date(1000, 1, 2)
+    cat.insert("px", _rows(spark, [("A", lo, 1.0), ("B", hi, 2.0)]))
+    got = cat.scan_pruned("px", year=1000)
+    assert [r["ticker"] for r in got.collect()] == ["B"]
+
+
+def test_filelist_reopens_legacy_rename_table(spark, tmp_path):
+    """Regression (review finding): a table written under rename mode
+    must stay readable — and importable — when the catalog is reopened
+    as filelist."""
+    root = str(tmp_path / "mig")
+    old = Catalog(spark, root)  # rename mode
+    old.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    old.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    fl = Catalog(spark, root, commit_mode="filelist")
+    assert _state(fl, "m") == [("A", 1.0)]  # plain-dir fallback read
+    fl.insert("m", _rows(spark, [("B", D2, 2.0)]))  # imports legacy files
+    assert _state(fl, "m") == [("A", 1.0), ("B", 2.0)]
+    fresh = Catalog(spark, root, commit_mode="filelist")
+    assert _state(fresh, "m") == [("A", 1.0), ("B", 2.0)]
+
+
+def test_changes_between_null_key_rows(spark, tmp_path):
+    """Regression (review finding): a legitimately-NULL key row present
+    unchanged in both snapshots is NOT a change."""
+    cat = Catalog(spark, str(tmp_path / "nullk"), commit_mode="filelist", time_travel=3)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", spark.createDataFrame([(None, D1, 2024, 1.0)], SCHEMA))
+    cat.merge("m", _rows(spark, [("B", D2, 2.0)]))
+    hist = [h["generation"] for h in cat.history("m")]
+    feed = cat.changes_between("m", hist[-2], hist[-1]).collect()
+    assert [(r["ticker"], r["_change_type"]) for r in feed] == [("B", "insert")]
