@@ -408,3 +408,33 @@ def test_streaming_dedup_ids_drops_replays(spark, tmp_path):
     got = spark.sql("select event_id from dedup_ids").collect()
     ids = [r["event_id"] for r in got]
     assert sorted(ids) == list(range(40))  # every id exactly once
+
+
+def test_streaming_upsert_sink_on_filelist_catalog(spark, tmp_path):
+    """The exactly-once upsert sink composes with the filelist commit
+    protocol: every micro-batch upsert is an atomic snapshot commit and
+    replays converge."""
+    src = str(tmp_path / "events_fl")
+    _write_events(spark, src, 3)
+    cat = Catalog(spark, str(tmp_path / "fl_lake"), commit_mode="filelist")
+    cat.create(
+        "event_counts",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        partition_keys=None,
+        primary_keys=["event_type"],
+        mode="replace",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sink = upsert_foreach_batch(cat, "event_counts")
+    run_available_now(counts, sink, str(tmp_path / "c1"))
+    got = {r["event_type"]: r["n"] for r in cat.table("event_counts").collect()}
+    assert got == {"view": 50, "click": 50}
+    run_available_now(counts, sink, str(tmp_path / "c2"))  # replay
+    got2 = {r["event_type"]: r["n"] for r in cat.table("event_counts").collect()}
+    assert got2 == got
