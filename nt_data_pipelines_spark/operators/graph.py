@@ -29,6 +29,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of standard damped PageRank.
 
@@ -36,9 +37,19 @@ def pagerank(
     as multi-edges (their contributions add); nodes without out-edges
     are dangling and redistribute their mass uniformly. Ranks start at
     1/N and every iteration preserves total mass 1 (up to round-6).
+
+    ``weight`` names an edge-weight column: each node splits its rank
+    over out-edges proportionally to weight instead of uniformly (the
+    k-NN use case: stronger cosine neighbors receive more mass).
+    Weights must be positive; the unweighted form is the weight=1
+    special case.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if weight is not None:
+        edges = edges.select(
+            F.col(src).alias(src), F.col(dst).alias(dst), F.col(weight).alias("__w")
+        )
     # The edge list feeds node derivation, out-degrees, and every
     # iteration's contribution join — an expensive upstream plan (e.g.
     # the LSH k-NN graph) would otherwise be re-executed 3 + iterations
@@ -52,8 +63,13 @@ def pagerank(
         .localCheckpoint(eager=True)  # reused every iteration, rank-sized
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
+    # out "degree": edge count unweighted, total out-weight weighted —
+    # either way the per-src normalizer of contribution shares
+    out_measure = (
+        F.sum("__w") if weight is not None else F.count(F.lit(1))
+    )
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("__out")
+        out_measure.cast("double").alias("__out")
     ).localCheckpoint(eager=True)
     # rank0 = 1/N, already round-6 for iteration parity
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -62,12 +78,22 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         with_deg = ranks.join(F.broadcast(outdeg), "node", "left")
+        # weighted: rank * w / out-weight; unweighted stays the exact
+        # rank / out-count division the SQL oracle reproduces
+        per_edge = (
+            F.col("rank") * F.col("__w") / F.col("__out")
+            if weight is not None
+            else F.col("rank") / F.col("__out")
+        )
+        edge_cols = [F.col(src).alias("node"), F.col(dst).alias("__dst")]
+        if weight is not None:
+            edge_cols.append(F.col("__w"))
         contrib = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
+            edges.select(*edge_cols)
             .join(with_deg.filter(F.col("__out").isNotNull()), "node")
             .select(
                 F.col("__dst").alias("node"),
-                (F.col("rank") / F.col("__out")).alias("__c"),
+                per_edge.alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum(F.col("__c").cast("decimal(38,12)")).cast("double").alias("__in"))

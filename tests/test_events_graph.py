@@ -83,3 +83,21 @@ def test_pagerank_mass_and_known_graph(spark):
     assert pr2[0] == pytest.approx(pr2[1], abs=1e-9) == pytest.approx(0.5, abs=1e-6)
     with pytest.raises(ValueError):
         pagerank(cyc, iterations=0)
+
+
+def test_weighted_pagerank_splits_mass_by_weight(spark):
+    """0 -> {1 (w=3), 2 (w=1)}: node 1 receives 3x node 2's share;
+    the unweighted call equals weight=1."""
+    e = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    pr = {r["node"]: r["rank"] for r in
+          pagerank(e, weight="w", iterations=8).collect()}
+    assert pr[1] > pr[2]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-4)
+    # weight=1 everywhere reproduces the unweighted ranks exactly
+    ones = e.withColumn("w", F.lit(1.0))
+    pw = {r["node"]: r["rank"] for r in pagerank(ones, weight="w", iterations=3).collect()}
+    pu = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    assert pw == pu
