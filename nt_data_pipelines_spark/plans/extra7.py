@@ -240,6 +240,61 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "doc_id", "text")
 
 
+@register(
+    "a_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT purchase_id,
+             (SELECT c.click_id FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 60 MINUTE
+              ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS click_id
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(click_id) AS BIGINT) AS n_attributed,
+           ROUND(CAST(COUNT(click_id) AS DOUBLE) / COUNT(*), 6) AS attribution_rate
+    FROM matched
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+    "recent click within a 60-minute lookback, via the as-of join "
+    "(union + struct-carry — one window sort per user, no range "
+    "cross-join). The oracle's correlated subquery spells the same "
+    "most-recent-within-tolerance semantics.",
+)
+def a_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    m = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        tolerance_seconds=3600, direction="backward",
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("right_click_id").alias("n_attributed"),
+        F.round(
+            F.count("right_click_id").cast("double") / F.count(F.lit(1)), 6
+        ).alias("attribution_rate"),
+    )
+
+
 _PR_ITERS = 3
 
 

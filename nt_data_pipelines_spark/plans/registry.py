@@ -94,7 +94,8 @@ DRIVER_PRIORITY: list[str] = [
     "w_user_streaks",
     "t_lexical_diversity",
     "t_bigram_logprob",
-    # With 25 never-verified queries fronted, only 25 of the 31
+    "a_last_touch_attribution",
+    # With 26 never-verified queries fronted, only 24 of the 31
     # r1-r3-only rotation queries below fit the 50 driver slots; the
     # last six (s_centroid_per_label, a_cube_counts, a_grouping_sets,
     # o1_multisort_limit, a_median_exact, d_lsh_verified_dedup) keep
