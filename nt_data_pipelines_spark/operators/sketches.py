@@ -84,6 +84,40 @@ def distinct_sketch_error(df: DataFrame, col: str, rsd: float = 0.05) -> DataFra
     )
 
 
+def cms_counts(
+    df: DataFrame,
+    col: str,
+    values: list,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 1,
+):
+    """Count-min-sketch frequency estimates for specific values.
+
+    The point-query sibling of :func:`heavy_hitters`: Misra-Gries
+    finds WHICH values are frequent; CMS answers "how often does THIS
+    value occur" from a fixed-size summary. Spark's built-in sketch
+    aggregates map-side and merges — rows never shuffle, the summary
+    is width x depth counters regardless of cardinality, and estimates
+    obey ``true <= est <= true + eps * n`` with probability
+    ``confidence`` (one-sided overestimation only: hash collisions
+    add, never subtract). Returns ``[(value, estimate)]`` plus the
+    sketch for reuse.
+    """
+    if not values:
+        raise ValueError("values must be non-empty")
+    blob = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("__s")
+    ).first()["__s"]
+    jvm = df.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    return [(v, sketch.estimateCount(v)) for v in values], sketch
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -85,3 +85,23 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "token", k=0)
+
+
+def test_cms_counts_overestimates_within_bound(spark):
+    """CMS never undercounts; overestimation is bounded by eps * n."""
+    import pytest
+    from nt_data_pipelines_spark.operators.sketches import cms_counts
+
+    rows = [("hot",)] * 500 + [(f"v{i % 50}",) for i in range(1500)]
+    df = spark.createDataFrame(rows, "w string")
+    true = {"hot": 500, "v0": 30, "absent": 0}
+    ests, _ = cms_counts(df, "w", list(true), eps=0.01, confidence=0.99)
+    n = 2000
+    for v, est in ests:
+        assert est >= true[v], (v, est)
+        assert est <= true[v] + 0.01 * n * 3, (v, est)  # slack over the bound
+    # deterministic under a fixed seed
+    ests2, _ = cms_counts(df, "w", list(true), eps=0.01, confidence=0.99)
+    assert ests == ests2
+    with pytest.raises(ValueError):
+        cms_counts(df, "w", [])
