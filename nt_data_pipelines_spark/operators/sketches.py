@@ -118,6 +118,73 @@ def cms_counts(
     return [(v, sketch.estimateCount(v)) for v in values], sketch
 
 
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantile estimates via the KLL sketch.
+
+    The STREAMING-grade sibling of the GK tier (:func:`approx_quantiles`):
+    KLL summaries merge associatively, so per-partition/per-batch
+    sketches combine without revisiting rows — the property an
+    incremental percentile dashboard needs. One row per probability:
+    (p, estimate). Accuracy is rank-error ~O(1/k) with k=200 giving
+    ~1% rank error (Datasketches defaults).
+    """
+    agg = df.agg(F.kll_sketch_agg_double(F.col(col), F.lit(k)).alias("__s"))
+    rows = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.kll_sketch_get_quantile_double(F.col("__s"), F.lit(float(p))).alias("q"),
+        )
+        for p in probabilities
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.p", "r.q")
+
+
+def segment_overlap(
+    df: DataFrame,
+    segment_col: str,
+    id_col: str,
+    seg_a,
+    seg_b,
+) -> dict:
+    """Approximate audience overlap via theta sketches.
+
+    Distinct-id cardinalities for two segments AND their union /
+    intersection — the question plain HLL cannot answer (HLL unions
+    but never intersects). Each segment aggregates into one mergeable
+    theta sketch map-side; the driver holds only the two summaries.
+    Returns {a, b, union, intersection} estimates (doubles).
+    """
+    sk = (
+        df.filter(F.col(segment_col).isin([seg_a, seg_b]))
+        .groupBy(segment_col)
+        .agg(F.theta_sketch_agg(F.col(id_col)).alias("__s"))
+    )
+    per = {r[segment_col]: r["__s"] for r in sk.collect()}
+    if seg_a not in per or seg_b not in per:
+        missing = [s for s in (seg_a, seg_b) if s not in per]
+        raise ValueError(f"segment(s) {missing} have no rows")
+    spark = df.sparkSession
+    est = spark.createDataFrame(
+        [(per[seg_a], per[seg_b])], "sa binary, sb binary"
+    ).select(
+        F.theta_sketch_estimate("sa").alias("a"),
+        F.theta_sketch_estimate("sb").alias("b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("u"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("i"),
+    ).first()
+    return {
+        "a": float(est["a"]),
+        "b": float(est["b"]),
+        "union": float(est["u"]),
+        "intersection": float(est["i"]),
+    }
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -105,3 +105,28 @@ def test_cms_counts_overestimates_within_bound(spark):
     assert ests == ests2
     with pytest.raises(ValueError):
         cms_counts(df, "w", [])
+
+
+def test_kll_quantiles_close_to_exact(spark):
+    from nt_data_pipelines_spark.operators.sketches import kll_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10001)], "x double")
+    got = {r["p"]: r["q"] for r in kll_quantiles(df, "x", (0.1, 0.5, 0.9)).collect()}
+    for p, q in got.items():
+        assert abs(q - p * 10000) <= 0.02 * 10000, (p, q)  # ~1% rank error
+
+
+def test_segment_overlap_theta_sketches(spark):
+    """Known overlap: A = users 0..599, B = users 400..999 -> |A∩B|=200."""
+    import pytest
+    from nt_data_pipelines_spark.operators.sketches import segment_overlap
+
+    rows = [("A", i) for i in range(600)] + [("B", i) for i in range(400, 1000)]
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    got = segment_overlap(df, "seg", "user_id", "A", "B")
+    assert got["a"] == pytest.approx(600, rel=0.05)
+    assert got["b"] == pytest.approx(600, rel=0.05)
+    assert got["union"] == pytest.approx(1000, rel=0.05)
+    assert got["intersection"] == pytest.approx(200, rel=0.15)
+    with pytest.raises(ValueError, match="no rows"):
+        segment_overlap(df, "seg", "user_id", "A", "Z")
