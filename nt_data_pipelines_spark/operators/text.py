@@ -275,6 +275,38 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return df.withColumn(out_col, scrubbed)
 
 
+def pseudonymize(
+    df: DataFrame,
+    cols: str | list[str],
+    salt: str,
+    length: int = 16,
+) -> DataFrame:
+    """Replace identifier columns with salted, consistent pseudonyms.
+
+    The de-identification companion to :func:`scrub_pii`: scrubbing
+    destroys linkage, pseudonymization PRESERVES it — the same
+    (salt, id) always maps to the same token, so joins and
+    per-entity analytics still work across tables and runs, while the
+    raw identifier never leaves the cluster. sha2-256 truncated to
+    ``length`` hex chars; the salt is the secret — without it the
+    mapping is preimage-resistant, with it an authorized party can
+    recompute (not reverse) the mapping. Pure codegen, no shuffle.
+    NULL ids stay NULL (a hashed NULL would fabricate an entity).
+    """
+    if not salt:
+        raise ValueError("salt must be non-empty — unsalted hashes are re-identifiable")
+    if length < 8 or length > 64:
+        raise ValueError("length must be in [8, 64] hex chars")
+    out = df
+    for c in [cols] if isinstance(cols, str) else list(cols):
+        token = F.substring(
+            F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), 256),
+            1, length,
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))
+    return out
+
+
 def _word_ngrams(text_col: str, n: int):
     """Array of word n-grams (space-joined); empty for short docs."""
     ws = words(text_col)

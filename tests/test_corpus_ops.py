@@ -165,3 +165,28 @@ def test_boilerplate_and_paragraph_dedup_idempotent(spark):
         once_p.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
     )
     assert {tuple(r) for r in once_p.collect()} == {tuple(r) for r in twice_p.collect()}
+
+
+def test_pseudonymize_consistent_and_null_safe(spark):
+    import pytest
+    from nt_data_pipelines_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u1"), (4, None)], "event_id long, user string"
+    )
+    got = pseudonymize(df, "user", salt="s3cret").collect()
+    toks = {r["event_id"]: r["user"] for r in got}
+    assert toks[1] == toks[3] and toks[1] != toks[2]  # consistent, distinct
+    assert toks[4] is None
+    assert len(toks[1]) == 16 and toks[1] != "u1"
+    # same salt elsewhere -> same token (cross-table joinability)
+    other = spark.createDataFrame([("u1",)], "user string")
+    tok2 = pseudonymize(other, "user", salt="s3cret").first()["user"]
+    assert tok2 == toks[1]
+    # different salt -> different universe
+    tok3 = pseudonymize(other, "user", salt="other").first()["user"]
+    assert tok3 != toks[1]
+    with pytest.raises(ValueError, match="salt"):
+        pseudonymize(df, "user", salt="")
+    with pytest.raises(ValueError, match="length"):
+        pseudonymize(df, "user", salt="x", length=4)
