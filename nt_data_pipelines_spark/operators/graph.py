@@ -46,10 +46,23 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # normalize to an explicit weight column: the unweighted form is
+    # exactly weight=1 (rank * 1.0 / out is bit-identical to rank/out,
+    # so the unrolled SQL oracle's parity is unaffected)
+    wcol = F.col(weight) if weight is not None else F.lit(1.0)
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst), wcol.alias("__w")
+    )
     if weight is not None:
-        edges = edges.select(
-            F.col(src).alias(src), F.col(dst).alias(dst), F.col(weight).alias("__w")
-        )
+        bad = edges.filter(
+            F.col("__w").isNull() | (F.col("__w") <= 0)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "edge weights must be positive and non-null — a zero-sum "
+                "source divides by zero mid-iteration and a NULL edge "
+                "silently vanishes"
+            )
     # The edge list feeds node derivation, out-degrees, and every
     # iteration's contribution join — an expensive upstream plan (e.g.
     # the LSH k-NN graph) would otherwise be re-executed 3 + iterations
@@ -63,13 +76,10 @@ def pagerank(
         .localCheckpoint(eager=True)  # reused every iteration, rank-sized
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__N"))
-    # out "degree": edge count unweighted, total out-weight weighted —
-    # either way the per-src normalizer of contribution shares
-    out_measure = (
-        F.sum("__w") if weight is not None else F.count(F.lit(1))
-    )
+    # out "measure": total out-weight (== edge count when __w is the
+    # unweighted 1.0) — the per-src normalizer of contribution shares
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(
-        out_measure.cast("double").alias("__out")
+        F.sum("__w").cast("double").alias("__out")
     ).localCheckpoint(eager=True)
     # rank0 = 1/N, already round-6 for iteration parity
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -78,22 +88,14 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         with_deg = ranks.join(F.broadcast(outdeg), "node", "left")
-        # weighted: rank * w / out-weight; unweighted stays the exact
-        # rank / out-count division the SQL oracle reproduces
-        per_edge = (
-            F.col("rank") * F.col("__w") / F.col("__out")
-            if weight is not None
-            else F.col("rank") / F.col("__out")
-        )
-        edge_cols = [F.col(src).alias("node"), F.col(dst).alias("__dst")]
-        if weight is not None:
-            edge_cols.append(F.col("__w"))
         contrib = (
-            edges.select(*edge_cols)
+            edges.select(
+                F.col(src).alias("node"), F.col(dst).alias("__dst"), "__w"
+            )
             .join(with_deg.filter(F.col("__out").isNotNull()), "node")
             .select(
                 F.col("__dst").alias("node"),
-                per_edge.alias("__c"),
+                (F.col("rank") * F.col("__w") / F.col("__out")).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum(F.col("__c").cast("decimal(38,12)")).cast("double").alias("__in"))

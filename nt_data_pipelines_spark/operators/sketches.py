@@ -133,6 +133,8 @@ def kll_quantiles(
     (p, estimate). Accuracy is rank-error ~O(1/k) with k=200 giving
     ~1% rank error (Datasketches defaults).
     """
+    if not probabilities:
+        raise ValueError("probabilities must be non-empty")
     agg = df.agg(F.kll_sketch_agg_double(F.col(col), F.lit(k)).alias("__s"))
     rows = [
         F.struct(

@@ -299,8 +299,17 @@ def pseudonymize(
         raise ValueError("length must be in [8, 64] hex chars")
     out = df
     for c in [cols] if isinstance(cols, str) else list(cols):
+        # hash the salt FIRST: concat(salt, ':', id) is ambiguous when
+        # a salt contains ':' (salt 'a:b' + id 'c' == salt 'a' + id
+        # 'b:c'), which would let one salt universe forge another's
+        # tokens; sha2(salt) is fixed-width, so the encoding is unique
         token = F.substring(
-            F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), 256),
+            F.sha2(
+                F.concat(
+                    F.sha2(F.lit(salt), 256), F.lit(":"), F.col(c).cast("string")
+                ),
+                256,
+            ),
             1, length,
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))

@@ -245,11 +245,11 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT event_id AS purchase_id, user_id, ts
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     c AS (
       SELECT event_id AS click_id, user_id, ts
-      FROM events WHERE event_type = 'click'
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
     ),
     matched AS (
       SELECT purchase_id,
@@ -276,12 +276,15 @@ def a_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
+    # NULL user pin: the window partition would group NULL users while
+    # SQL equality rejects NULL=NULL — filter both sides so the engines
+    # agree even if the data ever grows NULL ids
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(F.col("event_id").alias("click_id"), "user_id", "ts")
     m = asof_join(
         purchases, clicks, on="ts", by="user_id",
         tolerance_seconds=3600, direction="backward",

@@ -97,9 +97,10 @@ DRIVER_PRIORITY: list[str] = [
     "a_last_touch_attribution",
     # With 26 never-verified queries fronted, only 24 of the 31
     # r1-r3-only rotation queries below fit the 50 driver slots; the
-    # last six (s_centroid_per_label, a_cube_counts, a_grouping_sets,
-    # o1_multisort_limit, a_median_exact, d_lsh_verified_dedup) keep
-    # their r1-r3 rows + local parity greens and rotate into round 6.
+    # last seven (s_lsh_dedup_groups, s_centroid_per_label,
+    # a_cube_counts, a_grouping_sets, o1_multisort_limit,
+    # a_median_exact, d_lsh_verified_dedup) keep their r1-r3 rows +
+    # local parity greens and MUST be fronted in round 6's slots.
     # Round-5 rotation: the 31 queries with no row in CORRECTNESS_r04
     # (driver-green in r1-r3, re-verified locally each round) go first
     # so the round-5 driver artifact re-greens them; the union of
