@@ -275,6 +275,33 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None)
     return df.withColumn(out_col, scrubbed)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen deterministically.
+
+    The per-domain cap every web-corpus recipe applies (a handful of
+    boilerplate-heavy hosts would otherwise dominate the token
+    budget): rows rank by md5(id) within their group, so the kept
+    subset is a uniform-ish, engine/retry/repartition-stable sample —
+    no RNG state, identical on every run. One shuffle on the group
+    key; groups at or under the cap pass through whole.
+    """
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
 def pseudonymize(
     df: DataFrame,
     cols: str | list[str],

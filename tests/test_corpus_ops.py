@@ -190,3 +190,22 @@ def test_pseudonymize_consistent_and_null_safe(spark):
         pseudonymize(df, "user", salt="")
     with pytest.raises(ValueError, match="length"):
         pseudonymize(df, "user", salt="x", length=4)
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    import pytest
+    from nt_data_pipelines_spark.operators.text import cap_per_group
+
+    rows = [(i, "big" if i < 95 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_group(df, "source", "doc_id", max_rows=10)
+    counts = {r["source"]: r["n"] for r in
+              capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 10, "small": 5}  # under-cap groups pass whole
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_group(df.repartition(7), "source", "doc_id", 10).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        cap_per_group(df, "source", "doc_id", 0)
