@@ -50,6 +50,9 @@ class CurationConfig:
     pack_capacity: int = 512
     # per-source token budget for the mixing stage; None = no mixing
     token_budget_per_source: int | None = None
+    # hard per-source document cap (md5-deterministic subset);
+    # None = uncapped
+    max_docs_per_source: int | None = None
     # perplexity band (CCNet-style): keep docs whose corpus-unigram
     # bits/token falls inside these quantiles of the surviving
     # distribution; None disables the stage
@@ -188,6 +191,12 @@ def curate_corpus(
             gated, id_col, text_col, lo_quantile=lo, hi_quantile=hi
         ).drop("bits_per_token")
         stages.append(("perplexity_band", gated))
+
+    if config.max_docs_per_source is not None:
+        gated = TX.cap_per_group(
+            gated, config.source_col, id_col, config.max_docs_per_source
+        )
+        stages.append(("source_cap", gated))
 
     if config.token_budget_per_source is not None:
         gated = TX.mix_sources_to_budget(

@@ -128,3 +128,15 @@ def test_curate_corpus_semantic_dedup_stage(spark):
     assert acct["semantic_dedup"] == 2  # doc 1 collapsed into doc 0
     with pytest.raises(ValueError, match="no embeddings"):
         curate_corpus(docs, config=CurationConfig(semantic_threshold=0.9))
+
+
+def test_curate_corpus_with_source_cap(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(min_words=5, max_dup_ngram_frac=0.95,
+                              max_docs_per_source=1),
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert "source_cap" in acct
+    assert 0 < acct["source_cap"] <= acct["quality_lang_gate"]
