@@ -6,17 +6,19 @@ registry queries; this module is the production composition):
 
 1. normalize text (canonical form),
 2. exact dedup on normalized content,
-3. near-dup removal — MinHash-LSH candidates → connected components →
-   keep each group's canonical (min-id) doc,
-4. span-dedup filter — drop docs whose word-shingle duplicate
+3. near-dup removal — MinHash-LSH spanning edges → connected
+   components → keep each group's canonical (min-id) doc,
+4. optional semantic (embedding-cosine) dedup — the paraphrase tier,
+5. span-dedup filter — drop docs whose word-shingle duplicate
    fraction exceeds a threshold,
-5. quality + language gate (length / alpha-ratio / stopword signals,
+6. quality + language gate (length / alpha-ratio / stopword signals,
    n-gram language ID),
-6. optional perplexity band filter (corpus-unigram surprisal — the
+7. optional perplexity band filter (corpus-unigram surprisal — the
    CCNet head/middle/tail cut, keeping the middle),
-7. PII scrub,
-8. chunk to training windows and pack into fixed-capacity bins,
-9. per-source token accounting.
+8. optional per-source document cap and/or token-budget mixing,
+9. PII scrub,
+10. chunk to training windows and pack into fixed-capacity bins,
+11. per-source token accounting (+ optional shard materialization).
 
 Every stage is a linear shuffle or a broadcast; nothing is pairwise.
 The function returns (packed chunks, per-stage survivor accounting) —
