@@ -209,6 +209,47 @@ def lsh_ann_topk(
     )
 
 
+def lsh_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    sample_size: int = 500,
+) -> dict:
+    """Measured recall of the LSH candidate tier vs exact ground truth.
+
+    The tuning instrument for ``num_planes``: more planes cut cost but
+    drop recall, and the right setting depends on the corpus's
+    similarity distribution — so measure it. Ground truth is the exact
+    quadratic pair set over a DETERMINISTIC md5-ranked sample of
+    ``sample_size`` vectors (quadratic stays affordable by
+    construction: the sample is fixed-size no matter the corpus);
+    recall = |LSH pairs ∩ exact pairs| / |exact pairs| over the same
+    sample. Returns {exact_pairs, lsh_pairs, hits, recall} — recall is
+    None when the sample has no qualifying pairs (raise the sample or
+    lower the threshold; an empty denominator is not 100%).
+    """
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    sample = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_size)
+        .drop("__rn")
+    ).localCheckpoint(eager=True)
+    exact = near_dup_pairs(sample, id_col, vec_col, threshold)
+    approx = lsh_near_dup_pairs(sample, id_col, vec_col, threshold, num_planes, dim)
+    n_exact = exact.count()
+    n_lsh = approx.count()
+    hits = exact.join(approx.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").count()
+    return {
+        "exact_pairs": n_exact,
+        "lsh_pairs": n_lsh,
+        "hits": hits,
+        "recall": round(hits / n_exact, 6) if n_exact else None,
+    }
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -473,3 +473,32 @@ def test_quantize_embeddings_error_bound(spark):
             for r in dequantize_error(df, q).collect()}
     for vid, (scale, err) in errs.items():
         assert err <= scale / 2 + 1e-12, (vid, scale, err)
+
+
+def test_lsh_recall_harness(spark):
+    """Planted clusters: few planes -> recall 1.0 on identical vectors;
+    the harness reports None (not 100%) when no exact pairs exist."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from nt_data_pipelines_spark.operators.similarity import lsh_recall
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(10, 64)).round(3)
+    rows = []
+    for i in range(50):
+        rows.append((i, [float(x) for x in base[i % 10]]))  # 10 clusters of clones
+    emb = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    got = lsh_recall(emb, threshold=0.999, num_planes=4, sample_size=50)
+    assert got["exact_pairs"] == 10 * (5 * 4 // 2)  # 10 clusters of 5 clones
+    assert got["recall"] == 1.0  # identical vectors share every bucket
+    # no qualifying pairs -> None, never a fake 100%
+    lonely = emb.filter("vec_id < 10")  # one of each cluster
+    got2 = lsh_recall(lonely, threshold=0.999, num_planes=4, sample_size=50)
+    assert got2["exact_pairs"] == 0 and got2["recall"] is None
