@@ -64,7 +64,8 @@ class CurationConfig:
     # (requires an `embeddings` frame passed to curate_corpus);
     # None disables the stage
     semantic_threshold: float | None = None
-    semantic_planes: int = 8
+    semantic_planes: int = 8      # planes per band
+    semantic_bands: int = 4       # OR-amplified bands (recall 1-(1-p^k)^L)
     semantic_dim: int = 64
     source_col: str = "source"
     # dup-group resolution routing: 'auto' probes the candidate-pair
@@ -131,7 +132,9 @@ def curate_corpus(
             raise ValueError(
                 "semantic_threshold set but no embeddings frame was passed"
             )
-        from nt_data_pipelines_spark.operators.similarity import lsh_near_dup_pairs
+        from nt_data_pipelines_spark.operators.similarity import (
+            banded_hyperplane_pairs,
+        )
 
         # lexical near-dedup catches shared text; the embedding tier
         # catches PARAPHRASES — same content, different words. Pairs
@@ -141,12 +144,16 @@ def curate_corpus(
         # the document id so the semi-join and group mapping share keys
         emb = embeddings.withColumnRenamed(embeddings.columns[0], id_col)
         surviving_emb = emb.join(near.select(id_col), id_col, "left_semi")
-        sem_pairs = lsh_near_dup_pairs(
+        # banded (OR-amplified) candidates: a single signature's
+        # recall is p^k (~0.43 at threshold 0.95, k=8); L=4 bands lift
+        # it to ~0.90 at linear cost — measured in docs/SCALE.md
+        sem_pairs = banded_hyperplane_pairs(
             surviving_emb,
             id_col,
             "embedding",
             threshold=config.semantic_threshold,
-            num_planes=config.semantic_planes,
+            planes_per_band=config.semantic_planes,
+            num_bands=config.semantic_bands,
             dim=config.semantic_dim,
         )
         sem_groups = resolve_dup_groups_auto(
