@@ -423,10 +423,18 @@ class Catalog:
         return sorted(out)
 
     def _fl_write_batch(
-        self, name: str, df: DataFrame
+        self, name: str, df: DataFrame, cluster: bool = True
     ) -> tuple[str, list[str], dict[str, dict]]:
         """Write one immutable batch dir; returns (dir, relative files,
         per-file partition-column stats).
+
+        ``cluster=False`` writes the input's existing partitioning
+        as-is — for maintenance rewrites (compact, z-order) whose
+        caller already laid the data out deliberately; the default
+        reclustering would silently discard that layout (compact's
+        target file count, optimize_layout's z-order curve). Per-file
+        stats are recorded either way (an unclustered layout just
+        records wider, less prunable ranges).
 
         Filelist batches do NOT use hive ``partitionBy`` layout: Spark's
         path-based partition inference cannot reconcile ``key=value``
@@ -443,7 +451,7 @@ class Catalog:
         meta = self._meta(name)
         bdir = os.path.join(self._fl_root(name), f"b{uuid.uuid4().hex[:12]}")
         out = df
-        if meta.partition_keys:
+        if meta.partition_keys and cluster:
             # RANGE partitioning, not hash: each output file covers a
             # narrow contiguous key interval, which is what makes the
             # recorded min/max stats actually prune (hash mixing would
@@ -488,6 +496,8 @@ class Catalog:
         and have its files silently dropped from every later
         generation (permanent committed-data loss).
         """
+        meta = self._meta(name)
+        migrated = False
         for _ in range(25):
             target = self._next_gen(name)
             cur = self._current_gen(name)
@@ -501,12 +511,29 @@ class Catalog:
                 # migration: import a pre-manifest plain dir's files
                 # into the first filelist generation's base
                 fs, plain = self._hfs(self._path(name))
-                prev = (
-                    self._fl_list_parquet(name, self._path(name))
-                    if fs.exists(plain)
-                    else []
-                )
-                stats = {}
+                if not fs.exists(plain):
+                    prev, stats = [], {}
+                elif meta.partition_keys:
+                    # Partitioned legacy tables store the partition
+                    # column in hive DIR NAMES, not in the file data.
+                    # A manifest referencing those files directly would
+                    # scan them as explicit paths (no basePath), so the
+                    # partition column surfaces NULL for every legacy
+                    # row — and the next rewrite makes that permanent.
+                    # REWRITE the legacy rows into a proper filelist
+                    # batch (partition values materialized into the
+                    # data) and import the rewritten files instead. The
+                    # dir-scan below resolves the partition columns via
+                    # hive discovery because the read root IS the base
+                    # path.
+                    legacy = self.spark.read.schema(
+                        self._with_ingest(meta.struct)
+                    ).parquet(self._path(name))
+                    _, prev, stats = self._fl_write_batch(name, legacy)
+                    migrated = True
+                else:
+                    prev = self._fl_list_parquet(name, self._path(name))
+                    stats = {}
             stats.update(new_stats or {})
             try:
                 self._commit_manifest(
@@ -516,12 +543,20 @@ class Catalog:
             except ConcurrentWriteError:
                 continue
             self._fl_gc(name, target)
+            if migrated:
+                # the legacy rows now live in the rewritten batch; the
+                # hive-layout plain dir is superseded garbage (and no
+                # manifest of a partitioned table ever references it)
+                self._fs_delete(self._path(name))
+                self.spark.catalog.refreshByPath(self._path(name))
             return
         raise ConcurrentWriteError(
             f"append to {name!r} lost {25} consecutive commit races"
         )
 
-    def _rewrite_table_filelist(self, name: str, deduped: DataFrame) -> None:
+    def _rewrite_table_filelist(
+        self, name: str, deduped: DataFrame, preserve_layout: bool = False
+    ) -> None:
         """Full-rewrite commit: manifest g+1 references ONLY the staged
         batch's files; older snapshots keep their exact file sets. A
         lost race deletes the staged dir and surfaces the OCC signal
@@ -533,7 +568,9 @@ class Catalog:
         and the OCC retry recomputes with the rival's rows — allocating
         after the write would silently supersede the rival instead."""
         gen = self._next_gen(name)
-        bdir, files, stats = self._fl_write_batch(name, deduped)
+        bdir, files, stats = self._fl_write_batch(
+            name, deduped, cluster=not preserve_layout
+        )
         try:
             self._commit_manifest(name, gen, files=files, file_stats=stats)
         except ConcurrentWriteError:
@@ -598,15 +635,41 @@ class Catalog:
         files = self._fl_manifest_files(name, g)
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [self._fl_abs(f) for f in files]
-        for p in paths[:1]:  # cheap existence probe: GC'd snapshots fail loudly
-            fs, hp = self._hfs(p)
-            if not fs.exists(hp):
-                raise LookupError(
-                    f"generation {g} of {name!r} data was GC'd — "
-                    "raise time_travel to retain more"
-                )
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not self._fl_snapshot_readable(name, g, files):
+            raise LookupError(
+                f"generation {g} of {name!r} data was GC'd — "
+                "raise time_travel to retain more"
+            )
+        return self.spark.read.schema(schema).parquet(*[self._fl_abs(f) for f in files])
+
+    def _fl_snapshot_readable(self, name: str, gen: int, files: list[str]) -> bool:
+        """Whether every file a generation references still exists.
+
+        GC deletes per-FILE (drop = older-manifest-only files), so
+        probing the first sorted file is not enough: an old generation
+        whose first file is shared with a retained generation — but
+        whose UNIQUE files were collected — would be declared readable
+        and then fail mid-scan with a raw path-not-found. Probe a file
+        that GC could actually have deleted: one outside the retained
+        manifests' keep-set. A generation whose files are all inside
+        the keep-set is readable by the GC invariant itself (no probe
+        needed); inside the retention window that is every file.
+        """
+        cur = self._current_gen(name)
+        if gen >= cur - self.time_travel:
+            # in-retention generations are protected by the GC keep
+            # rule — one cheap first-file sanity probe (vs. external
+            # deletion) keeps the hot current-gen read path at a
+            # single existence check, no manifest sweep
+            doomed = files[:1]
+        else:
+            keep: set[str] = set()
+            for g in self._manifest_gens(name):
+                if g >= cur - self.time_travel:
+                    keep.update(self._fl_manifest_files(name, g) or [])
+            doomed = [f for f in files if f not in keep] or files[:1]
+        fs, p = self._hfs(self._fl_abs(doomed[0]))
+        return bool(fs.exists(p))
 
     # ---- filesystem (Hadoop FS API: works on file://, s3a://, hdfs://) ----
     def _hfs(self, path: str):
@@ -922,7 +985,7 @@ class Catalog:
         self.insert(name, df, mode="append")
         self.optimize(name)
 
-    def rewrite(self, name: str, build) -> None:
+    def rewrite(self, name: str, build, preserve_layout: bool = False) -> None:
         """Transactionally replace a table with ``build(df)``.
 
         ``build`` receives the current full table (ingest bookkeeping
@@ -933,10 +996,17 @@ class Catalog:
         filters/anti-joins, so this is the row-level DELETE primitive.
         Losing a manifest-commit race recomputes ``build`` against the
         winner's state (optimistic concurrency, bounded retries).
-        """
-        self._with_occ_retry(name, lambda: self._rewrite_once(name, build))
 
-    def _rewrite_once(self, name: str, build) -> None:
+        ``preserve_layout=True`` (maintenance rewrites: compact,
+        z-order) writes ``build``'s output partitioning as-is instead
+        of reclustering on the partition keys — the caller's layout IS
+        the point of the rewrite.
+        """
+        self._with_occ_retry(
+            name, lambda: self._rewrite_once(name, build, preserve_layout)
+        )
+
+    def _rewrite_once(self, name: str, build, preserve_layout: bool = False) -> None:
         full = self._raw_table(name)
         out = build(full)
         if set(out.columns) != set(full.columns):
@@ -944,7 +1014,7 @@ class Catalog:
                 f"rewrite must preserve the schema of {name!r}: "
                 f"got {sorted(out.columns)}, want {sorted(full.columns)}"
             )
-        self._rewrite_table(name, out.select(*full.columns))
+        self._rewrite_table(name, out.select(*full.columns), preserve_layout)
 
     def _with_occ_retry(self, name: str, fn, attempts: int = 3) -> None:
         """Run a rewrite, recomputing from the CURRENT table state
@@ -1140,47 +1210,116 @@ class Catalog:
                     deleted.append(bn)
         return deleted
 
-    def scan_pruned(self, name: str, **equals) -> DataFrame:
+    @staticmethod
+    def _stat_le(a, b) -> bool:
+        """a <= b over stringified stats values: numerically when both
+        parse (lexicographic '1000' < '999' would misprune), else as
+        strings (dates/ISO timestamps compare correctly as strings)."""
+        try:
+            return float(a) <= float(b)
+        except (TypeError, ValueError):
+            return str(a) <= str(b)
+
+    @staticmethod
+    def _pred_bounds(spec) -> tuple:
+        """Normalize one scan_pruned predicate to interval bounds
+        ``(lo, hi, lo_strict, hi_strict)`` (None = unbounded)."""
+        if not isinstance(spec, tuple):
+            return spec, spec, False, False  # scalar = equality
+        op, *args = spec
+        if op == "between" and len(args) == 2:
+            return args[0], args[1], False, False
+        if op in (">=", ">", "<=", "<") and len(args) == 1:
+            v = args[0]
+            if op == ">=":
+                return v, None, False, False
+            if op == ">":
+                return v, None, True, False
+            if op == "<=":
+                return None, v, False, False
+            return None, v, False, True
+        raise ValueError(
+            f"bad scan_pruned predicate {spec!r}: use a scalar, "
+            "('between', lo, hi), ('>=', v), ('>', v), ('<=', v) or ('<', v)"
+        )
+
+    def scan_pruned(self, name: str, **preds) -> DataFrame:
         """Filelist-mode scan with MANIFEST-level file skipping.
 
-        ``equals`` maps partition columns to required values; files
-        whose recorded [min, max] range excludes a value are dropped
-        from the read at PLANNING time — no footer reads, no listing
-        (Delta's data-skipping model: pruning metadata lives in the
-        log, not the directory tree). The predicate is re-applied to
-        the surviving rows, so the result equals
-        ``table(name).filter(...)`` exactly; files without stats are
-        conservatively kept.
+        ``preds`` maps partition columns to predicates — a scalar
+        (equality) or a tuple ``("between", lo, hi)`` / ``(">=", v)`` /
+        ``(">", v)`` / ``("<=", v)`` / ``("<", v)``. Files whose
+        recorded [min, max] interval cannot overlap the predicate are
+        dropped from the read at PLANNING time — no footer reads, no
+        listing (Delta's data-skipping model: pruning metadata lives in
+        the log, not the directory tree). Range support matters because
+        the date-range scan is the single most common query shape in
+        the reference (utils/data.py:13, inclusive ``is_between``).
+        The predicate is re-applied to the surviving rows, so the
+        result equals ``table(name).filter(...)`` exactly; files
+        without stats are conservatively kept.
         """
         if self.commit_mode != "filelist":
             raise ValueError("scan_pruned() requires commit_mode='filelist'")
         meta = self._meta(name)
-        unknown = set(equals) - set(meta.partition_keys)
+        unknown = set(preds) - set(meta.partition_keys)
         if unknown:
             raise ValueError(
                 f"scan_pruned prunes on partition columns {meta.partition_keys}; "
                 f"unknown: {sorted(unknown)}"
             )
+        bounds = {col: self._pred_bounds(spec) for col, spec in preds.items()}
+
+        def _row_filter(df: DataFrame) -> DataFrame:
+            for col, (lo, hi, lo_strict, hi_strict) in bounds.items():
+                c = F.col(col)
+                if lo is not None:
+                    df = df.filter(c > F.lit(lo) if lo_strict else c >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(c < F.lit(hi) if hi_strict else c <= F.lit(hi))
+            return df
+
         gen = self._current_gen(name)
+        if gen < 0:
+            # legacy (pre-manifest) table reopened as filelist: no
+            # manifest stats to prune on yet — fall back to the plain
+            # scan with the filters applied, mirroring _fl_read's
+            # migration branch (an empty frame here would be a
+            # silently WRONG answer, not a pruned one)
+            return _row_filter(self.table(name))
         doc = self._read_manifest(name, gen) or {}
         files = doc.get("files") or []
         stats = doc.get("file_stats") or {}
-        def _contains(rng, val) -> bool:
-            # stats are stored as strings; numeric values must compare
-            # numerically (lexicographic "1000" < "999" would misprune)
-            try:
-                return float(rng[0]) <= float(val) <= float(rng[1])
-            except (TypeError, ValueError):
-                return str(rng[0]) <= str(val) <= str(rng[1])
+
+        def _overlaps(rng, lo, hi, lo_strict, hi_strict) -> bool:
+            fmin, fmax = rng
+            if lo is not None:
+                # file entirely below the predicate interval
+                if fmax is not None and (
+                    not self._stat_le(lo, fmax)
+                    or (lo_strict and self._stat_le(fmax, lo))
+                ):
+                    return False
+            if hi is not None:
+                if fmin is not None and (
+                    not self._stat_le(fmin, hi)
+                    or (hi_strict and self._stat_le(hi, fmin))
+                ):
+                    return False
+            return True
 
         kept = []
         for rel in files:
             st = stats.get(rel)
             keep = True
             if st:
-                for col, val in equals.items():
+                for col, (lo, hi, lo_strict, hi_strict) in bounds.items():
                     rng = st.get(col)
-                    if rng and rng[0] is not None and not _contains(rng, val):
+                    if (
+                        rng
+                        and rng[0] is not None
+                        and not _overlaps(rng, lo, hi, lo_strict, hi_strict)
+                    ):
                         keep = False
                         break
             if keep:
@@ -1191,9 +1330,7 @@ class Catalog:
             if kept
             else self.spark.createDataFrame([], schema)
         )
-        for col, val in equals.items():
-            base = base.filter(F.col(col) == F.lit(val))
-        return base.select(*[f.name for f in meta.struct.fields])
+        return _row_filter(base).select(*[f.name for f in meta.struct.fields])
 
     # ---- operational maintenance ----
     def data_files(self, name: str) -> list[tuple[str, int]]:
@@ -1243,7 +1380,10 @@ class Catalog:
                 return full.repartitionByRange(n, *meta.partition_keys)
             return full.repartition(n)
 
-        self.rewrite(name, build)
+        # preserve_layout: the computed file-count target IS the point;
+        # the filelist write path's default reclustering would replace
+        # it with spark.sql.shuffle.partitions files
+        self.rewrite(name, build, preserve_layout=True)
         return {
             "files_before": len(files),
             "files_after": len(self.data_files(name)),
@@ -1327,7 +1467,14 @@ class Catalog:
         bad = [c for c in cols if c not in by_name or not isinstance(by_name[c].dataType, numeric)]
         if bad:
             raise ValueError(f"z-order columns must be numeric table columns; bad: {bad}")
-        self.rewrite(name, lambda full: zorder_clustered(full, cols, num_files, bits))
+        # preserve_layout: the z-order clustering is the product of
+        # this rewrite — reclustering on partition keys would shuffle
+        # the curve away before writing
+        self.rewrite(
+            name,
+            lambda full: zorder_clustered(full, cols, num_files, bits),
+            preserve_layout=True,
+        )
 
     # ---- time travel (manifest mode) ----
     def history(self, name: str) -> list[dict]:
@@ -1361,11 +1508,7 @@ class Catalog:
                 files = doc.get("files")
                 if not isinstance(files, list):
                     continue
-                readable = True
-                for rel in files[:1]:
-                    fs, p = self._hfs(self._fl_abs(rel))
-                    readable = fs.exists(p)
-                if readable:
+                if not files or self._fl_snapshot_readable(name, g, files):
                     out.append({"generation": g, "n_files": len(files)})
                 continue
             dir_name = (
@@ -1510,8 +1653,15 @@ class Catalog:
         self._fs_delete(staging)
         self._refresh(name)
 
-    def _rewrite_table(self, name: str, deduped: DataFrame) -> None:
+    def _rewrite_table(
+        self, name: str, deduped: DataFrame, preserve_layout: bool = False
+    ) -> None:
         """Full-table rewrite via rename-aside commit.
+
+        ``preserve_layout`` only affects filelist mode (no hive dirs):
+        rename/manifest modes MUST partitionBy to keep the hive layout,
+        and within each hive dir the caller's task partitioning already
+        dictates the file split.
 
         Protocol: write staging -> rename live aside (.old) -> rename
         staging into place -> delete .old. Every intermediate crash
@@ -1528,7 +1678,7 @@ class Catalog:
             self._rewrite_table_manifest(name, deduped)
             return
         if self.commit_mode == "filelist":
-            self._rewrite_table_filelist(name, deduped)
+            self._rewrite_table_filelist(name, deduped, preserve_layout)
             return
         staging = self._path(name) + ".staging"
         old = self._path(name) + ".old"

@@ -291,3 +291,129 @@ def test_changes_between_null_key_rows(spark, tmp_path):
     hist = [h["generation"] for h in cat.history("m")]
     feed = cat.changes_between("m", hist[-2], hist[-1]).collect()
     assert [(r["ticker"], r["_change_type"]) for r in feed] == [("B", "insert")]
+
+
+def test_filelist_migration_materializes_partition_columns(spark, tmp_path):
+    """Regression (advice, high): a PARTITIONED legacy (rename-mode)
+    table imported into filelist mode must keep its partition-column
+    values. Legacy hive layout stores them in dir names only; the
+    migration must rewrite them INTO the data — referencing the files
+    directly surfaces year=NULL for every legacy row, and the next
+    rewrite makes that loss permanent."""
+    root = str(tmp_path / "migp")
+    old = Catalog(spark, root)  # rename mode, hive-partitioned
+    old.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    old.insert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+    fl = Catalog(spark, root, commit_mode="filelist")
+    fl.insert("px", _rows(spark, [("C", D1, 3.0)]))  # triggers the import
+
+    def years(c):
+        return sorted((r["ticker"], r["year"]) for r in c.table("px").collect())
+
+    want = [("A", 2024), ("B", 2025), ("C", 2024)]
+    assert years(fl) == want
+    # the rewrite path (merge/optimize) must not vaporize legacy values
+    fl.rewrite("px", lambda df: df)
+    assert years(fl) == want
+    # an independent reader resolves the same state
+    assert years(Catalog(spark, root, commit_mode="filelist")) == want
+    # pruned scans see the migrated rows under the right partitions
+    assert sorted(
+        r["ticker"] for r in fl.scan_pruned("px", year=2024).collect()
+    ) == ["A", "C"]
+
+
+def test_scan_pruned_legacy_table_falls_back_to_full_scan(spark, tmp_path):
+    """Regression (advice, medium): scan_pruned on a legacy table
+    reopened as filelist (no manifest yet) must fall back to the plain
+    scan with filters — not silently return an EMPTY frame while
+    table() shows the rows."""
+    root = str(tmp_path / "migs")
+    old = Catalog(spark, root)
+    old.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    old.insert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+    fl = Catalog(spark, root, commit_mode="filelist")
+    got = fl.scan_pruned("px", year=2024)
+    assert [r["ticker"] for r in got.collect()] == ["A"]
+
+
+def test_filelist_compact_and_zorder_preserve_layout(spark, tmp_path):
+    """Regression (advice, low): maintenance rewrites must DELIVER
+    their layout under filelist mode — the write path's default
+    partition-key reclustering used to discard compact's computed file
+    count and optimize_layout's z-order clustering."""
+    cat = Catalog(spark, str(tmp_path / "fl"), commit_mode="filelist")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    # two years across several small batches -> several files
+    for i in range(3):
+        cat.insert("px", _rows(spark, [(f"T{i}", D1, float(i)), (f"U{i}", D2, float(i))]))
+    assert len(cat.data_files("px")) > 1
+    out = cat.compact("px", target_file_bytes=1 << 30)
+    # old behavior: repartitionByRange(year) -> one file PER YEAR (2)
+    assert out["files_after"] == 1
+    assert cat.table("px").count() == 6
+    # z-order into an explicit file count on a single-year table:
+    # old behavior collapses it back to 1 file (one year)
+    cat2 = Catalog(spark, str(tmp_path / "flz"), commit_mode="filelist")
+    cat2.create("pz", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    cat2.insert(
+        "pz", _rows(spark, [(f"T{i}", D1, float(i)) for i in range(64)])
+    )
+    cat2.optimize_layout("pz", ["close"], num_files=2, bits=4)
+    assert len(cat2.data_files("pz")) == 2
+    assert cat2.table("pz").count() == 64
+
+
+def test_partially_gcd_snapshot_reported_unreadable(spark, tmp_path):
+    """Regression (advice, low): GC deletes per-FILE, so a generation
+    whose FIRST file is shared with the current generation but whose
+    unique files were collected must be reported unreadable (history
+    excludes it, table_at raises LookupError) — not fail mid-scan with
+    a raw path-not-found."""
+    root = str(tmp_path / "gc")
+    cat = Catalog(spark, root, commit_mode="filelist")  # time_travel=0
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))   # g1: [a]
+    cat.insert("m", _rows(spark, [("B", D2, 2.0)]))   # g2: [a, b]
+    g1_files = cat._fl_manifest_files("m", 1)
+    uniques = [f for f in cat._fl_manifest_files("m", 2) if f not in g1_files]
+    assert uniques
+    # current generation keeps g1's files but none of g2's unique ones
+    # (the shared-first-file shape)
+    cat._commit_manifest("m", 3, files=list(g1_files))
+    for b in uniques:  # GC of every older-only file
+        os.remove(os.path.join(root, b))
+    gens = [h["generation"] for h in cat.history("m")]
+    assert 2 not in gens and {1, 3} <= set(gens)
+    with pytest.raises(LookupError, match="GC'd"):
+        cat.table_at("m", 2)
+    assert [r["ticker"] for r in cat.table_at("m", 1).collect()] == ["A"]
+
+
+def test_scan_pruned_range_predicates_skip_files(spark, tmp_path):
+    """Range predicates (between/>=/<=/</>) prune by min-max interval
+    overlap and return exactly the full-scan-filter answer."""
+    cat = Catalog(spark, str(tmp_path / "rng"), commit_mode="filelist")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"], mode="replace")
+    for y in (2023, 2024, 2025):  # one batch (=> file set) per year
+        d = dt.date(y, 6, 1)
+        cat.insert("px", _rows(spark, [(f"T{y}", d, 1.0), (f"U{y}", d, 2.0)]))
+    n_all = len(cat.data_files("px"))
+
+    def check(pred, want_years):
+        got = cat.scan_pruned("px", year=pred)
+        tickers = sorted(r["ticker"] for r in got.collect())
+        want = sorted(f"{p}{y}" for y in want_years for p in "TU")
+        assert tickers == want, (pred, tickers)
+        return len(got.inputFiles())
+
+    assert check(("between", 2024, 2025), [2024, 2025]) < n_all
+    assert check((">=", 2025), [2025]) < n_all
+    assert check(("<", 2024), [2023]) < n_all
+    # only the create-time empty batch (no stats -> conservatively
+    # kept) may survive the prune
+    assert check((">", 2025), []) <= 1
+    assert check(("<=", 2023), [2023]) < n_all
+    assert check(2024, [2024]) < n_all
+    with pytest.raises(ValueError, match="bad scan_pruned predicate"):
+        cat.scan_pruned("px", year=("~", 1))
