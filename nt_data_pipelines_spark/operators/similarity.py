@@ -272,6 +272,24 @@ def banded_hyperplane_pairs(
     )
 
 
+def md5_sample(
+    corpus: DataFrame, id_col: str = "vec_id", sample_size: int = 500
+) -> DataFrame:
+    """Deterministic fixed-size sample, computed DISTRIBUTED.
+
+    The top ``sample_size`` rows by (md5(id), id) — the same sample a
+    global ``row_number`` window would pick, but ``orderBy().limit()``
+    plans as TakeOrderedAndProject: every partition keeps its local
+    top-N and only those reach the driver-side merge. The window form
+    moves the ENTIRE corpus through one task (Spark's "No Partition
+    Defined" warning) — at 100 TB the harness would die before
+    sampling. Plan shape pinned by tests/test_plan_shape2.py.
+    """
+    return corpus.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(sample_size)
+
+
 def banded_lsh_recall(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -284,12 +302,7 @@ def banded_lsh_recall(
 ) -> dict:
     """:func:`lsh_recall` for the banded tier — same deterministic
     sample and exact ground truth, measuring the 1-(1-p^k)^L gain."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    sample = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_size)
-        .drop("__rn")
-    ).localCheckpoint(eager=True)
+    sample = md5_sample(corpus, id_col, sample_size).localCheckpoint(eager=True)
     exact = near_dup_pairs(sample, id_col, vec_col, threshold)
     approx = banded_hyperplane_pairs(
         sample, id_col, vec_col, threshold, planes_per_band, num_bands, dim
@@ -320,18 +333,15 @@ def lsh_recall(
     similarity distribution — so measure it. Ground truth is the exact
     quadratic pair set over a DETERMINISTIC md5-ranked sample of
     ``sample_size`` vectors (quadratic stays affordable by
-    construction: the sample is fixed-size no matter the corpus);
+    construction: the sample is fixed-size no matter the corpus, and
+    :func:`md5_sample` computes it distributed — TakeOrderedAndProject,
+    not a single-partition window);
     recall = |LSH pairs ∩ exact pairs| / |exact pairs| over the same
     sample. Returns {exact_pairs, lsh_pairs, hits, recall} — recall is
     None when the sample has no qualifying pairs (raise the sample or
     lower the threshold; an empty denominator is not 100%).
     """
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    sample = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_size)
-        .drop("__rn")
-    ).localCheckpoint(eager=True)
+    sample = md5_sample(corpus, id_col, sample_size).localCheckpoint(eager=True)
     exact = near_dup_pairs(sample, id_col, vec_col, threshold)
     approx = lsh_near_dup_pairs(sample, id_col, vec_col, threshold, num_planes, dim)
     n_exact = exact.count()
@@ -345,6 +355,40 @@ def lsh_recall(
     }
 
 
+def _cap_hot_buckets(
+    sig: DataFrame, id_col: str, bucket_cap: int | None
+) -> DataFrame:
+    """Split any LSH bucket above ``bucket_cap`` rows into salt groups.
+
+    A boilerplate-heavy embedding corpus puts near-identical vectors
+    in ONE bucket, and the per-bucket self-join is O(bucket²) — one
+    10⁶-row hot bucket is 10¹² candidate rows. Extra hash planes
+    cannot split identical vectors, so the bound has to be a salt:
+    rows of an oversized bucket are assigned to ``ceil(n/cap)``
+    deterministic md5 groups and pair only within their group, making
+    the candidate count O(bucket × cap). Buckets at/below the cap keep
+    a single group — their pair set (and therefore the output
+    contract) is unchanged. The cost is recall ACROSS salt groups of a
+    hot bucket — exactly the rows that are near-identical anyway, so
+    each row still ranks a full group of closest neighbors.
+    """
+    if bucket_cap is None:
+        return sig.withColumn("__salt", F.lit(0))
+    if bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+    counts = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    groups = F.ceil(F.col("__n") / F.lit(bucket_cap)).cast("long")
+    # md5, not xxhash64: the salt changes which pairs are candidates,
+    # so it must be reproducible in any engine (same family as the
+    # hyperplane signs)
+    digit = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return (
+        sig.join(counts, "bucket")
+        .withColumn("__salt", F.pmod(digit.cast("long"), groups))
+        .drop("__n")
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -352,6 +396,7 @@ def knn_graph(
     k: int = 3,
     num_planes: int = 6,
     dim: int = 64,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Approximate k-NN graph over the whole corpus (LSH-blocked).
 
@@ -364,21 +409,18 @@ def knn_graph(
     size times bucket occupancy, never the N^2 cross product).
     Vectors in singleton buckets get no edges — the standard LSH
     recall trade (fewer planes -> denser graph, bigger buckets).
+    Buckets above ``bucket_cap`` rows are salt-split so one hot bucket
+    (near-identical boilerplate embeddings) cannot go quadratic — see
+    :func:`_cap_hot_buckets`; pass None to disable.
 
     Returns (src_id, rank, dst_id, cosine), rank 1..k by round-6
     cosine with dst-id tie-break (engine-stable).
     """
-    sig = lsh_signatures(corpus, id_col, vec_col, num_planes, dim)
-    a = sig.select(F.col(id_col).alias("src_id"), "bucket")
-    b = sig.select(F.col(id_col).alias("dst_id"), "bucket")
+    edges = _knn_candidates(corpus, id_col, vec_col, num_planes, dim, bucket_cap)
     va = corpus.select(F.col(id_col).alias("src_id"), as_double_array(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("dst_id"), as_double_array(vec_col).alias("vb"))
     cand = (
-        a.join(b, "bucket")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .select("src_id", "dst_id")
-        .distinct()
-        .join(va, "src_id")
+        edges.join(va, "src_id")
         .join(vb, "dst_id")
         .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6) + 0.0)
     )
@@ -387,6 +429,30 @@ def knn_graph(
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("src_id", "rank", "dst_id", "cosine")
+    )
+
+
+def _knn_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+    bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """(src_id, dst_id) candidate edges for :func:`knn_graph` — the
+    per-(bucket, salt) self-join, exposed so tests can pin the
+    candidate count bound directly."""
+    sig = _cap_hot_buckets(
+        lsh_signatures(corpus, id_col, vec_col, num_planes, dim), id_col, bucket_cap
+    )
+    a = sig.select(F.col(id_col).alias("src_id"), "bucket", "__salt")
+    b = sig.select(F.col(id_col).alias("dst_id"), "bucket", "__salt")
+    return (
+        a.join(b, ["bucket", "__salt"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
     )
 
 

@@ -523,3 +523,42 @@ def test_banded_hyperplane_recall_amplification(spark):
     assert banded["recall"] > single["recall"]
     # every LSH pair is exact-verified, so precision is 1 by construction
     assert banded["hits"] == banded["lsh_pairs"]
+
+
+def test_knn_graph_hot_bucket_bounded(spark):
+    """A hot bucket (near-identical boilerplate embeddings) must not go
+    quadratic: candidates are O(bucket x cap) after salt-splitting, and
+    every row still receives its k edges."""
+    from pyspark.sql import types as T
+
+    from nt_data_pipelines_spark.operators.similarity import (
+        _knn_candidates,
+        knn_graph,
+    )
+
+    n, cap = 1000, 64
+    vec = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    n_cand = _knn_candidates(emb, bucket_cap=cap).count()
+    assert n_cand < n * (n - 1) / 4          # nowhere near the n^2 self-join
+    assert n_cand <= 4 * n * cap             # the O(bucket x cap) bound
+    # the graph still delivers k edges per row (groups >> k)
+    assert knn_graph(emb, k=3, bucket_cap=cap).count() == n * 3
+
+
+def test_knn_graph_cap_no_op_below_threshold(spark):
+    """Buckets at/below the cap keep their exact pair set: the capped
+    graph equals the uncapped graph on a normal corpus."""
+    from nt_data_pipelines_spark.operators.similarity import knn_graph
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    capped = set(map(tuple, knn_graph(emb, k=3, bucket_cap=1024).collect()))
+    uncapped = set(map(tuple, knn_graph(emb, k=3, bucket_cap=None).collect()))
+    assert capped == uncapped and capped

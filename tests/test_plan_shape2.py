@@ -60,3 +60,34 @@ def test_funnel_steps_stay_aggregates(spark):
     assert "CartesianProduct" not in plan
     # three per-step HashAggregate pairs (partial+final) at minimum
     assert _op_count(plan, "HashAggregate") >= 6
+
+
+def test_md5_sample_is_distributed_take_ordered(spark):
+    """The recall-harness sampler must plan as TakeOrderedAndProject —
+    a global row_number window would drag the whole corpus through ONE
+    task (WindowExec: No Partition Defined) and die at 100 TB."""
+    from nt_data_pipelines_spark.operators.similarity import md5_sample
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = md5_sample(emb, sample_size=50)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert _op_count(plan, "Window") == 0
+
+
+def test_knn_graph_candidates_have_no_global_window(spark):
+    """The hot-bucket salt must stay a bucket-count join — no global
+    sort/window sneaking in."""
+    from nt_data_pipelines_spark.operators.similarity import _knn_candidates
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = _knn_candidates(emb, bucket_cap=64)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert _op_count(plan, "Window") == 0
