@@ -300,11 +300,39 @@ class Catalog:
         except ValueError:
             return None
 
+    @staticmethod
+    def _is_not_found(e: Exception) -> bool:
+        """Whether a py4j error wraps FileNotFoundException (class-
+        chain probe, like :meth:`_is_already_exists`)."""
+        je = getattr(e, "java_exception", None)
+        if je is None:
+            return "not exist" in str(e).lower() or "notfound" in str(e).lower()
+        while je is not None:
+            try:
+                cls = je.getClass().getName()
+            except Exception:
+                return False
+            if cls.endswith("FileNotFoundException"):
+                return True
+            try:
+                je = je.getCause()
+            except Exception:
+                return False
+        return False
+
     def _read_manifest(self, name: str, gen: int) -> dict | None:
         fs, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
         if not fs.exists(p):
             return None
-        stream = fs.open(p)
+        try:
+            stream = fs.open(p)
+        except Exception as e:
+            # a rival commit's manifest-log GC may delete an old entry
+            # between our exists() and open() — semantically identical
+            # to the manifest being absent
+            if self._is_not_found(e):
+                return None
+            raise
         try:
             raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
@@ -330,17 +358,24 @@ class Catalog:
         lose-the-race signal (the caller must RECOMPUTE from the new
         table state, never re-commit stale data as the next gen).
 
-        Exclusivity caveat: create(overwrite=False) is truly atomic on
-        HDFS/posix. On S3A it is an exists-check-then-PUT — two racing
-        writers can BOTH pass the check and the second PUT silently
-        wins. Point manifest-mode catalogs at HDFS/posix, or at an
-        object store with conditional-PUT (S3 If-None-Match, GCS
-        if-generation-match) surfaced through the Hadoop connector;
-        on plain S3A the race window is small but real."""
+        Exclusivity per scheme: local (file:// or plain) paths use a
+        POSIX ``O_CREAT|O_EXCL`` open — genuinely atomic; Hadoop's
+        RawLocalFileSystem ``create(overwrite=False)`` is an exists-
+        check-then-open, and the concurrency fuzz
+        (tests/test_filelist_concurrency.py) caught two racing writers
+        both passing it. HDFS create(overwrite=False) is atomic
+        server-side and keeps the Hadoop path. On S3A it is an
+        exists-check-then-PUT — two racing writers can BOTH pass the
+        check and the second PUT silently wins. Point manifest-mode
+        catalogs at HDFS/posix, or at an object store with
+        conditional-PUT (S3 If-None-Match, GCS if-generation-match)
+        surfaced through the Hadoop connector; on plain S3A the race
+        window is small but real."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
-        _, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
+        mpath = os.path.join(self._manifest_dir(name), f"{gen}.json")
+        _, p = self._hfs(mpath)
         if fs.exists(p):
             raise ConcurrentWriteError(
                 f"generation {gen} of {name!r} was committed by another writer"
@@ -353,6 +388,18 @@ class Catalog:
         if file_stats:
             doc["file_stats"] = file_stats
         payload = json.dumps(doc)
+        scheme = self.root.split("://", 1)[0] if self._uri_root else "file"
+        if scheme == "file":
+            local = p.toUri().getPath() if self._uri_root else mpath
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"generation {gen} of {name!r} was committed by another writer"
+                ) from None
+            with os.fdopen(fd, "wb") as out:
+                out.write(payload.encode("utf-8"))
+            return
         try:
             out = fs.create(p, False)
         except Exception as e:  # exclusive-create race on the same gen

@@ -65,71 +65,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # so round 4 fronts the 25 that have never had a driver row plus a
 # representative spread of each operator class. Full-registry parity
 # (all entries, same protocol) runs via scripts/check_parity.py.
+# Round-6 rotation: front the 57 queries with no row in
+# CORRECTNESS_r05 (all driver-green in r1-r4 and re-verified locally
+# every round) so the r6 artifact re-greens them externally; the
+# union of r5+r6 artifacts then covers the full registry with fresh
+# entries. The seven r1-r3-only names lead (their driver rows are the
+# oldest); 57 > 50 slots, so the trailing seven (t_bm25_topk through
+# d_dup_ngram_fraction — r4-green) overflow and MUST be fronted in
+# round 7's slots. Enforced by tests/test_registry_rotation.py.
 DRIVER_PRIORITY: list[str] = [
-    # round-5 additions (plans/extra5.py, plans/quant.py), never
-    # driver-verified:
-    "w_rolling_skew_kurt",
-    "w_rsi14",
-    "w_robust_zscore",
-    "t_vocab_topk",
-    "s_quantize_embeddings",
-    "p_quantile_transform",
-    "a_null_profile",
-    "t_boilerplate_lines",
-    "t_dedup_paragraphs",
-    "p_temperature_mix",
-    "p_split_assign",
-    "a_corpus_report",
-    # round-5 session-2 additions (plans/extra6.py), never driver-verified:
-    "t_unigram_logprob",
-    "s_knn_graph",
-    "p_zorder_key",
-    "a_equidepth_hist",
-    "s_pq_encode",
-    "s_pq_search_topk",
-    "a_funnel_conversion",
-    "a_cohort_retention",
-    "a_event_transitions",
-    "g_pagerank_knn",
-    "w_user_streaks",
-    "t_lexical_diversity",
-    "t_bigram_logprob",
-    "a_last_touch_attribution",
-    # With 26 never-verified queries fronted, only 24 of the 31
-    # r1-r3-only rotation queries below fit the 50 driver slots; the
-    # last seven (s_lsh_dedup_groups, s_centroid_per_label,
-    # a_cube_counts, a_grouping_sets, o1_multisort_limit,
-    # a_median_exact, d_lsh_verified_dedup) keep their r1-r3 rows +
-    # local parity greens and MUST be fronted in round 6's slots.
-    # Round-5 rotation: the 31 queries with no row in CORRECTNESS_r04
-    # (driver-green in r1-r3, re-verified locally each round) go first
-    # so the round-5 driver artifact re-greens them; the union of
-    # r4+r5 artifacts then covers the full registry. Enforced by
-    # tests/test_registry_rotation.py.
-    "j1_universe_gated_join",
-    "j5_full_outer_coalesce",
-    "a2_collect_sorted_list",
-    "a3_global_max",
-    "a4_distinct",
-    "o3_topk_dates",
-    "r1_union_slices",
-    "r3_unpivot_lineitem",
-    "r4_explode_embeddings",
-    "f1_json_props",
-    "w2_rolling_sum21",
-    "w3_rolling_std21",
-    "w5_rolling_cov21",
-    "a5_zscore_global",
-    "t_asof_last_view",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "d_simhash_pairs",
-    "t_quality_features",
-    "t_language_id",
-    "t_fingerprint",
-    "t_normalize",
-    "t_token_totals",
-    "s_near_dup_pairs",
+    # driver rows only in r1-r3 — oldest first:
     "s_lsh_dedup_groups",
     "s_centroid_per_label",
     "a_cube_counts",
@@ -137,15 +82,58 @@ DRIVER_PRIORITY: list[str] = [
     "o1_multisort_limit",
     "a_median_exact",
     "d_lsh_verified_dedup",
-    # regression canaries: one representative per operator class from
-    # the 50 driver-green in CORRECTNESS_r04:
+    # r4-green, absent from r5 — registration order:
     "a1_pricing_summary",
     "j2_shipping_priority",
-    "w1_pct_change",
-    "w4_ewma_halflife",
-    "w6_rolling_regression",
+    "j6_semi_anti",
     "o4_top3_per_group",
+    "p_scalar_suite",
+    "f1_date_parts",
     "r2_pivot_event_type",
+    "w1_pct_change",
+    "a5_zscore_per_date",
+    "a6_equal_weight_benchmark",
+    "t_sessionize",
+    "w6_rolling_regression",
+    "w4_ewma_halflife",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_simhash_banded",
+    "s_brute_topk",
+    "s_lsh_ann_topk",
+    "s_ivf_search_topk",
+    "s_ivf_assign",
+    "m_media_metadata",
+    "a_rollup_counts",
+    "w_rolling_minmax",
+    "w_rolling_median",
+    "j_asof_join",
+    "j_asof_forward",
+    "j_asof_tolerance",
+    "j_interval_join",
+    "p_clean_corpus",
+    "t_repetition_stats",
+    "p_stratified_sample",
+    "t_sequence_pack",
+    "t_scrub_pii",
+    "t_contamination",
+    "w_sessionize",
+    "w_ohlc_resample",
+    "t_tfidf_top_terms",
+    "t_inverted_index",
+    "a_exact_quantiles",
+    "t_chunk_documents",
+    "p_mix_sources",
+    "t_bm25_scores",
+    "a_value_histogram",
+    # --- 50-slot boundary falls here; the rest overflow to round 7 ---
+    "t_bm25_topk",
+    "w_xsec_rank",
+    "w_forward_returns",
+    "w_drawdown",
+    "w_gap_fill",
+    "p_winsorize",
+    "d_dup_ngram_fraction",
 ]
 
 
