@@ -55,7 +55,11 @@ def pq_seed_codebook(
     m: int = 4, k: int = 8, dim: int = 64,
 ) -> DataFrame:
     """Deterministic initial codebook: for every block, the sub-vectors
-    of the k lowest-id corpus vectors. Returns (block, code, centroid)."""
+    of the k lowest-id corpus vectors. Returns (block, code, centroid).
+
+    The partitionless row_number window below is BOUNDED: it runs on
+    the post-``limit(k)`` frame (k codebook rows, never the corpus) —
+    whitelisted in the plan-shape sweep (tests/test_plan_shape2.py)."""
     seeds = corpus.orderBy(id_col).limit(k).select(
         (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
         F.col(vec_col).alias("__v"),

@@ -32,6 +32,11 @@ def estimate_factor_covariances(
     """-> (date, year, factor_1, factor_2, covariance), EWMA-smoothed."""
     factors = sorted(factors)
     wide = pivot_factor_returns(etf_returns, factors)
+    # BOUNDED partitionless window: `wide` is one row per trading DATE
+    # by construction (pivoted factor returns), so the single-task sort
+    # sees ~250 rows/year — thousands of rows at any horizon, never
+    # corpus-scale. Whitelisted in the plan-shape sweep
+    # (tests/test_plan_shape2.py) for exactly this reason.
     w = Window.orderBy("date").rowsBetween(-(window - 1), 0)
 
     def gated_pair(f1: str, f2: str):

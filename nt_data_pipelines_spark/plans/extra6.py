@@ -283,6 +283,9 @@ _HIST_BUCKETS = 16
 )
 def a_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # DELIBERATE partitionless window — the exact tier, bounded to
+    # small/medium aggregates per the doc above; whitelisted by name
+    # in the plan-shape sweep (tests/test_plan_shape2.py).
     w = Window.orderBy("value", "event_id")
     ranked = ev.select("value", F.ntile(_HIST_BUCKETS).over(w).alias("bucket"))
     return ranked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(

@@ -91,3 +91,124 @@ def test_knn_graph_candidates_have_no_global_window(spark):
     )
     assert "CartesianProduct" not in plan
     assert _op_count(plan, "Window") == 0
+
+
+def _arg_lists(detail: str) -> list[str]:
+    """Top-level bracketed argument lists of one formatted-plan node."""
+    m = re.search(r"Arguments: (.*)", detail, flags=re.S)
+    if not m:
+        return []
+    s = m.group(1)
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return out
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is empty.
+
+    In the formatted plan a Window's Arguments are [exprs, partition,
+    order] — but an UNORDERED partitioned window prints only [exprs,
+    partition]. The discriminator is the second list's content: sort
+    orders carry ASC/DESC, partition column lists never do. Flag when
+    the second list is an order (or empty/absent) — i.e. the whole
+    input moves through ONE task."""
+    bad = []
+    for node in re.findall(
+        r"^\(\d+\) Window\b.*?(?=^\(\d+\) |\Z)", plan, flags=re.S | re.M
+    ):
+        lists = _arg_lists(node)
+        if (
+            len(lists) < 2
+            or not lists[1].strip()
+            or re.search(r"\b(ASC|DESC)\b", lists[1])
+        ):
+            bad.append(node.splitlines()[0])
+    return bad
+
+
+# Partitionless windows that are DELIBERATE and bounded, each
+# documented at its definition site:
+#   a_equidepth_hist — exact global-NTILE tier (plans/extra6.py; the
+#       100-TB path is the GK sketch);
+#   a_funnel_conversion — cumulative window over #steps rows;
+#   s_pq_encode / s_pq_search_topk — codebook/LUT prep windows over
+#       post-limit(k) frames (operators/pq.py), never the corpus.
+PARTITIONLESS_WINDOW_WHITELIST = {
+    "a_equidepth_hist",
+    "a_funnel_conversion",
+    "s_pq_encode",
+    "s_pq_search_topk",
+}
+
+
+def test_registry_sweep_no_partitionless_windows(spark):
+    """Every registered query's plan is free of single-task global
+    windows, except the whitelisted documented-bounded ones."""
+    offenders = {}
+    for name, spec in plans.REGISTRY.items():
+        if name in PARTITIONLESS_WINDOW_WHITELIST:
+            continue
+        df = spec.fn(spark, SF)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        bad = _partitionless_windows(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_curate_corpus_composed_plan_is_scale_safe(spark):
+    """End-to-end plan pin for the curation pipeline (VERDICT r5 #7):
+    the COMPOSED plan — all stages enabled — has no cartesian product,
+    no partitionless window, and a bounded shuffle count."""
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    # AQE wraps every subtree in its own AdaptiveSparkPlan, which
+    # defeats exchange reuse in the STATIC plan string; with it off,
+    # duplicated lineage collapses into ReusedExchange nodes and the
+    # Exchange count is the number of UNIQUE shuffles.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        packed, accounting = curate_corpus(
+            docs,
+            config=CurationConfig(
+                token_budget_per_source=2000,
+                max_docs_per_source=200,
+                perplexity_band=(0.1, 0.9),
+                semantic_threshold=0.99,
+            ),
+            embeddings=emb.withColumnRenamed("vec_id", "doc_id"),
+        )
+        # (plan, unique-shuffle bound): ~1-2 per documented stage with
+        # every optional stage enabled — packed measures 18, the
+        # accounting report 30 (one count-agg per stage). Growth here
+        # means a stage started double-shuffling.
+        for df, bound in ((packed, 20), (accounting, 34)):
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            assert "CartesianProduct" not in plan
+            assert _partitionless_windows(plan) == [], _partitionless_windows(plan)
+            assert _op_count(plan, "Exchange") <= bound, _op_count(plan, "Exchange")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
