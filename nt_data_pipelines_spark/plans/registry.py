@@ -74,6 +74,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # d_dup_ngram_fraction — r4-green) overflow and MUST be fronted in
 # round 7's slots. Enforced by tests/test_registry_rotation.py.
 DRIVER_PRIORITY: list[str] = [
+    # round-6 addition, never driver-verified — leads the slots:
+    "w6_rolling_regression_k5",
     # driver rows only in r1-r3 — oldest first:
     "s_lsh_dedup_groups",
     "s_centroid_per_label",
@@ -125,8 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     "t_chunk_documents",
     "p_mix_sources",
     "t_bm25_scores",
-    "a_value_histogram",
     # --- 50-slot boundary falls here; the rest overflow to round 7 ---
+    "a_value_histogram",
     "t_bm25_topk",
     "w_xsec_rank",
     "w_forward_returns",
