@@ -1290,6 +1290,24 @@ class Catalog:
             "('between', lo, hi), ('>=', v), ('>', v), ('<=', v) or ('<', v)"
         )
 
+    @classmethod
+    def _range_overlaps(cls, rng, bounds) -> bool:
+        """Whether a file's recorded [min, max] can hold a row matching
+        the normalized predicate ``(lo, hi, lo_strict, hi_strict)``.
+        Must never return False for a file containing a matching row
+        (pruning soundness — property-fuzzed in
+        tests/test_filelist_catalog.py)."""
+        fmin, fmax = rng
+        lo, hi, lo_strict, hi_strict = bounds
+        if lo is not None and fmax is not None:
+            # file entirely below the predicate interval
+            if not cls._stat_le(lo, fmax) or (lo_strict and cls._stat_le(fmax, lo)):
+                return False
+        if hi is not None and fmin is not None:
+            if not cls._stat_le(fmin, hi) or (hi_strict and cls._stat_le(hi, fmin)):
+                return False
+        return True
+
     def scan_pruned(self, name: str, **preds) -> DataFrame:
         """Filelist-mode scan with MANIFEST-level file skipping.
 
@@ -1337,36 +1355,14 @@ class Catalog:
         doc = self._read_manifest(name, gen) or {}
         files = doc.get("files") or []
         stats = doc.get("file_stats") or {}
-
-        def _overlaps(rng, lo, hi, lo_strict, hi_strict) -> bool:
-            fmin, fmax = rng
-            if lo is not None:
-                # file entirely below the predicate interval
-                if fmax is not None and (
-                    not self._stat_le(lo, fmax)
-                    or (lo_strict and self._stat_le(fmax, lo))
-                ):
-                    return False
-            if hi is not None:
-                if fmin is not None and (
-                    not self._stat_le(fmin, hi)
-                    or (hi_strict and self._stat_le(hi, fmin))
-                ):
-                    return False
-            return True
-
         kept = []
         for rel in files:
             st = stats.get(rel)
             keep = True
             if st:
-                for col, (lo, hi, lo_strict, hi_strict) in bounds.items():
+                for col, b in bounds.items():
                     rng = st.get(col)
-                    if (
-                        rng
-                        and rng[0] is not None
-                        and not _overlaps(rng, lo, hi, lo_strict, hi_strict)
-                    ):
+                    if rng and rng[0] is not None and not self._range_overlaps(rng, b):
                         keep = False
                         break
             if keep:

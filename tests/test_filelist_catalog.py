@@ -417,3 +417,42 @@ def test_scan_pruned_range_predicates_skip_files(spark, tmp_path):
     assert check(2024, [2024]) < n_all
     with pytest.raises(ValueError, match="bad scan_pruned predicate"):
         cat.scan_pruned("px", year=("~", 1))
+
+
+def test_range_pruning_soundness_property():
+    """Property fuzz (no Spark needed): for any file min/max and any
+    predicate, a value inside the file's range that satisfies the
+    predicate implies the file is NOT pruned — pruning may only ever
+    keep extra files, never drop a matching one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.integers(min_value=-50, max_value=50)
+    ops = st.sampled_from([">=", ">", "<=", "<", "between", "eq"])
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        fmin=vals, fmax=vals, probe=vals, op=ops, a=vals, b=vals
+    )
+    def check(fmin, fmax, probe, op, a, b):
+        if fmin > fmax:
+            fmin, fmax = fmax, fmin
+        if op == "eq":
+            spec = a
+        elif op == "between":
+            spec = ("between", min(a, b), max(a, b))
+        else:
+            spec = (op, a)
+        bounds = Catalog._pred_bounds(spec)
+        lo, hi, lo_s, hi_s = bounds
+
+        def matches(v):
+            return (
+                lo is None or (v > lo if lo_s else v >= lo)
+            ) and (hi is None or (v < hi if hi_s else v <= hi))
+
+        rng = [str(fmin), str(fmax)]
+        if fmin <= probe <= fmax and matches(probe):
+            assert Catalog._range_overlaps(rng, bounds), (rng, spec, probe)
+
+    check()
