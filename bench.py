@@ -40,9 +40,13 @@ BENCHDATA = Path(__file__).resolve().parent / "benchdata"
 
 
 def materialize(df) -> int:
-    # Arrow-batched transfer = the "fetchall" equivalent; row-based
-    # collect() would benchmark Py4J serialization, not the engine.
-    return len(df.toPandas())
+    # Arrow-batched transfer, materialized AS ARROW — the exact
+    # equivalent of the DuckDB side's fetch_arrow_table() below.
+    # toPandas() additionally pays an Arrow->pandas conversion the
+    # baseline never pays (measured: +36 ms on the 100k-row W1 result
+    # alone); row-based collect() would benchmark Py4J serialization,
+    # not the engine.
+    return df.toArrow().num_rows
 
 
 def _time_queries(
