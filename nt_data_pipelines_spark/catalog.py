@@ -1612,15 +1612,24 @@ class Catalog:
         w = Window.partitionBy(*pks).orderBy(
             F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
         )
-        if meta.partition_keys and self.commit_mode in ("manifest", "filelist"):
+        if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
+            # File-level incremental OPTIMIZE — the Delta shape the
+            # directory-manifest modes cannot do (see the manifest
+            # branch below): only files holding a copy of a duplicated
+            # key are rewritten; every clean file carries over BY
+            # REFERENCE in the next manifest.
+            self._optimize_filelist_incremental(name, meta, pks, w)
+        elif meta.partition_keys and self.commit_mode in ("manifest", "filelist"):
             # The dirty-partition dynamic overwrite mutates the CURRENT
             # generation dir in place — outside the manifest commit
             # protocol, so a crash mid-overwrite would tear a committed
             # generation. Route through the atomic full-table manifest
             # rewrite instead: correctness over incremental compaction
-            # cost. (The incremental answer at scale is a file-level
-            # log à la Delta, where each partition's files are manifest
-            # entries; out of scope for this catalog.)
+            # cost in manifest mode, whose log entries are DIRECTORIES.
+            # (Filelist mode's entries are files, so it takes the
+            # incremental branch above; a filelist table still in its
+            # legacy pre-manifest state lands here too — the full
+            # rewrite doubles as its migration.)
             if not dup_keys.limit(1).count():
                 return
             deduped = (
@@ -1674,6 +1683,112 @@ class Catalog:
                 .drop("__rn")
             )
             self._rewrite_table(name, deduped)
+
+    def _abs_to_rel(self, name: str, abs_path: str) -> str:
+        """Root-relative manifest path from input_file_name() output
+        (scheme-qualified absolute), via the table's path markers —
+        same convention as :meth:`_fl_list_parquet`."""
+        for marker in (
+            os.path.basename(self._fl_root(name)) + "/",
+            os.path.basename(self._path(name)) + "/",
+        ):
+            idx = abs_path.rfind(marker)
+            if idx >= 0:
+                return abs_path[idx:]
+        raise ValueError(f"path {abs_path!r} is not under table {name!r}")
+
+    def _optimize_filelist_incremental(
+        self, name: str, meta: TableMeta, pks: list[str], w
+    ) -> None:
+        """File-level incremental OPTIMIZE (Delta's OPTIMIZE shape).
+
+        Rewrites ONLY the files that hold a copy of a duplicated
+        primary key; clean files carry over by reference. At 100 TB an
+        incremental load dirties a handful of files — this compacts
+        those, not the table. Correctness: every copy of a duplicated
+        key lives in a dirty file BY DEFINITION, so the global
+        last-write-wins rank computed over dirty-file rows alone sees
+        all contenders.
+
+        Commit protocol mirrors the append path's OCC ordering: the
+        target generation is pinned BEFORE the base manifest is read,
+        so a rival landing in between takes our pinned number, the
+        exclusive manifest create collides, and the caller's OCC retry
+        recomputes dup detection against the rival's state. Older
+        snapshots keep referencing the pre-optimize files until
+        retention GC drops them (shared-file economics intact).
+        """
+        target = self._next_gen(name)
+        gen = self._current_gen(name)
+        if gen >= target:
+            raise ConcurrentWriteError(
+                f"optimize of {name!r} raced a rival past its pinned generation"
+            )
+        doc = self._read_manifest(name, gen) or {}
+        files = doc.get("files") or []
+        if not files:
+            return
+        schema = self._with_ingest(meta.struct)
+        base = self.spark.read.schema(schema).parquet(
+            *[self._fl_abs(f) for f in files]
+        )
+        dup_keys = (
+            base.groupBy(*pks)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select(*pks)
+        )
+        tagged = base.withColumn("__f", F.input_file_name())
+        # one short string per dirty FILE reaches the driver — the
+        # same driver-size class as data_files()/manifest handling
+        dirty_abs = [
+            r["__f"]
+            for r in tagged.join(dup_keys, pks, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+        if not dirty_abs:
+            return
+        dirty_rel = {self._abs_to_rel(name, p) for p in dirty_abs}
+        if 2 * len(dirty_rel) >= len(files):
+            # mostly-dirty table: the surgical path would rewrite
+            # nearly everything anyway while paying the per-file
+            # bookkeeping — the clustered full rewrite is cheaper and
+            # resets file sizes too
+            deduped_all = (
+                base.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            self._rewrite_table_filelist(name, deduped_all)
+            return
+        dirty_df = self.spark.createDataFrame(
+            [(p,) for p in dirty_abs], "__f string"
+        )
+        deduped = (
+            tagged.join(F.broadcast(dirty_df), "__f", "left_semi")
+            .drop("__f")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        bdir, new_files, new_stats = self._fl_write_batch(name, deduped)
+        kept = [f for f in files if f not in dirty_rel]
+        stats = {
+            f: s for f, s in (doc.get("file_stats") or {}).items() if f in set(kept)
+        }
+        stats.update(new_stats)
+        try:
+            self._commit_manifest(
+                name, target, files=sorted(set(kept) | set(new_files)),
+                file_stats=stats,
+            )
+        except ConcurrentWriteError:
+            self._fs_delete(bdir)  # our staged batch is garbage
+            raise
+        self._fl_gc(name, target)
+        self._refresh(name)
 
     def _rewrite_partitions(self, name: str, meta: TableMeta, deduped_dirty: DataFrame):
         """Replace exactly the partitions present in ``deduped_dirty``.

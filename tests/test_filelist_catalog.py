@@ -456,3 +456,74 @@ def test_range_pruning_soundness_property():
             assert Catalog._range_overlaps(rng, bounds), (rng, spec, probe)
 
     check()
+
+
+def test_filelist_optimize_rewrites_only_dirty_files(spark, tmp_path):
+    """Incremental OPTIMIZE (Delta shape): only files holding a copy of
+    a duplicated key are rewritten; clean files carry over BY
+    REFERENCE, and retained snapshots still read the pre-optimize
+    state through the shared files."""
+    root = str(tmp_path / "incr")
+    cat = Catalog(spark, root, commit_mode="filelist", time_travel=3)
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i in range(6):
+        cat.insert("px", _rows(spark, [(f"T{i}", D1, float(i))]))
+    cat.insert("px", _rows(spark, [("T0", D1, 99.0)]))  # duplicates T0
+    gen_before = cat._current_gen("px")
+    before = set(cat._fl_manifest_files("px", gen_before))
+    tagged = cat._fl_read("px").withColumn("__f", F.input_file_name())
+    dirty = {
+        cat._abs_to_rel("px", r["__f"])
+        for r in tagged.filter(F.col("ticker") == "T0")
+        .select("__f").distinct().collect()
+    }
+    assert dirty and len(dirty) < len(before)
+    cat.optimize("px")
+    after = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    assert before - dirty <= after          # clean files: carried by reference
+    assert not (dirty & after)              # dirty files: replaced
+    assert _state(cat, "px") == [("T0", 99.0)] + [
+        (f"T{i}", float(i)) for i in range(1, 6)
+    ]
+    # the retained pre-optimize snapshot still reads BOTH T0 copies
+    old = cat.table_at("px", gen_before)
+    assert sorted(r["close"] for r in old.filter(F.col("ticker") == "T0").collect()) == [0.0, 99.0]
+
+
+def test_filelist_optimize_occ_retry_preserves_rival_append(spark, tmp_path):
+    """An append landing between optimize's dup scan and its commit
+    forces an OCC retry; both the dedup and the rival's rows survive."""
+    root = str(tmp_path / "incr_occ")
+    a = Catalog(spark, root, commit_mode="filelist")
+    a.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    a.insert("px", _rows(spark, [("A", D1, 1.0)]))
+    a.insert("px", _rows(spark, [("A", D1, 2.0)]))  # dup
+    b = Catalog(spark, root, commit_mode="filelist")
+
+    real_commit = a._commit_manifest
+    fired = {"done": False}
+
+    def racing_commit(name, gen, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            b.insert("px", _rows(spark, [("R", D2, 7.0)]))  # rival wins the gen
+        return real_commit(name, gen, **kw)
+
+    a._commit_manifest = racing_commit
+    a.optimize("px")
+    a._commit_manifest = real_commit
+    assert _state(a, "px") == [("A", 2.0), ("R", 7.0)]
+    fresh = Catalog(spark, root, commit_mode="filelist")
+    assert _state(fresh, "px") == [("A", 2.0), ("R", 7.0)]
+
+
+def test_filelist_optimize_mostly_dirty_falls_back_to_full_rewrite(spark, tmp_path):
+    """When most files hold duplicates the surgical path degenerates —
+    optimize takes the clustered full rewrite instead (and the result
+    is identical)."""
+    cat = Catalog(spark, str(tmp_path / "md"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+    cat.insert("px", _rows(spark, [("A", D1, 3.0), ("B", D2, 4.0)]))  # all dup
+    cat.optimize("px")
+    assert _state(cat, "px") == [("A", 3.0), ("B", 4.0)]
