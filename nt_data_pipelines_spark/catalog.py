@@ -1080,9 +1080,19 @@ class Catalog:
         """Delete every row whose ``on`` columns match a row in ``keys``.
 
         A distributed left-anti join — never collects the key set to
-        the driver — committed atomically via :meth:`rewrite`.
+        the driver — committed atomically via :meth:`rewrite`. Under
+        filelist mode the commit is file-surgical: only files holding
+        a matching row are rewritten (see :meth:`_fl_apply_changes`).
         """
         cols = [on] if isinstance(on, str) else list(on)
+        if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
+            meta = self._meta(name)
+            key_df = keys.select(*cols)
+            self._with_occ_retry(
+                name,
+                lambda: self._fl_apply_changes(name, meta, key_df, cols, None),
+            )
+            return
         self.rewrite(name, lambda df: df.join(keys.select(*cols), cols, "left_anti"))
 
     def merge(
@@ -1153,11 +1163,21 @@ class Catalog:
             survivors = incoming.withColumn(INGEST_COL, F.lit(seq).cast("long"))
             src_keys = src.select(*keys)
 
-            def build(full: DataFrame) -> DataFrame:
-                untouched = full.join(src_keys, keys, "left_anti")
-                return untouched.unionByName(survivors)
+            if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
+                # file-surgical apply-changes: only files holding a
+                # matched key are rewritten (see _fl_apply_changes)
+                self._with_occ_retry(
+                    name,
+                    lambda: self._fl_apply_changes(
+                        name, meta, src_keys, keys, survivors
+                    ),
+                )
+            else:
+                def build(full: DataFrame) -> DataFrame:
+                    untouched = full.join(src_keys, keys, "left_anti")
+                    return untouched.unionByName(survivors)
 
-            self.rewrite(name, build)
+                self.rewrite(name, build)
         finally:
             src.unpersist()
 
@@ -1786,6 +1806,107 @@ class Catalog:
             )
         except ConcurrentWriteError:
             self._fs_delete(bdir)  # our staged batch is garbage
+            raise
+        self._fl_gc(name, target)
+        self._refresh(name)
+
+    def _fl_apply_changes(
+        self,
+        name: str,
+        meta: TableMeta,
+        src_keys: DataFrame,
+        keys: list[str],
+        survivors: DataFrame | None,
+    ) -> None:
+        """File-surgical MERGE/DELETE commit for filelist tables.
+
+        Files containing a row matching ``src_keys`` on ``keys`` are
+        replaced by (their rows anti-join src_keys) ∪ ``survivors``;
+        clean files carry over BY REFERENCE. This is Delta's
+        apply-changes shape: a CDC batch touching 0.1% of keys
+        rewrites ~0.1% of files, not the table. NULL-key target rows
+        never match a plain equi-join, so they are never dirty — the
+        same semantics as the full-rewrite path's anti-join.
+
+        OCC ordering as everywhere: target generation pinned BEFORE
+        the base manifest is read; a rival commit collides our
+        exclusive create and the caller's retry recomputes against
+        the rival's state. Mostly-dirty batches fall back to the
+        clustered full rewrite.
+        """
+        target = self._next_gen(name)
+        gen = self._current_gen(name)
+        if gen >= target:
+            raise ConcurrentWriteError(
+                f"merge into {name!r} raced a rival past its pinned generation"
+            )
+        doc = self._read_manifest(name, gen) or {}
+        files = doc.get("files") or []
+        schema = self._with_ingest(meta.struct)
+        empty = self.spark.createDataFrame([], schema)
+        if not files:
+            new_df = survivors if survivors is not None else empty
+            bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
+            try:
+                self._commit_manifest(
+                    name, target, files=sorted(new_files), file_stats=new_stats
+                )
+            except ConcurrentWriteError:
+                self._fs_delete(bdir)
+                raise
+            self._fl_gc(name, target)
+            self._refresh(name)
+            return
+        base = self.spark.read.schema(schema).parquet(
+            *[self._fl_abs(f) for f in files]
+        )
+        tagged = base.withColumn("__f", F.input_file_name())
+        dirty_abs = [
+            r["__f"]
+            for r in tagged.join(src_keys, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+        dirty_rel = {self._abs_to_rel(name, p) for p in dirty_abs}
+        if 2 * len(dirty_rel) >= len(files):
+            untouched = base.join(src_keys, keys, "left_anti")
+            out = (
+                untouched.unionByName(survivors)
+                if survivors is not None
+                else untouched
+            )
+            self._rewrite_table_filelist(name, out)
+            return
+        if dirty_abs:
+            dirty_df = self.spark.createDataFrame(
+                [(p,) for p in dirty_abs], "__f string"
+            )
+            replaced = (
+                tagged.join(F.broadcast(dirty_df), "__f", "left_semi")
+                .drop("__f")
+                .join(src_keys, keys, "left_anti")
+            )
+            new_df = (
+                replaced.unionByName(survivors) if survivors is not None else replaced
+            )
+        else:
+            if survivors is None:
+                return  # pure delete with nothing matching: no-op
+            new_df = survivors  # insert-only merge: plain batch append
+        bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
+        kept = [f for f in files if f not in dirty_rel]
+        stats = {
+            f: s for f, s in (doc.get("file_stats") or {}).items() if f in set(kept)
+        }
+        stats.update(new_stats)
+        try:
+            self._commit_manifest(
+                name, target, files=sorted(set(kept) | set(new_files)),
+                file_stats=stats,
+            )
+        except ConcurrentWriteError:
+            self._fs_delete(bdir)
             raise
         self._fl_gc(name, target)
         self._refresh(name)

@@ -527,3 +527,82 @@ def test_filelist_optimize_mostly_dirty_falls_back_to_full_rewrite(spark, tmp_pa
     cat.insert("px", _rows(spark, [("A", D1, 3.0), ("B", D2, 4.0)]))  # all dup
     cat.optimize("px")
     assert _state(cat, "px") == [("A", 3.0), ("B", 4.0)]
+
+
+def test_filelist_merge_rewrites_only_matched_files(spark, tmp_path):
+    """File-surgical MERGE: a CDC batch touching one key leaves every
+    other file referenced untouched; inserts/updates/deletes all land
+    in one commit."""
+    root = str(tmp_path / "smerge")
+    cat = Catalog(spark, root, commit_mode="filelist", time_travel=3)
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i in range(5):
+        cat.insert("px", _rows(spark, [(f"T{i}", D1, float(i))]))
+    gen_before = cat._current_gen("px")
+    before = set(cat._fl_manifest_files("px", gen_before))
+    tagged = cat._fl_read("px").withColumn("__f", F.input_file_name())
+    dirty = {
+        cat._abs_to_rel("px", r["__f"])
+        for r in tagged.filter(F.col("ticker").isin("T1", "T2"))
+        .select("__f").distinct().collect()
+    }
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("deleted", T.BooleanType())])
+    cat.merge(
+        "px",
+        spark.createDataFrame(
+            [("T1", D1, 2024, 11.0, False),   # update
+             ("T2", D1, 2024, 0.0, True),     # delete
+             ("N", D2, 2025, 9.0, False)],    # insert
+            wide,
+        ),
+        delete_col="deleted",
+    )
+    after = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    assert before - dirty <= after            # clean files by reference
+    assert not (dirty & after)                # matched files replaced
+    assert _state(cat, "px") == [
+        ("N", 9.0), ("T0", 0.0), ("T1", 11.0), ("T3", 3.0), ("T4", 4.0)
+    ]
+    # pre-merge snapshot intact through shared files
+    assert _state_at(cat, "px", gen_before) == [
+        ("T0", 0.0), ("T1", 1.0), ("T2", 2.0), ("T3", 3.0), ("T4", 4.0)
+    ]
+
+
+def _state_at(cat, name, gen):
+    return sorted(
+        (r["ticker"], r["close"]) for r in cat.table_at(name, gen).collect()
+    )
+
+
+def test_filelist_insert_only_merge_is_a_plain_append(spark, tmp_path):
+    """A merge whose source matches nothing must not rewrite ANY file —
+    it commits one new batch referencing everything else."""
+    cat = Catalog(spark, str(tmp_path / "imerge"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0)]))
+    before = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    cat.merge("px", _rows(spark, [("B", D2, 2.0)]))
+    after = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    assert before <= after and len(after) > len(before)
+    assert _state(cat, "px") == [("A", 1.0), ("B", 2.0)]
+
+
+def test_filelist_delete_matching_is_file_surgical(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "sdel"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i in range(4):
+        cat.insert("px", _rows(spark, [(f"T{i}", D1, float(i))]))
+    before = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    cat.delete_matching(
+        "px", cat.table("px").filter(F.col("ticker") == "T2"), on=["ticker", "date"]
+    )
+    after = set(cat._fl_manifest_files("px", cat._current_gen("px")))
+    assert _state(cat, "px") == [("T0", 0.0), ("T1", 1.0), ("T3", 3.0)]
+    assert len(before & after) >= len(before) - 2  # untouched files shared
+    # deleting nothing is a no-op commit-wise
+    gen = cat._current_gen("px")
+    cat.delete_matching(
+        "px", cat.table("px").filter(F.col("ticker") == "ZZZ"), on=["ticker", "date"]
+    )
+    assert cat._current_gen("px") == gen
