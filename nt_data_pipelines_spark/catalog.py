@@ -45,6 +45,12 @@ from pyspark.sql import types as T
 
 INGEST_COL = "_ingest_seq"
 KEEP_MANIFESTS = 10  # manifest-log history margin retained by GC
+# filelist mode records per-file min/max for the partition keys PLUS
+# the first N other eligible scalar columns (Delta's
+# dataSkippingNumIndexedCols model) — scan_pruned can then skip files
+# on any indexed column, which is what makes optimize_layout's z-order
+# clustering actually deliver pruning
+STATS_COLS_MAX = 8
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -507,10 +513,11 @@ class Catalog:
         out.write.mode("overwrite").parquet(bdir)
         files = self._fl_list_parquet(name, bdir)
         stats: dict[str, dict] = {}
-        if meta.partition_keys and files:
+        stat_cols = self._stats_columns(meta)
+        if stat_cols and files:
             back = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(bdir)
             aggs = []
-            for c in meta.partition_keys:
+            for c in stat_cols:
                 # min/max on the NATIVE type, cast after: string-side
                 # extremes are lexicographic ('10' < '2') and would
                 # record inverted ranges that misprune matching files
@@ -521,9 +528,29 @@ class Catalog:
             for r in rows:
                 rel = r["__f"][r["__f"].rfind(marker):]
                 stats[rel] = {
-                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in meta.partition_keys
+                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stat_cols
                 }
         return bdir, files, stats
+
+    def _stats_columns(self, meta: TableMeta) -> list[str]:
+        """Columns indexed for file skipping: every partition key plus
+        the first ``STATS_COLS_MAX`` other scalar columns in schema
+        order (strings/numbers/dates/timestamps — types with a usable
+        total order). One single-pass aggregate per batch covers them
+        all; the payoff is that ``scan_pruned`` and z-order clustering
+        compose on NON-partition columns too."""
+        orderable = (
+            T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DoubleType,
+            T.FloatType, T.DecimalType, T.StringType, T.DateType,
+            T.TimestampType, T.TimestampNTZType,
+        )
+        cols = list(meta.partition_keys)
+        for f in meta.struct.fields:
+            if len(cols) >= len(meta.partition_keys) + STATS_COLS_MAX:
+                break
+            if f.name not in cols and isinstance(f.dataType, orderable):
+                cols.append(f.name)
+        return cols
 
     def _fl_commit_append(
         self, name: str, new_files: list[str], new_stats: dict | None = None
@@ -1331,27 +1358,30 @@ class Catalog:
     def scan_pruned(self, name: str, **preds) -> DataFrame:
         """Filelist-mode scan with MANIFEST-level file skipping.
 
-        ``preds`` maps partition columns to predicates — a scalar
-        (equality) or a tuple ``("between", lo, hi)`` / ``(">=", v)`` /
-        ``(">", v)`` / ``("<=", v)`` / ``("<", v)``. Files whose
-        recorded [min, max] interval cannot overlap the predicate are
-        dropped from the read at PLANNING time — no footer reads, no
-        listing (Delta's data-skipping model: pruning metadata lives in
-        the log, not the directory tree). Range support matters because
+        ``preds`` maps columns to predicates — a scalar (equality) or
+        a tuple ``("between", lo, hi)`` / ``(">=", v)`` / ``(">", v)``
+        / ``("<=", v)`` / ``("<", v)``. Files whose recorded
+        [min, max] interval cannot overlap the predicate are dropped
+        from the read at PLANNING time — no footer reads, no listing
+        (Delta's data-skipping model: pruning metadata lives in the
+        log, not the directory tree). Range support matters because
         the date-range scan is the single most common query shape in
         the reference (utils/data.py:13, inclusive ``is_between``).
-        The predicate is re-applied to the surviving rows, so the
-        result equals ``table(name).filter(...)`` exactly; files
-        without stats are conservatively kept.
+        Any INDEXED column prunes (partition keys + the first
+        ``STATS_COLS_MAX`` scalar columns — :meth:`_stats_columns`),
+        so ``optimize_layout``'s z-order clustering composes with
+        skipping on the clustered columns. The predicate is re-applied
+        to the surviving rows, so the result equals
+        ``table(name).filter(...)`` exactly; files without stats (or
+        predicates on unindexed columns) are conservatively kept.
         """
         if self.commit_mode != "filelist":
             raise ValueError("scan_pruned() requires commit_mode='filelist'")
         meta = self._meta(name)
-        unknown = set(preds) - set(meta.partition_keys)
+        unknown = set(preds) - {f.name for f in meta.struct.fields}
         if unknown:
             raise ValueError(
-                f"scan_pruned prunes on partition columns {meta.partition_keys}; "
-                f"unknown: {sorted(unknown)}"
+                f"scan_pruned: unknown columns {sorted(unknown)} on {name!r}"
             )
         bounds = {col: self._pred_bounds(spec) for col, spec in preds.items()}
 

@@ -606,3 +606,27 @@ def test_filelist_delete_matching_is_file_surgical(spark, tmp_path):
         "px", cat.table("px").filter(F.col("ticker") == "ZZZ"), on=["ticker", "date"]
     )
     assert cat._current_gen("px") == gen
+
+
+def test_zorder_clustering_composes_with_file_skipping(spark, tmp_path):
+    """Stats are recorded for leading scalar columns, not just
+    partition keys — so OPTIMIZE ZORDER BY close + scan_pruned on
+    close actually skips files (Delta's dataSkippingNumIndexedCols
+    model)."""
+    cat = Catalog(spark, str(tmp_path / "zskip"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert(
+        "px", _rows(spark, [(f"T{i:03d}", D1, float(i)) for i in range(256)])
+    )
+    cat.optimize_layout("px", ["close"], num_files=8, bits=8)
+    n_files = len(cat.data_files("px"))
+    assert n_files == 8
+    got = cat.scan_pruned("px", close=("between", 10.0, 20.0))
+    want = cat.table("px").filter((F.col("close") >= 10.0) & (F.col("close") <= 20.0))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the clustered layout lets the range hit a strict subset of files
+    assert 0 < len(got.inputFiles()) < n_files
+    # equality on a non-partition indexed column prunes too
+    one = cat.scan_pruned("px", close=100.0)
+    assert [r["ticker"] for r in one.collect()] == ["T100"]
+    assert len(one.inputFiles()) < n_files
