@@ -92,6 +92,13 @@ def _run_sequence(spark, tmp, mode, ops):
     cat.optimize("t")
     got = {r["k"]: r["v"] for r in cat.table("t").collect()}
     assert got == model, f"mode={mode} ops={ops}"
+    if mode == "filelist":
+        # stats-pruned scans agree with the model after any op mix
+        # (k is an indexed stats column)
+        pruned = {r["k"]: r["v"] for r in cat.scan_pruned("t", k=3).collect()}
+        assert pruned == {k: v for k, v in model.items() if k == 3}, ops
+        rng = {r["k"] for r in cat.scan_pruned("t", k=("between", 2, 4)).collect()}
+        assert rng == {k for k in model if 2 <= k <= 4}, ops
 
 
 @pytest.mark.parametrize("mode", ["rename", "manifest", "filelist"])
