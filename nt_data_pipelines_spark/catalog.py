@@ -1873,10 +1873,10 @@ class Catalog:
         doc = self._read_manifest(name, gen) or {}
         files = doc.get("files") or []
         schema = self._with_ingest(meta.struct)
-        empty = self.spark.createDataFrame([], schema)
         if not files:
-            new_df = survivors if survivors is not None else empty
-            bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
+            if survivors is None:
+                return  # delete against an empty file set: no-op
+            bdir, new_files, new_stats = self._fl_write_batch(name, survivors)
             try:
                 self._commit_manifest(
                     name, target, files=sorted(new_files), file_stats=new_stats
