@@ -269,28 +269,33 @@ class Catalog:
         return self._gen_dir(name, gen)
 
     @staticmethod
-    def _is_already_exists(e: Exception) -> bool:
-        """Whether a py4j error wraps Hadoop's FileAlreadyExistsException.
-
-        Matches on the Java exception CLASS chain, not the message —
-        message text varies by FS implementation and locale. Falls
-        back to a substring probe only when no java_exception is
+    def _wraps_java_class(e: Exception, suffix: str, fallback: bool) -> bool:
+        """Whether a py4j error wraps a Java exception class ending in
+        ``suffix`` (walks the cause chain). Matches on the CLASS, not
+        the message — message text varies by FS implementation and
+        locale. ``fallback`` is returned when no java_exception is
         attached (non-py4j transport errors)."""
         je = getattr(e, "java_exception", None)
         if je is None:
-            return "exist" in str(e).lower()
+            return fallback
         while je is not None:
             try:
                 cls = je.getClass().getName()
             except Exception:
                 return False
-            if cls.endswith("FileAlreadyExistsException"):
+            if cls.endswith(suffix):
                 return True
             try:
                 je = je.getCause()
             except Exception:
                 return False
         return False
+
+    @classmethod
+    def _is_already_exists(cls, e: Exception) -> bool:
+        return cls._wraps_java_class(
+            e, "FileAlreadyExistsException", "exist" in str(e).lower()
+        )
 
     @staticmethod
     def _parse_gen(basename: str) -> int | None:
@@ -306,25 +311,13 @@ class Catalog:
         except ValueError:
             return None
 
-    @staticmethod
-    def _is_not_found(e: Exception) -> bool:
-        """Whether a py4j error wraps FileNotFoundException (class-
-        chain probe, like :meth:`_is_already_exists`)."""
-        je = getattr(e, "java_exception", None)
-        if je is None:
-            return "not exist" in str(e).lower() or "notfound" in str(e).lower()
-        while je is not None:
-            try:
-                cls = je.getClass().getName()
-            except Exception:
-                return False
-            if cls.endswith("FileNotFoundException"):
-                return True
-            try:
-                je = je.getCause()
-            except Exception:
-                return False
-        return False
+    @classmethod
+    def _is_not_found(cls, e: Exception) -> bool:
+        return cls._wraps_java_class(
+            e,
+            "FileNotFoundException",
+            "not exist" in str(e).lower() or "notfound" in str(e).lower(),
+        )
 
     def _read_manifest(self, name: str, gen: int) -> dict | None:
         fs, p = self._hfs(os.path.join(self._manifest_dir(name), f"{gen}.json"))
@@ -364,19 +357,20 @@ class Catalog:
         lose-the-race signal (the caller must RECOMPUTE from the new
         table state, never re-commit stale data as the next gen).
 
-        Exclusivity per scheme: local (file:// or plain) paths use a
-        POSIX ``O_CREAT|O_EXCL`` open — genuinely atomic; Hadoop's
-        RawLocalFileSystem ``create(overwrite=False)`` is an exists-
-        check-then-open, and the concurrency fuzz
-        (tests/test_filelist_concurrency.py) caught two racing writers
-        both passing it. HDFS create(overwrite=False) is atomic
-        server-side and keeps the Hadoop path. On S3A it is an
-        exists-check-then-PUT — two racing writers can BOTH pass the
-        check and the second PUT silently wins. Point manifest-mode
-        catalogs at HDFS/posix, or at an object store with
-        conditional-PUT (S3 If-None-Match, GCS if-generation-match)
-        surfaced through the Hadoop connector; on plain S3A the race
-        window is small but real."""
+        Exclusivity per scheme: local (file:// or plain) paths stage a
+        temp file and publish with ``os.link`` — atomic, exclusive,
+        and content-complete (Hadoop's RawLocalFileSystem
+        ``create(overwrite=False)`` is an exists-check-then-open, and
+        the concurrency fuzz caught two racing writers both passing
+        it; a bare ``O_EXCL`` open closes that but still exposes an
+        empty manifest during the payload write). Hadoop schemes stage
+        + no-overwrite rename (atomic on HDFS, fails if the
+        destination exists). On S3A rename is copy+delete — two racing
+        writers can both "win". Point manifest-mode catalogs at
+        HDFS/posix, or at an object store with conditional-PUT (S3
+        If-None-Match, GCS if-generation-match) surfaced through the
+        Hadoop connector; on plain S3A the race window is small but
+        real."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
@@ -394,30 +388,53 @@ class Catalog:
         if file_stats:
             doc["file_stats"] = file_stats
         payload = json.dumps(doc)
+        # The manifest must appear ATOMICALLY WITH ITS CONTENT: a
+        # create-then-write sequence exposes an empty (torn) N.json
+        # during the write window, and a racing appender then pins
+        # _next_gen PAST it while _current_gen still resolves N-1 —
+        # its commit builds on the stale base and this writer's
+        # acknowledged batch silently vanishes. So: stage the payload
+        # in a temp file, then publish with an atomic
+        # exclusive-if-absent primitive (hardlink locally, no-overwrite
+        # rename on Hadoop FS). A crash leaves only a ``*.tmp-*`` file
+        # — never counted by _manifest_gens (no .json suffix).
+        import uuid as _uuid
+
         scheme = self.root.split("://", 1)[0] if self._uri_root else "file"
         if scheme == "file":
             local = p.toUri().getPath() if self._uri_root else mpath
+            tmp = f"{local}.tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as out:
+                out.write(payload.encode("utf-8"))
             try:
-                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, local)  # atomic: exclusive AND complete
             except FileExistsError:
                 raise ConcurrentWriteError(
                     f"generation {gen} of {name!r} was committed by another writer"
                 ) from None
-            with os.fdopen(fd, "wb") as out:
-                out.write(payload.encode("utf-8"))
+            finally:
+                os.unlink(tmp)
             return
-        try:
-            out = fs.create(p, False)
-        except Exception as e:  # exclusive-create race on the same gen
-            if self._is_already_exists(e):
-                raise ConcurrentWriteError(
-                    f"generation {gen} of {name!r} was committed by another writer"
-                ) from None
-            raise
+        _, tmp_p = self._hfs(f"{mpath}.tmp-{_uuid.uuid4().hex[:8]}")
+        out = fs.create(tmp_p, True)
         try:
             out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
+        # HDFS rename is atomic and fails (returns false) when the
+        # destination exists — the exclusive publish. Object stores
+        # emulate rename as copy+delete; the conditional-PUT caveat in
+        # the docstring stands.
+        renamed = False
+        try:
+            renamed = bool(fs.rename(tmp_p, p))
+        finally:
+            if not renamed and fs.exists(tmp_p):
+                fs.delete(tmp_p, False)
+        if not renamed:
+            raise ConcurrentWriteError(
+                f"generation {gen} of {name!r} was committed by another writer"
+            )
 
     def _data_path(self, name: str) -> str:
         """Where the table's files live RIGHT NOW. In manifest mode
@@ -572,12 +589,19 @@ class Catalog:
         """
         meta = self._meta(name)
         migrated = False
+        migrated_dir: str | None = None
         for _ in range(25):
             target = self._next_gen(name)
             cur = self._current_gen(name)
             if cur >= target:
                 continue  # a rival advanced past our pinned target
             if cur >= 0:
+                if migrated_dir is not None:
+                    # a rival won the migration race; our imported
+                    # batch is garbage (the winner imported the legacy
+                    # rows itself) — don't leak it as crash debris
+                    self._fs_delete(migrated_dir)
+                    migrated_dir, migrated = None, False
                 doc = self._read_manifest(name, cur) or {}
                 prev = doc.get("files") or []
                 stats = dict(doc.get("file_stats") or {})
@@ -603,7 +627,7 @@ class Catalog:
                     legacy = self.spark.read.schema(
                         self._with_ingest(meta.struct)
                     ).parquet(self._path(name))
-                    _, prev, stats = self._fl_write_batch(name, legacy)
+                    migrated_dir, prev, stats = self._fl_write_batch(name, legacy)
                     migrated = True
                 else:
                     prev = self._fl_list_parquet(name, self._path(name))
@@ -629,7 +653,11 @@ class Catalog:
         )
 
     def _rewrite_table_filelist(
-        self, name: str, deduped: DataFrame, preserve_layout: bool = False
+        self,
+        name: str,
+        deduped: DataFrame,
+        preserve_layout: bool = False,
+        target_gen: int | None = None,
     ) -> None:
         """Full-rewrite commit: manifest g+1 references ONLY the staged
         batch's files; older snapshots keep their exact file sets. A
@@ -640,8 +668,13 @@ class Catalog:
         manifest mode: a rival that commits while our Spark job runs
         takes our pinned number, our exclusive create then collides,
         and the OCC retry recomputes with the rival's rows — allocating
-        after the write would silently supersede the rival instead."""
-        gen = self._next_gen(name)
+        after the write would silently supersede the rival instead.
+        ``target_gen`` lets a caller that pinned EARLIER (the surgical
+        paths, which read their base manifest between pin and
+        fallback) keep its pin — re-pinning here would let a rival
+        commit that landed after the caller's base read be silently
+        superseded."""
+        gen = self._next_gen(name) if target_gen is None else target_gen
         bdir, files, stats = self._fl_write_batch(
             name, deduped, cluster=not preserve_layout
         )
@@ -1305,14 +1338,52 @@ class Catalog:
         return deleted
 
     @staticmethod
-    def _stat_le(a, b) -> bool:
-        """a <= b over stringified stats values: numerically when both
-        parse (lexicographic '1000' < '999' would misprune), else as
-        strings (dates/ISO timestamps compare correctly as strings)."""
-        try:
-            return float(a) <= float(b)
-        except (TypeError, ValueError):
-            return str(a) <= str(b)
+    def _col_kind(dtype: T.DataType) -> str:
+        """Comparator family for a stats column. The comparator MUST
+        order values the same way the row filter does, or pruning goes
+        unsound: 'num' for numerics (float compare is monotone, so
+        rounding can never turn a true overlap into a miss); 'time'
+        for dates/timestamps (PARSED — ``str(datetime)`` pads
+        fractional seconds while Spark's cast-to-string trims them,
+        so lexicographic comparison would misprune at boundaries);
+        'str' otherwise (exactly the row filter's lexicographic order
+        — a numeric-LOOKING string column like '9' vs '10' must NOT
+        compare numerically)."""
+        if isinstance(
+            dtype,
+            (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+             T.DoubleType, T.FloatType, T.DecimalType),
+        ):
+            return "num"
+        if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return "time"
+        return "str"
+
+    @staticmethod
+    def _stat_le(a, b, kind: str = "num") -> bool:
+        """a <= b under the column's comparator family (see
+        :meth:`_col_kind`); stats arrive stringified, predicate values
+        in their native Python type."""
+        if kind == "num":
+            try:
+                return float(a) <= float(b)
+            except (TypeError, ValueError):
+                return str(a) <= str(b)
+        if kind == "time":
+            import datetime as _dt
+
+            def _parse(v):
+                if isinstance(v, _dt.datetime):
+                    return v
+                if isinstance(v, _dt.date):
+                    return _dt.datetime.combine(v, _dt.time())
+                return _dt.datetime.fromisoformat(str(v))
+
+            try:
+                return _parse(a) <= _parse(b)
+            except ValueError:
+                return str(a) <= str(b)
+        return str(a) <= str(b)
 
     @staticmethod
     def _pred_bounds(spec) -> tuple:
@@ -1338,9 +1409,10 @@ class Catalog:
         )
 
     @classmethod
-    def _range_overlaps(cls, rng, bounds) -> bool:
+    def _range_overlaps(cls, rng, bounds, kind: str = "num") -> bool:
         """Whether a file's recorded [min, max] can hold a row matching
-        the normalized predicate ``(lo, hi, lo_strict, hi_strict)``.
+        the normalized predicate ``(lo, hi, lo_strict, hi_strict)``,
+        under the column's comparator family ``kind``.
         Must never return False for a file containing a matching row
         (pruning soundness — property-fuzzed in
         tests/test_filelist_catalog.py)."""
@@ -1348,10 +1420,14 @@ class Catalog:
         lo, hi, lo_strict, hi_strict = bounds
         if lo is not None and fmax is not None:
             # file entirely below the predicate interval
-            if not cls._stat_le(lo, fmax) or (lo_strict and cls._stat_le(fmax, lo)):
+            if not cls._stat_le(lo, fmax, kind) or (
+                lo_strict and cls._stat_le(fmax, lo, kind)
+            ):
                 return False
         if hi is not None and fmin is not None:
-            if not cls._stat_le(fmin, hi) or (hi_strict and cls._stat_le(hi, fmin)):
+            if not cls._stat_le(fmin, hi, kind) or (
+                hi_strict and cls._stat_le(hi, fmin, kind)
+            ):
                 return False
         return True
 
@@ -1405,6 +1481,7 @@ class Catalog:
         doc = self._read_manifest(name, gen) or {}
         files = doc.get("files") or []
         stats = doc.get("file_stats") or {}
+        kinds = {f.name: self._col_kind(f.dataType) for f in meta.struct.fields}
         kept = []
         for rel in files:
             st = stats.get(rel)
@@ -1412,7 +1489,11 @@ class Catalog:
             if st:
                 for col, b in bounds.items():
                     rng = st.get(col)
-                    if rng and rng[0] is not None and not self._range_overlaps(rng, b):
+                    if (
+                        rng
+                        and rng[0] is not None
+                        and not self._range_overlaps(rng, b, kinds[col])
+                    ):
                         keep = False
                         break
             if keep:
@@ -1805,13 +1886,15 @@ class Catalog:
             # mostly-dirty table: the surgical path would rewrite
             # nearly everything anyway while paying the per-file
             # bookkeeping — the clustered full rewrite is cheaper and
-            # resets file sizes too
+            # resets file sizes too. KEEPS the pinned target: a rival
+            # landing after our base read must collide, not be
+            # silently superseded.
             deduped_all = (
                 base.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            self._rewrite_table_filelist(name, deduped_all)
+            self._rewrite_table_filelist(name, deduped_all, target_gen=target)
             return
         dirty_df = self.spark.createDataFrame(
             [(p,) for p in dirty_abs], "__f string"
@@ -1823,15 +1906,30 @@ class Catalog:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        bdir, new_files, new_stats = self._fl_write_batch(name, deduped)
-        kept = [f for f in files if f not in dirty_rel]
+        self._fl_commit_surgical(name, target, doc, files, dirty_rel, deduped)
+
+    def _fl_commit_surgical(
+        self,
+        name: str,
+        target: int,
+        doc: dict,
+        files: list[str],
+        dirty_rel: set[str],
+        new_df: DataFrame,
+    ) -> None:
+        """Shared surgical-commit tail: stage ``new_df`` as a batch,
+        commit manifest ``target`` = (files − dirty) + staged, carrying
+        the kept files' stats; a lost race deletes the staged batch
+        and surfaces the OCC signal."""
+        bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
+        kept_set = set(files) - set(dirty_rel)
         stats = {
-            f: s for f, s in (doc.get("file_stats") or {}).items() if f in set(kept)
+            f: s for f, s in (doc.get("file_stats") or {}).items() if f in kept_set
         }
         stats.update(new_stats)
         try:
             self._commit_manifest(
-                name, target, files=sorted(set(kept) | set(new_files)),
+                name, target, files=sorted(kept_set | set(new_files)),
                 file_stats=stats,
             )
         except ConcurrentWriteError:
@@ -1876,16 +1974,7 @@ class Catalog:
         if not files:
             if survivors is None:
                 return  # delete against an empty file set: no-op
-            bdir, new_files, new_stats = self._fl_write_batch(name, survivors)
-            try:
-                self._commit_manifest(
-                    name, target, files=sorted(new_files), file_stats=new_stats
-                )
-            except ConcurrentWriteError:
-                self._fs_delete(bdir)
-                raise
-            self._fl_gc(name, target)
-            self._refresh(name)
+            self._fl_commit_surgical(name, target, doc, [], set(), survivors)
             return
         base = self.spark.read.schema(schema).parquet(
             *[self._fl_abs(f) for f in files]
@@ -1900,13 +1989,15 @@ class Catalog:
         ]
         dirty_rel = {self._abs_to_rel(name, p) for p in dirty_abs}
         if 2 * len(dirty_rel) >= len(files):
+            # mostly-dirty: clustered full rewrite, at the PINNED
+            # target (see _optimize_filelist_incremental's fallback)
             untouched = base.join(src_keys, keys, "left_anti")
             out = (
                 untouched.unionByName(survivors)
                 if survivors is not None
                 else untouched
             )
-            self._rewrite_table_filelist(name, out)
+            self._rewrite_table_filelist(name, out, target_gen=target)
             return
         if dirty_abs:
             dirty_df = self.spark.createDataFrame(
@@ -1924,22 +2015,7 @@ class Catalog:
             if survivors is None:
                 return  # pure delete with nothing matching: no-op
             new_df = survivors  # insert-only merge: plain batch append
-        bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
-        kept = [f for f in files if f not in dirty_rel]
-        stats = {
-            f: s for f, s in (doc.get("file_stats") or {}).items() if f in set(kept)
-        }
-        stats.update(new_stats)
-        try:
-            self._commit_manifest(
-                name, target, files=sorted(set(kept) | set(new_files)),
-                file_stats=stats,
-            )
-        except ConcurrentWriteError:
-            self._fs_delete(bdir)
-            raise
-        self._fl_gc(name, target)
-        self._refresh(name)
+        self._fl_commit_surgical(name, target, doc, files, dirty_rel, new_df)
 
     def _rewrite_partitions(self, name: str, meta: TableMeta, deduped_dirty: DataFrame):
         """Replace exactly the partitions present in ``deduped_dirty``.

@@ -104,8 +104,13 @@ _KNN_COS = (
 )
 def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # bucket_cap=None: the SQL oracle replicates the UNCAPPED bucket
+    # self-join, and a bucket crossing the default cap at a larger sf
+    # would silently diverge from it. The capped (salt-split) tier is
+    # pinned separately by tests/test_dedup_text_sim.py.
     return S.knn_graph(
-        emb, "vec_id", "embedding", k=_KNN_K, num_planes=_KNN_PLANES, dim=_KNN_DIM
+        emb, "vec_id", "embedding", k=_KNN_K, num_planes=_KNN_PLANES, dim=_KNN_DIM,
+        bucket_cap=None,
     )
 
 

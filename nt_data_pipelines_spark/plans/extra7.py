@@ -364,5 +364,9 @@ def g_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, "vec_id", "embedding", k=3, num_planes=6, dim=64)
+    # bucket_cap=None: the oracle's edge CTE replicates the uncapped
+    # bucket join (same reasoning as s_knn_graph)
+    edges = knn_graph(
+        emb, "vec_id", "embedding", k=3, num_planes=6, dim=64, bucket_cap=None
+    )
     return pagerank(edges.select("src_id", "dst_id"), "src_id", "dst_id", iterations=_PR_ITERS)

@@ -11,6 +11,8 @@ see that script's docstring for what the pin does and does not prove).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,7 +22,11 @@ from nt_data_pipelines_spark.sources.testdata import load_table
 
 ROLL = 21
 LAGS = 5
-_GOLDEN = "/root/repo/tests/golden/w6_k5.parquet"
+# checkout-relative: the oracle SQL string embeds an absolute path,
+# resolved at import time so any clone location works
+_GOLDEN = str(
+    Path(__file__).resolve().parents[2] / "tests" / "golden" / "w6_k5.parquet"
+)
 
 
 @register(

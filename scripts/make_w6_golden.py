@@ -39,7 +39,11 @@ from nt_data_pipelines_spark.operators.rolling_ols import _rolling_ols_numpy
 ROLL = 21  # same window as w6_rolling_regression
 LAGS = 5
 OUT = Path(__file__).resolve().parents[1] / "tests" / "golden" / "w6_k5.parquet"
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",  # bench scale: parity harness may run here too
+]
 
 
 def golden_for(sf_dir: str) -> pd.DataFrame:

@@ -423,7 +423,11 @@ def test_range_pruning_soundness_property():
     """Property fuzz (no Spark needed): for any file min/max and any
     predicate, a value inside the file's range that satisfies the
     predicate implies the file is NOT pruned — pruning may only ever
-    keep extra files, never drop a matching one."""
+    keep extra files, never drop a matching one. Runs under BOTH
+    comparator families: 'num' (numeric columns: int values, numeric
+    file ranges) and 'str' (string columns: numeric-LOOKING strings
+    ordered lexicographically, where '10' < '9' — the case a numeric
+    comparator would misprune)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -432,10 +436,13 @@ def test_range_pruning_soundness_property():
 
     @settings(max_examples=500, deadline=None)
     @given(
-        fmin=vals, fmax=vals, probe=vals, op=ops, a=vals, b=vals
+        fmin=vals, fmax=vals, probe=vals, op=ops, a=vals, b=vals,
+        kind=st.sampled_from(["num", "str"]),
     )
-    def check(fmin, fmax, probe, op, a, b):
-        if fmin > fmax:
+    def check(fmin, fmax, probe, op, a, b, kind):
+        conv = (lambda v: v) if kind == "num" else str
+        fmin, fmax, probe, a, b = map(conv, (fmin, fmax, probe, a, b))
+        if fmin > fmax:  # file range in the COLUMN's order
             fmin, fmax = fmax, fmin
         if op == "eq":
             spec = a
@@ -453,9 +460,26 @@ def test_range_pruning_soundness_property():
 
         rng = [str(fmin), str(fmax)]
         if fmin <= probe <= fmax and matches(probe):
-            assert Catalog._range_overlaps(rng, bounds), (rng, spec, probe)
+            assert Catalog._range_overlaps(rng, bounds, kind), (rng, spec, probe, kind)
 
     check()
+
+
+def test_scan_pruned_string_column_is_lexicographic(spark, tmp_path):
+    """Regression (review finding): a STRING column holding numeric-
+    looking values records lexicographic min/max ('10' < '9'), and the
+    pruning comparator must order the same way as the row filter —
+    numeric comparison would prune the file that holds the match."""
+    cat = Catalog(spark, str(tmp_path / "strp"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("9", D1, 1.0), ("10", D1, 2.0)]))
+    got = cat.scan_pruned("px", ticker="9")
+    assert [r["close"] for r in got.collect()] == [1.0]
+    rng = cat.scan_pruned("px", ticker=("<=", "2"))
+    assert sorted(r["ticker"] for r in rng.collect()) == ["10"]  # lexicographic
+    # timestamp-style: date columns prune on parsed order
+    d = cat.scan_pruned("px", date=("between", D1, D1))
+    assert sorted(r["ticker"] for r in d.collect()) == ["10", "9"]
 
 
 def test_filelist_optimize_rewrites_only_dirty_files(spark, tmp_path):
@@ -630,3 +654,34 @@ def test_zorder_clustering_composes_with_file_skipping(spark, tmp_path):
     one = cat.scan_pruned("px", close=100.0)
     assert [r["ticker"] for r in one.collect()] == ["T100"]
     assert len(one.inputFiles()) < n_files
+
+
+def test_filelist_optimize_fallback_keeps_pinned_target(spark, tmp_path):
+    """Regression (review finding): the mostly-dirty fallback must
+    commit at the generation pinned BEFORE the base read — re-pinning
+    after a rival's append would silently supersede the rival's
+    committed batch (permanent loss). With the pin kept, the rival's
+    commit collides ours and the OCC retry recomputes with its rows."""
+    root = str(tmp_path / "pin")
+    a = Catalog(spark, root, commit_mode="filelist")
+    a.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    a.insert("px", _rows(spark, [("A", D1, 1.0)]))
+    a.insert("px", _rows(spark, [("A", D1, 2.0)]))  # all files dirty
+    b = Catalog(spark, root, commit_mode="filelist")
+
+    real_batch = a._fl_write_batch
+    fired = {"done": False}
+
+    def racing_batch(name, df, cluster=True):
+        if not fired["done"]:
+            fired["done"] = True
+            # rival append lands between our base read and our commit
+            b.insert("px", _rows(spark, [("R", D2, 7.0)]))
+        return real_batch(name, df, cluster)
+
+    a._fl_write_batch = racing_batch
+    a.optimize("px")
+    a._fl_write_batch = real_batch
+    assert _state(a, "px") == [("A", 2.0), ("R", 7.0)]
+    fresh = Catalog(spark, root, commit_mode="filelist")
+    assert _state(fresh, "px") == [("A", 2.0), ("R", 7.0)]
