@@ -80,6 +80,20 @@ def main() -> None:
     print("  every commit is a snapshot:", hist)
     g = hist[1]["generation"]
     print("  as of gen", g, ":", [r.ticker for r in fl.table_at("px", g).collect()])
+    # file-surgical upsert + stats-pruned range scan (round 6)
+    fl.upsert("px", spark.createDataFrame([("A", d, 9.0)], schema))
+    cur = fl._current_gen("px")
+    print(
+        "  after surgical upsert:",
+        sorted((r.ticker, r.close) for r in fl.table("px").collect()),
+        f"(manifest {cur} references {len(fl._fl_manifest_files('px', cur))} files)",
+    )
+    rng = fl.scan_pruned("px", close=("between", 1.5, 10.0))
+    print(
+        "  range-pruned scan close in [1.5, 10]:",
+        sorted(r.ticker for r in rng.collect()),
+        f"reading {len(rng.inputFiles())} file(s)",
+    )
 
     print("== 2. JSONL ingest with quarantine ==")
     doc_schema = T.StructType(
