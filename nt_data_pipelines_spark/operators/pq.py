@@ -143,6 +143,7 @@ def ivfpq_search(
     centroids: DataFrame, codebook: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_probe: int = 2, m: int = 4, dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF + PQ composed: probe the coarse cells, ADC-rank inside them.
 
@@ -176,9 +177,17 @@ def ivfpq_search(
         "query_id", "block", "code",
         (F.round(dist2(F.col("sub"), F.col("centroid")), 6) + 0.0).alias("d"),
     )
+    cand = q_cells.join(
+        indexed_codes.withColumnRenamed(id_col, "neighbor_id"), "cell"
+    )
+    if exclude_self:
+        # corpus-self search semantics; pass False when query ids come
+        # from a DIFFERENT keyspace than the index (id equality is
+        # coincidence there, and the filter would silently drop a true
+        # neighbor)
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = (
-        q_cells.join(indexed_codes.withColumnRenamed(id_col, "neighbor_id"), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand
         .select("query_id", "neighbor_id", F.posexplode("codes").alias("block", "code"))
         .join(F.broadcast(lut), ["query_id", "block", "code"])
         .groupBy("query_id", "neighbor_id")

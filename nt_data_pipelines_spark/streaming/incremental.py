@@ -18,7 +18,7 @@ Spark equivalents so the engine covers both modes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -151,6 +151,13 @@ def streaming_stream_join(
     stream-stream join's state grows monotonically, which is the #1
     production failure of naive streaming joins. ``within=None`` keeps
     the pure equi-join (state bounded by the watermarks alone).
+
+    Output columns: every left column, then the right side's non-key
+    columns renamed ``right_<name>`` where the bare name would clash.
+    A raw two-sided projection would carry DUPLICATE column names
+    (both ``ts``, both key columns) — unselectable downstream and
+    rejected outright by file sinks and by ``catalog.insert``'s
+    by-name select.
     """
     keys = [on] if isinstance(on, str) else list(on)
     lw = left.withWatermark(left_ts, watermark)
@@ -163,7 +170,17 @@ def streaming_stream_join(
         cond = c if cond is None else cond & c
     if within is not None:
         cond = cond & rcol.between(lcol - F.expr(f"INTERVAL {within}"), lcol)
-    return lw.alias("__l").join(rw.alias("__r"), cond, "inner")
+    joined = lw.alias("__l").join(rw.alias("__r"), cond, "inner")
+    left_names = list(left.columns)
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left_names]
+    taken = set(left_names)
+    for c in right.columns:
+        if c in keys:
+            continue  # equal to the left key by construction
+        name = c if c not in taken else f"right_{c}"
+        taken.add(name)
+        out_cols.append(F.col(f"__r.{c}").alias(name))
+    return joined.select(*out_cols)
 
 
 def upsert_foreach_batch(catalog, table: str):
@@ -298,10 +315,28 @@ def minhash_foreach_batch(
     from nt_data_pipelines_spark.operators.dedup import banded_minhash
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.filter(F.col(text_col).isNotNull())
+        # ONE version per doc_id within the batch: two versions of a
+        # mutated doc in the same micro-batch would otherwise merge
+        # their shingle sets inside the signature groupBy-min — a
+        # signature belonging to NEITHER text, which breaks the
+        # retraction comparison below. Winner is deterministic
+        # (content-hash order), so replays stay idempotent.
+        wv = Window.partitionBy(id_col).orderBy(
+            F.desc(F.xxhash64(F.col(text_col))), F.col(text_col)
+        )
+        docs = (
+            docs.withColumn("__v", F.row_number().over(wv))
+            .filter(F.col("__v") == 1)
+            .drop("__v")
+        )
         bands_long = banded_minhash(
-            batch_df.filter(F.col(text_col).isNotNull()),
-            id_col, text_col, num_hashes, bands,
+            docs, id_col, text_col, num_hashes, bands,
         ).select(F.col(id_col).cast("long").alias("doc_id"), "band", "band_hash")
+        # pinned once: the signature aggregation (shingle explode +
+        # 16 min-hashes) is the dominant per-batch cost and is used
+        # THREE times below (change detection, upsert, pair join)
+        bands_long = bands_long.localCheckpoint(eager=True)
         # Retraction pass: docs whose signature CHANGED vs the stored
         # state carry stale pairs computed from their old content.
         prev = catalog.table(sig_table)
@@ -383,11 +418,27 @@ def ann_index_foreach_batch(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        cells = assign_cells(batch_df, centroids, id_col, vec_col).select(
+        # ONE version per vec_id within the batch: assign_cells picks
+        # its winner per id while pq_encode picks per (id, block) —
+        # with two versions of the same id in one micro-batch the
+        # stored row could pair one version's cell with a MIX of both
+        # versions' codes (a vector that never existed). Deterministic
+        # winner keeps replays idempotent; cross-batch updates stay
+        # last-write-wins via the PK upsert.
+        wv = Window.partitionBy(id_col).orderBy(
+            F.desc(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        )
+        batch_one = (
+            batch_df.withColumn("__v", F.row_number().over(wv))
+            .filter(F.col("__v") == 1)
+            .drop("__v")
+            .localCheckpoint(eager=True)  # reused by both encoders
+        )
+        cells = assign_cells(batch_one, centroids, id_col, vec_col).select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col("cell").cast("int").alias("cell"),
         )
-        codes = pq_encode(batch_df, codebook, id_col, vec_col, m=m, dim=dim).select(
+        codes = pq_encode(batch_one, codebook, id_col, vec_col, m=m, dim=dim).select(
             F.col(id_col).cast("long").alias("vec_id"), "codes"
         )
         catalog.upsert(index_table, cells.join(codes, "vec_id"))
@@ -407,13 +458,19 @@ def search_ann_index(
     n_probe: int = 2,
     m: int = 4,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ search over the streaming-maintained index table.
 
     ``id_col``/``vec_col`` name the QUERY frame's columns; the index
     table's id column is always ``vec_id`` (ANN_INDEX_SCHEMA) — the
     query ids are normalized onto it before the search so a corpus
-    keyed by e.g. ``doc_id`` searches correctly.
+    keyed by e.g. ``doc_id`` searches correctly. IMPORTANT: the
+    default ``exclude_self=True`` drops index rows whose vec_id equals
+    the (casted) query id — right when querying the index's own
+    corpus, WRONG for an externally-keyed query frame where the id
+    collision is coincidence (a true top-1 neighbor that happens to
+    share the number would silently vanish) — pass ``False`` there.
     """
     from nt_data_pipelines_spark.operators.pq import ivfpq_search
 
@@ -424,6 +481,7 @@ def search_ann_index(
     return ivfpq_search(
         indexed, q, centroids, codebook,
         id_col="vec_id", vec_col=vec_col, k=k, n_probe=n_probe, m=m, dim=dim,
+        exclude_self=exclude_self,
     )
 
 

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -73,11 +74,23 @@ def streaming_ewma(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         out_ewma, out_seen = [], []
+        import math
+
         for x in pdf[value_col]:
-            num = float(x) + decay * num
-            den = 1.0 + decay * den
-            n += 1
-            out_ewma.append(num / den)
+            xv = float(x)
+            if math.isnan(xv):
+                # pandas ewm(adjust=True, ignore_na=False): a missing
+                # row decays the existing weights one step and re-emits
+                # the carried mean. It must NOT enter the recursion —
+                # num = nan + decay*num would poison the CHECKPOINTED
+                # state with NaN for every later row of this key.
+                num = decay * num
+                den = decay * den
+            else:
+                num = xv + decay * num
+                den = 1.0 + decay * den
+                n += 1
+            out_ewma.append(num / den if den > 0 else float("nan"))
             out_seen.append(n)
         state.update((num, den, n))
         yield pd.DataFrame(
@@ -90,7 +103,7 @@ def streaming_ewma(
             }
         )
 
-    return (
+    out = (
         events.groupBy(key_col)
         .applyInPandasWithState(
             update,
@@ -100,6 +113,9 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    # NaN -> NULL, matching the batch kernel's nan_to_null conversion
+    # (a not-yet-seeded mean is ABSENT, not a float)
+    return out.withColumn("ewma", F.when(~F.isnan("ewma"), F.col("ewma")))
 
 
 PEAK_STATE_SCHEMA = T.StructType([T.StructField("peak", T.DoubleType())])
@@ -139,8 +155,15 @@ def streaming_drawdown(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         peaks, dds = [], []
+        import math
+
         for x in pdf[value_col]:
             x = float(x)
+            if math.isnan(x):
+                # missing tick: state untouched, no fake drawdown row
+                peaks.append(peak if peak != float("-inf") else None)
+                dds.append(None)
+                continue
             peak = x if x > peak else peak
             peaks.append(peak)
             dds.append(x / peak - 1.0 if peak != 0 else None)
@@ -228,6 +251,13 @@ def streaming_rsi(
 
         for x in pdf[value_col]:
             x = float(x)
+            if math.isnan(x):
+                # missing tick: skip entirely — a NaN diff would make
+                # max(NaN, 0) poison the smoothed averages in the
+                # CHECKPOINTED state forever, and it must not become
+                # `prev` either
+                out.append(None)
+                continue
             if math.isnan(prev):
                 out.append(None)  # no diff yet
             else:

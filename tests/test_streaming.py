@@ -438,3 +438,89 @@ def test_streaming_upsert_sink_on_filelist_catalog(spark, tmp_path):
     run_available_now(counts, sink, str(tmp_path / "c2"))  # replay
     got2 = {r["event_type"]: r["n"] for r in cat.table("event_counts").collect()}
     assert got2 == got
+
+
+def test_same_batch_doc_versions_yield_coherent_signature(spark, tmp_path):
+    """Regression (review finding): two versions of one doc_id in a
+    SINGLE micro-batch used to merge their shingle sets into a
+    signature belonging to neither text. The sink must pick ONE
+    deterministic version, store ITS signature, and pair accordingly."""
+    from nt_data_pipelines_spark.operators.dedup import banded_minhash
+    from nt_data_pipelines_spark.streaming import minhash_foreach_batch
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    v_a = "the quick brown fox jumps over the lazy dog"
+    v_b = "completely different words entirely here"
+    cat = Catalog(spark, str(tmp_path / "sbm_lake"))
+    cat.create("sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    sink = minhash_foreach_batch(cat, "sigs", "pairs")
+    # doc 1 arrives TWICE in one batch with different texts
+    sink(spark.createDataFrame([(1, v_a), (1, v_b)], doc_schema), epoch_id=0)
+    stored = {
+        (r["band"], r["band_hash"]) for r in cat.table("sigs").collect()
+    }
+    sig_of = lambda text: {
+        (r["band"], r["band_hash"])
+        for r in banded_minhash(
+            spark.createDataFrame([(1, text)], doc_schema), "doc_id", "text"
+        ).collect()
+    }
+    # the stored signature is EXACTLY one version's — never a blend
+    assert stored in (sig_of(v_a), sig_of(v_b))
+    # replaying the same batch changes nothing (deterministic winner)
+    sink(spark.createDataFrame([(1, v_b), (1, v_a)], doc_schema), epoch_id=1)
+    assert {
+        (r["band"], r["band_hash"]) for r in cat.table("sigs").collect()
+    } == stored
+
+
+def test_same_batch_vector_versions_yield_coherent_index_row(spark, tmp_path):
+    """Regression (review finding): two versions of one vec_id in a
+    single micro-batch could store one version's IVF cell with a MIX
+    of both versions' PQ codes. The indexed row must equal the batch
+    encode of exactly one version."""
+    import numpy as np
+
+    from nt_data_pipelines_spark.operators.ivf import assign_cells, kmeans_train
+    from nt_data_pipelines_spark.operators.pq import pq_encode, pq_train
+    from nt_data_pipelines_spark.streaming import ann_index_foreach_batch
+    from nt_data_pipelines_spark.streaming.incremental import ANN_INDEX_SCHEMA
+
+    dim, m = 16, 4
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rng = np.random.default_rng(5)
+    seed_rows = [
+        (i, [float(x) for x in rng.normal(size=dim).round(3)]) for i in range(12)
+    ]
+    seed = spark.createDataFrame(seed_rows, emb_schema)
+    cents = kmeans_train(seed, n_cells=2, iterations=1)
+    cb = pq_train(seed, m=m, k=4, dim=dim)
+    cat = Catalog(spark, str(tmp_path / "chim_lake"))
+    cat.create("idx", ANN_INDEX_SCHEMA, None, ["vec_id"])
+    sink = ann_index_foreach_batch(cat, "idx", cents, cb, m=m, dim=dim)
+    v1 = [float(x) for x in rng.normal(size=dim).round(3)]
+    v2 = [float(x) for x in rng.normal(size=dim).round(3)]
+    sink(spark.createDataFrame([(99, v1), (99, v2)], emb_schema), epoch_id=0)
+    row = cat.table("idx").filter(F.col("vec_id") == 99).collect()
+    assert len(row) == 1
+
+    def expect(vec):
+        one = spark.createDataFrame([(99, vec)], emb_schema)
+        cell = assign_cells(one, cents, "vec_id", "embedding").first()["cell"]
+        codes = pq_encode(one, cb, m=m, dim=dim).first()["codes"]
+        return int(cell), list(codes)
+
+    got = (int(row[0]["cell"]), list(row[0]["codes"]))
+    assert got in (expect(v1), expect(v2))  # one coherent version, no chimera

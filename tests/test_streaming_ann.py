@@ -100,3 +100,40 @@ def test_search_ann_index_with_custom_query_id_col(spark, tmp_path):
                            k=3, n_probe=2, m=M, dim=DIM)
     assert got.count() > 0
     assert got.columns == ["query_id", "rank", "neighbor_id", "approx_dist2"]
+
+
+def test_search_ann_index_exclude_self_toggle(spark, tmp_path):
+    """Regression (review finding): an externally-keyed query whose id
+    happens to collide with an indexed vec_id must be able to receive
+    that vector back — exclude_self=False disables the corpus-self
+    filter."""
+    from nt_data_pipelines_spark.operators.ivf import kmeans_train
+    from nt_data_pipelines_spark.operators.pq import pq_train
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.streaming import (
+        ann_index_foreach_batch,
+        search_ann_index,
+    )
+
+    seed = spark.createDataFrame(_vectors(20, 11), EMB_SCHEMA)
+    cents = kmeans_train(seed, n_cells=2, iterations=1)
+    cb = pq_train(seed, m=M, k=4, dim=DIM)
+    cat = Catalog(spark, str(tmp_path / "xs_lake"))
+    from nt_data_pipelines_spark.streaming.incremental import ANN_INDEX_SCHEMA
+
+    cat.create("idx", ANN_INDEX_SCHEMA, None, ["vec_id"])
+    ann_index_foreach_batch(cat, "idx", cents, cb, m=M, dim=DIM)(seed, 0)
+    # query vector IS indexed vector 7, re-keyed from another keyspace
+    q = seed.filter(F.col("vec_id") == 7)
+    with_self = search_ann_index(
+        cat, "idx", q, cents, cb, k=20, m=M, dim=DIM, exclude_self=False
+    ).collect()
+    ids = [r["neighbor_id"] for r in with_self]
+    assert 7 in ids  # its own twin is reachable again
+    # ...and it sits in the best (zero-distance) tie group
+    best = min(r["approx_dist2"] for r in with_self)
+    assert any(r["neighbor_id"] == 7 and r["approx_dist2"] == best for r in with_self)
+    without = search_ann_index(
+        cat, "idx", q, cents, cb, k=20, m=M, dim=DIM
+    ).collect()
+    assert all(r["neighbor_id"] != 7 for r in without)  # default: corpus-self

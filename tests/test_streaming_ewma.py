@@ -211,3 +211,67 @@ def test_streaming_rsi_matches_batch_wilder(spark, tmp_path):
                 assert g_ is None or pd.isna(g_)
             else:
                 assert g_ == pytest.approx(w_, rel=1e-12)
+
+
+def _run_stateful(spark, tmp_path, rows, op, name):
+    src = str(tmp_path / f"{name}_src")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        op(stream).writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_streaming_ewma_null_value_does_not_poison_state(spark, tmp_path):
+    """Regression (review finding): a single null tick made the
+    CHECKPOINTED num/den NaN forever. It must instead decay the
+    weights one step and re-emit the carried mean — pandas
+    ewm(adjust=True, ignore_na=False) semantics."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 0, "view", None, "{}"),
+        (3, base + dt.timedelta(minutes=2), 0, "view", 3.0, "{}"),
+    ]
+    got = _run_stateful(
+        spark, tmp_path, rows, lambda s: streaming_ewma(s, half_life=HL), "ewma_null"
+    ).sort_values("ts")
+    want = pd.Series([1.0, None, 3.0]).ewm(halflife=HL, adjust=True).mean()
+    np.testing.assert_allclose(got["ewma"].to_numpy(), want.to_numpy(), rtol=1e-12)
+    assert list(got["n_seen"]) == [1, 1, 2]  # the null row counts no observation
+
+
+def test_streaming_rsi_null_value_skipped(spark, tmp_path):
+    """Regression (review finding): a null tick must be skipped —
+    max(NaN, 0) poisoned the smoothed averages permanently."""
+    from nt_data_pipelines_spark.streaming.stateful import streaming_rsi
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, None, 12.0, 9.0, 13.0]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 0, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    got = _run_stateful(
+        spark, tmp_path, rows, lambda s: streaming_rsi(s, period=3), "rsi_null"
+    ).sort_values("ts")
+    # same series with the null removed: identical diffs, shifted rows
+    clean = [v for v in vals if v is not None]
+    rows2 = [
+        (i, base + dt.timedelta(minutes=i), 0, "view", v, "{}")
+        for i, v in enumerate(clean)
+    ]
+    want = _run_stateful(
+        spark, tmp_path, rows2, lambda s: streaming_rsi(s, period=3), "rsi_clean"
+    ).sort_values("ts")
+    got_vals = [r for r in got["rsi"] if not pd.isna(r)]
+    want_vals = [r for r in want["rsi"] if not pd.isna(r)]
+    np.testing.assert_allclose(got_vals, want_vals, rtol=1e-12)
+    assert pd.isna(got.iloc[2]["rsi"])  # the null row emits null

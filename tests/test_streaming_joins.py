@@ -71,11 +71,13 @@ def test_stream_stream_join_within_range(spark, tmp_path):
     cs = spark.readStream.schema(EVENT_SCHEMA).parquet(cp)
     joined = streaming_stream_join(
         cs, vs, on="user_id", watermark="4 hours", within="10 minutes"
-    ).select(
-        "__l.event_id", "__r.event_id"
     )
+    # the output carries UNIQUE names (left columns bare, right's
+    # clashing columns right_-prefixed) — composable with by-name sinks
+    assert len(set(joined.columns)) == len(joined.columns)
+    assert "right_event_id" in joined.columns and "right_ts" in joined.columns
     q = (
-        joined.toDF("click_id", "view_id")
+        joined.select("event_id", "right_event_id").toDF("click_id", "view_id")
         .writeStream.format("memory")
         .queryName("cv")
         .outputMode("append")
