@@ -68,6 +68,11 @@ def asof_join(
         )
     value_cols = [c for c in right.columns if c != on and c not in keys]
     rtypes = dict(right.dtypes)
+    # A right row with a NULL event time cannot be "before" anything —
+    # ASC ordering would put it at the partition HEAD, where the
+    # carry-forward fabricates it as the match for every left row with
+    # no genuine predecessor (pd.merge_asof rejects null keys outright)
+    right = right.filter(F.col(on).isNotNull())
 
     # Right rows carry a struct of (event time + value columns); left
     # rows carry NULL so ignorenulls skips them.

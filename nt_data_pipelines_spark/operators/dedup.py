@@ -382,10 +382,16 @@ def resolve_dup_groups_distributed(
     The scale path for :func:`resolve_dup_groups` when the edge set
     itself is too large to collect: every node starts labeled with its
     own id; each round, a node adopts the minimum label among itself
-    and its neighbors. Converges in O(component diameter) rounds —
-    near-dup clusters are shallow (dozens of docs chained through
-    shared shingles), so a handful of joins suffices. Each round is
-    one shuffle on node id; stops early when no label changes.
+    and its neighbors, then POINTER-JUMPS (label := label's label).
+    The jump halves label-path lengths each round, so convergence is
+    O(log diameter), not O(diameter) — load-bearing because
+    :func:`minhash_lsh_spanning_edges` deliberately connects each hot
+    bucket as a CHAIN (a 1M-doc boilerplate bucket is a path of
+    diameter 1M; plain propagation would need 1M rounds and silently
+    return wrong components when capped). Each round is two shuffles
+    on node id; stops early when no label changes and raises — never
+    returns wrong groups — if ``max_iterations`` is genuinely too
+    small (20 covers diameters up to ~2^20).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -403,36 +409,63 @@ def resolve_dup_groups_distributed(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        prop = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("plabel"),
+                F.col("label").alias("old_label"),
+            )
+        )
+        # pointer jumping: follow one more hop through the label table
+        # (labels are node ids, so every label has a row)
+        hop = prop.select(
+            F.col("node").alias("hnode"), F.col("plabel").alias("hlabel")
+        )
+        updated = (
+            prop.join(hop, prop.plabel == hop.hnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("plabel"), F.coalesce(F.col("hlabel"), F.col("plabel"))
+                ).alias("new_label"),
+                "old_label",
             )
         )
         # materialize the round so the next join doesn't re-derive the
         # whole lineage, and check convergence on the same pass
         updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        changed = updated.filter(F.col("new_label") != F.col("old_label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+            )
+    raise RuntimeError(
+        f"connected components did not converge in {max_iterations} rounds — "
+        "component diameter exceeds ~2^max_iterations; raise max_iterations"
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """16-bit SimHash fingerprint from word md5s (JVM-side bit math).
+    """SimHash fingerprint from word md5s (JVM-side bit math).
 
     Bit b of the fingerprint is the sign of sum over words of
     (+1 if bit b of md5(word) else -1). Near-dups share most bits, so
     identical-fingerprint (or low-hamming) buckets are dedup groups.
+
+    The hash source width SCALES with ``bits`` (ceil(bits/4) md5 hex
+    digits): a fixed 4-digit source would leave every bit above 15
+    constantly zero — fingerprints with half their bits frozen, and
+    banded chunks that collide for ALL documents.
     """
-    # value of the first 4 hex digits of md5(word) -> 16-bit integer
-    hex16 = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long")
-    shingles = word_set(df, id_col, text_col).withColumn("h", hex16)
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    n_hex = -(-bits // 4)
+    hsrc = F.conv(F.substring(F.md5(F.col("word")), 1, n_hex), 16, 10).cast("long")
+    shingles = word_set(df, id_col, text_col).withColumn("h", hsrc)
     bit_weights = [
         F.sum(
             F.when(F.floor(F.col("h") / (1 << b)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))

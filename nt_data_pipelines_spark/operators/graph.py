@@ -53,22 +53,25 @@ def pagerank(
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst), wcol.alias("__w")
     )
+    # The edge list feeds node derivation, out-degrees, and every
+    # iteration's contribution join — an expensive upstream plan (e.g.
+    # the LSH k-NN graph) would otherwise be re-executed 3 + iterations
+    # times. Persist once BEFORE the weight probe below, so the probe
+    # is the cache-filling action instead of a full extra execution of
+    # the upstream lineage; released before returning (ranks are
+    # checkpointed, so the result does not depend on it).
+    edges = edges.persist()
     if weight is not None:
         bad = edges.filter(
             F.col("__w").isNull() | (F.col("__w") <= 0)
         ).limit(1).count()
         if bad:
+            edges.unpersist()
             raise ValueError(
                 "edge weights must be positive and non-null — a zero-sum "
                 "source divides by zero mid-iteration and a NULL edge "
                 "silently vanishes"
             )
-    # The edge list feeds node derivation, out-degrees, and every
-    # iteration's contribution join — an expensive upstream plan (e.g.
-    # the LSH k-NN graph) would otherwise be re-executed 3 + iterations
-    # times. Persist once; released before returning (ranks are
-    # checkpointed, so the result does not depend on it).
-    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))

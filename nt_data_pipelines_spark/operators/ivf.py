@@ -109,6 +109,7 @@ def ivf_search(
     k: int = 5,
     n_probe: int = 2,
     indexed: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe the n_probe nearest cells per query; exact re-rank inside.
 
@@ -134,10 +135,14 @@ def ivf_search(
         .filter(F.col("__rk") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    cand = (
-        q_cells.join(indexed, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0)
+    cand = q_cells.join(indexed, "cell")
+    if exclude_self:
+        # corpus-self semantics; pass False for externally-keyed query
+        # frames (id equality is coincidence there — the filter would
+        # silently drop a true neighbor)
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.withColumn(
+        "cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

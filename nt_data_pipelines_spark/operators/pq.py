@@ -205,6 +205,7 @@ def pq_search(
     codes: DataFrame, queries: DataFrame, codebook: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, m: int = 4, dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k: exact (query x codebook) distance LUT, broadcast;
     per-row approximate distance = m lookups, decimal-summed (block
@@ -221,9 +222,12 @@ def pq_search(
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("block", "code")
     )
+    paired = exploded.join(F.broadcast(lut), ["block", "code"])
+    if exclude_self:
+        # corpus-self semantics (see ivfpq_search for the trap)
+        paired = paired.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        exploded.join(F.broadcast(lut), ["block", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        paired
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("d").cast("decimal(28,6)")).cast("double").alias("approx_dist2"))
     )

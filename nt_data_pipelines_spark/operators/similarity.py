@@ -48,12 +48,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
     Returns (query_id, rank, neighbor_id, cosine). Ranking uses the
     6-decimal-rounded cosine with id tie-break so results are stable
-    across engines and runs.
+    across engines and runs. ``exclude_self`` drops corpus rows whose
+    id equals the query's — corpus-self semantics; pass False when the
+    query frame's ids come from a DIFFERENT keyspace (the id equality
+    is coincidence there and would silently drop a true neighbor).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec")
@@ -61,8 +65,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_vec")
     )
+    pair_cond = (
+        F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), pair_cond)
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -184,8 +191,10 @@ def lsh_ann_topk(
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within matching LSH bucket."""
+    """Approximate top-k: exact cosine re-rank within matching LSH
+    bucket. ``exclude_self`` as in :func:`brute_force_topk`."""
     sig_c = lsh_signatures(corpus, id_col, vec_col, num_planes, dim).withColumnsRenamed(
         {id_col: "neighbor_id"}
     )
@@ -194,9 +203,11 @@ def lsh_ann_topk(
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_vec"))
+    cand = sig_q.join(sig_c, "bucket")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = (
-        sig_q.join(sig_c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand
         .join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6) + 0.0)

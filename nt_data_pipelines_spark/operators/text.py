@@ -183,6 +183,24 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+
+def md5_bucket(id_col: str, modulus: int):
+    """Deterministic uniform bucket in [0, modulus): the first EIGHT
+    md5 hex digits of the id, mod ``modulus``. Eight digits (32 bits),
+    not four: 65536 % 10000 != 0, so a 16-bit source gives buckets
+    0..5535 a 7/6 higher mass — up to a 3.4-point skew between
+    nominally-equal splits; at 32 bits the residual bias is < 1e-5.
+    Reproducible in any engine with md5 — the SQL twin is
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS
+    BIGINT) % modulus``. Pure codegen, no shuffle.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(modulus),
+    )
+
 def deterministic_stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -199,10 +217,7 @@ def deterministic_stratified_sample(
     swaps (unlike ``df.sampleBy``, whose seed is partition-dependent).
     Pure codegen expression; no shuffle.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long")
-        % 10000
-    )
+    bucket = md5_bucket(id_col, 10000)
     frac = F.lit(default_fraction)
     for value, p in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(frac)
@@ -232,10 +247,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long"),
-        F.lit(num_shards),
-    )
+    shard = md5_bucket(id_col, num_shards)
     toks = df.select(
         F.col(id_col),
         shard.alias("shard"),
@@ -414,12 +426,13 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
-    tf = in-doc count / doc word count; idf = ln(N / df).  Ranking is
-    by the INTEGER triple (count desc, doc-frequency asc, word asc) —
-    equivalent to ranking by tf-idf within a document (tf-idf is
-    monotone in count and anti-monotone in df for fixed doc length)
-    but exactly reproducible across engines, where ranking on the
-    float score itself could flip near-ties on 1-ulp libm differences.
+    tf = in-doc count / doc word count; idf = ln(N / df). Ranking is
+    by the ROUND-6 tf-idf score (word tie-break) — ranking on an
+    integer proxy like (count desc, df asc) is NOT equivalent across
+    terms with different df (a stopword with df = N has tf-idf exactly
+    0 yet the highest count); rounding to 6 decimals is the same
+    cross-engine determinism rule every other scored ranking in the
+    registry uses.
 
     Scale: two shuffles — (doc, word) count, then word df — both on
     high-cardinality keys with map-side partial aggregation; N is a
@@ -432,12 +445,20 @@ def tfidf_top_terms(
     wc = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
     doc_len = wc.groupBy(id_col).agg(F.sum("c").alias("n_words"))
     dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tfidf6 = (
+        F.round(
+            F.col("c") / F.col("n_words") * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        )
+        + 0.0
+    )
     rank_w = Window.partitionBy(id_col).orderBy(
-        F.col("c").desc(), F.col("df").asc(), F.col("word").asc()
+        F.col("tfidf").desc(), F.col("word").asc()
     )
     return (
         wc.join(dfreq, "word")
         .join(doc_len, id_col)
+        .withColumn("tfidf", tfidf6)
         .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
@@ -446,15 +467,7 @@ def tfidf_top_terms(
             "rank",
             F.col("c").alias("term_count"),
             F.col("df").alias("doc_freq"),
-            (
-                F.round(
-                    F.col("c")
-                    / F.col("n_words")
-                    * F.log(F.lit(float(n_docs)) / F.col("df")),
-                    6,
-                )
-                + 0.0
-            ).alias("tfidf"),
+            "tfidf",
         )
     )
 
@@ -503,12 +516,19 @@ def chunk_documents(
     ordinality pass is needed.  Scale: pure per-row array expressions
     plus one explode — no shuffle at all; fan-out is bounded by
     doc length / step.
+
+    Start generation stops at ``len - overlap - 1``: a tail start at
+    or past ``len - overlap`` yields a chunk fully CONTAINED in its
+    predecessor (the previous chunk already reached the end), which
+    would ship duplicated training text beyond the intended overlap.
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     step = chunk_size - overlap
     ws = words(text_col)
-    starts = F.sequence(F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - overlap - 1, F.lit(0)), F.lit(step)
+    )
     return (
         df.select(F.col(id_col), ws.alias("__ws"), F.explode(starts).alias("chunk_start"))
         .withColumn("__ws", F.slice("__ws", F.col("chunk_start") + 1, chunk_size))
@@ -542,11 +562,7 @@ def mix_sources_to_budget(
     rate = F.least(
         F.lit(1.0), F.lit(float(token_budget_per_source)) / F.col("__total")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 10000
-    )
+    bucket = md5_bucket(id_col, 10000)
     # explicit FLOOR: Spark's double->int cast truncates but DuckDB's
     # rounds, so the threshold must be floored before comparing
     return (
@@ -770,10 +786,7 @@ def assign_splits(
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long")
-        % 10000
-    )
+    bucket = md5_bucket(id_col, 10000)
     expr = None
     cum = 0.0
     for name, w in sorted(weights.items()):

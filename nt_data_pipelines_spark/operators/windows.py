@@ -415,9 +415,13 @@ def winsorize(
         F.percentile(F.col(value_col), F.lit(upper)).alias("__hi"),
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    # NULL stays NULL: greatest/least SKIP nulls (SQL semantics), so an
+    # ungated clip would fabricate the lower bound for every missing
+    # observation — an invented extreme-low data point
+    gated = F.when(F.col(value_col).isNotNull(), clipped)
     return (
         df.join(F.broadcast(bounds), keys)
-        .withColumn(out_col or value_col, clipped)
+        .withColumn(out_col or value_col, gated)
         .drop("__lo", "__hi")
     )
 

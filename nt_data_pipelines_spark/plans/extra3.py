@@ -21,7 +21,8 @@ from nt_data_pipelines_spark.sources.testdata import load_table
 _TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 # md5-derived 0..9999 bucket — identical expression family on both
 # engines (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS INT))
-_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 4)) AS INT) % 10000"
+# 8 hex digits (32 bits), not 4: 65536 % 10000 != 0 would skew buckets
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
 
 
 @register(
@@ -85,7 +86,7 @@ def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                   % 64 AS BIGINT) AS shard,
              CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS n_tokens
       FROM documents

@@ -82,19 +82,24 @@ def w_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfr AS (SELECT word, COUNT(*) AS df FROM wc GROUP BY word),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     r AS (
-      SELECT wc.doc_id, wc.word, c, dfr.df, dl.n_words,
-             ROW_NUMBER() OVER (PARTITION BY wc.doc_id
-                                ORDER BY c DESC, dfr.df ASC, wc.word ASC) AS rank
-      FROM wc JOIN dfr USING (word) JOIN dl USING (doc_id)
+      SELECT wc.doc_id, wc.word, c, dfr.df,
+             ROUND(c / CAST(dl.n_words AS DOUBLE)
+                   * ln(n.n_docs / CAST(dfr.df AS DOUBLE)), 6) + 0.0 AS tfidf
+      FROM wc JOIN dfr USING (word) JOIN dl USING (doc_id), n
+    ),
+    rr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word ASC) AS rank
+      FROM r
     )
     SELECT doc_id, word, CAST(rank AS BIGINT) AS rank,
-           CAST(c AS BIGINT) AS term_count, CAST(df AS BIGINT) AS doc_freq,
-           ROUND(c / CAST(n_words AS DOUBLE)
-                 * ln(n_docs / CAST(df AS DOUBLE)), 6) + 0.0 AS tfidf
-    FROM r, n WHERE rank <= 5
+           CAST(c AS BIGINT) AS term_count, CAST(df AS BIGINT) AS doc_freq, tfidf
+    FROM rr WHERE rank <= 5
     """,
     doc="Top-5 characteristic terms per document by TF-IDF, ranked on "
-    "the integer (count, df, word) triple for cross-engine determinism.",
+    "the round-6 score (word tie-break) — an integer (count, df) proxy "
+    "is not monotone in tf-idf across terms (stopwords with df = N "
+    "score exactly 0 yet have the highest counts).",
 )
 def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -158,7 +163,8 @@ _TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
     "t_chunk_documents",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    s AS (SELECT doc_id, ws, UNNEST(range(0, GREATEST(len(ws), 1), 48)) AS st FROM w)
+    s AS (SELECT doc_id, ws,
+                 UNNEST(range(0, GREATEST(len(ws) - 16, 1), 48)) AS st FROM w)
     SELECT doc_id, CAST(st AS BIGINT) AS chunk_start,
            CAST(len(ws[st + 1 : st + 64]) AS BIGINT) AS n_chunk_words,
            md5(array_to_string(ws[st + 1 : st + 64], ' ')) AS chunk_md5
@@ -190,7 +196,7 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT source, SUM(n_tokens) AS total FROM toks GROUP BY source)
     SELECT doc_id, source, n_tokens
     FROM toks JOIN tot USING (source)
-    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
           < FLOOR(LEAST(1.0, 1300 / CAST(total AS DOUBLE)) * 10000)
     """,
     doc="Data mixing: down-sample each source to a ~1300-token budget "

@@ -18,7 +18,8 @@ from nt_data_pipelines_spark.plans.registry import register, sql_dsum
 from nt_data_pipelines_spark.sources.testdata import load_table
 
 _TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
-_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 4)) AS INT) % 10000"
+# 8 hex digits (32 bits), not 4 — see operators/text.md5_bucket
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
 
 # The synthetic documents are single-line; derive a deterministic
 # multi-line corpus in BOTH engines by breaking on the word "batch"

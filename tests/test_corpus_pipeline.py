@@ -35,11 +35,12 @@ def test_curate_corpus_end_to_end(spark):
 def test_curate_corpus_with_source_mixing(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     # survivors here are single docs per source (~30-80 tokens each),
-    # so a 5-token budget forces sub-1.0 keep rates everywhere
+    # so a 10-token budget forces sub-1.0 keep rates everywhere while
+    # still keeping some docs (measured 3/7 under the 32-bit buckets)
     _, accounting = curate_corpus(
         docs,
         config=CurationConfig(
-            min_words=5, max_dup_ngram_frac=0.95, token_budget_per_source=5
+            min_words=5, max_dup_ngram_frac=0.95, token_budget_per_source=10
         ),
     )
     acct = {r["stage"]: r["docs"] for r in accounting.collect()}

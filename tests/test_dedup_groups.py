@@ -152,3 +152,27 @@ def test_spanning_edges_same_components_linear_size(spark):
     g2 = {(r["doc_id"], r["canonical_id"])
           for r in resolve_dup_groups(chain, "id_a", "id_b").collect()}
     assert g1 == g2
+
+
+def test_distributed_cc_converges_on_long_chain(spark):
+    """Regression (review finding): spanning-edge hot buckets are
+    CHAINS — a 100-node path (diameter 100) must resolve within the
+    default 20 rounds via pointer jumping, and a genuinely-too-deep
+    graph must RAISE, never silently return wrong components."""
+    import pytest
+
+    from nt_data_pipelines_spark.operators.dedup import (
+        resolve_dup_groups_distributed,
+    )
+
+    n = 100
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_dup_groups_distributed(chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_dup_groups_distributed(chain, max_iterations=2)
