@@ -165,13 +165,16 @@ class Engine:
         return self.catalog.spark.sql(query)
 
     # ---- calendar accessors (utils/calendar.py) ----
+    # Delegated to pipelines/calendar: a parallel re-implementation
+    # here had already drifted (it dropped trading_date_range's
+    # .distinct(), so duplicate calendar rows — e.g. a read between
+    # insert and optimize — returned fewer distinct trailing dates).
     def get_last_market_date(self) -> dt.date:
-        return self.catalog.table("calendar").agg(F.max("date")).first()[0]
+        from nt_data_pipelines_spark.pipelines.calendar import last_market_date
+
+        return last_market_date(self.catalog.table("calendar"))
 
     def get_trading_date_range(self, window: int) -> DataFrame:
-        return (
-            self.catalog.table("calendar")
-            .select("date")
-            .orderBy(F.desc("date"))
-            .limit(window)
-        )
+        from nt_data_pipelines_spark.pipelines.calendar import trading_date_range
+
+        return trading_date_range(self.catalog.table("calendar"), window)

@@ -43,6 +43,11 @@ def trading_date_range(calendar: DataFrame, window: int) -> DataFrame:
 
 
 def freshness_gate(calendar: DataFrame, today: dt.date) -> bool:
-    """True when yesterday was the most recent market date — the daily
-    flows skip their run otherwise (T2)."""
-    return last_market_date(calendar) == today - dt.timedelta(days=1)
+    """True when yesterday was the most recent market date STRICTLY
+    BEFORE today — the daily flows skip their run otherwise (T2).
+
+    Bounded by ``today`` because the ingested calendar legitimately
+    covers today and future schedule dates (:func:`market_is_open`
+    REQUIRES it to) — an unbounded global max would then never equal
+    yesterday and the nightly DAG would silently stop forever."""
+    return last_market_date(calendar, before=today) == today - dt.timedelta(days=1)

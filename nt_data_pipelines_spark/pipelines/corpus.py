@@ -89,22 +89,34 @@ def curate_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns (packed, accounting).
 
-    ``packed``: chunked surviving text packed into training bins
-    (columns: shard, bin_id, chunk ids/text, bin fill).
+    ``packed``: the chunk->bin assignment (columns: chunk_uid, shard,
+    n_tokens, bin_id); chunk text is re-joined internally when
+    ``output_path`` materializes shards — join ``chunk_uid`` against
+    :func:`~nt_data_pipelines_spark.operators.text.chunk_documents`
+    output to recover text otherwise.
     ``accounting``: one row per stage with the surviving doc count —
     computed lazily from counts, so the whole report is a handful of
     small jobs over the same cached lineage.
     """
     stages: list[tuple[str, DataFrame]] = []
 
-    norm = docs.withColumn(text_col, TX.normalize_text(text_col))
-    stages.append(("input", norm))
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        # Persist every stage boundary: the accounting report counts
+        # each frame AND later stages extend it — uncached, each of
+        # the up-to-9 counts would re-execute the entire upstream
+        # chain (O(stages^2) replays of the LSH/span shuffles). Spark
+        # evicts these caches LRU under pressure; correctness never
+        # depends on them.
+        frame = frame.persist()
+        stages.append((name, frame))
+        return frame
+
+    norm = stage("input", docs.withColumn(text_col, TX.normalize_text(text_col)))
 
     survivors = exact_dedup(norm, id_col, text_col).select(
         F.col("survivor_id").alias(id_col)
     )
-    exact = norm.join(survivors, id_col, "left_semi")
-    stages.append(("exact_dedup", exact))
+    exact = stage("exact_dedup", norm.join(survivors, id_col, "left_semi"))
 
     # spanning edges, not the all-pairs clique: identical connected
     # components with O(bucket) instead of O(bucket^2) edges — the
@@ -125,7 +137,7 @@ def curate_corpus(
         )
         .drop("canonical_id")
     )
-    stages.append(("near_dedup", near))
+    near = stage("near_dedup", near)
 
     if config.semantic_threshold is not None:
         if embeddings is None:
@@ -169,7 +181,7 @@ def curate_corpus(
             )
             .drop("canonical_id")
         )
-        stages.append(("semantic_dedup", near))
+        near = stage("semantic_dedup", near)
 
     span = TX.duplicated_ngram_fraction(near, id_col, text_col, n=config.ngram_n)
     spanned = near.join(
@@ -177,7 +189,7 @@ def curate_corpus(
         id_col,
         "left_semi",
     )
-    stages.append(("span_dedup", spanned))
+    spanned = stage("span_dedup", spanned)
 
     q = TX.quality_features(spanned, text_col)
     lang = TX.language_id(spanned, id_col, text_col)
@@ -190,7 +202,7 @@ def curate_corpus(
         )
         .select(*spanned.columns)
     )
-    stages.append(("quality_lang_gate", gated))
+    gated = stage("quality_lang_gate", gated)
 
     if config.perplexity_band is not None:
         from nt_data_pipelines_spark.operators.lm import perplexity_band_filter
@@ -199,20 +211,20 @@ def curate_corpus(
         gated = perplexity_band_filter(
             gated, id_col, text_col, lo_quantile=lo, hi_quantile=hi
         ).drop("bits_per_token")
-        stages.append(("perplexity_band", gated))
+        gated = stage("perplexity_band", gated)
 
     if config.max_docs_per_source is not None:
         gated = TX.cap_per_group(
             gated, config.source_col, id_col, config.max_docs_per_source
         )
-        stages.append(("source_cap", gated))
+        gated = stage("source_cap", gated)
 
     if config.token_budget_per_source is not None:
         gated = TX.mix_sources_to_budget(
             gated, config.source_col, id_col,
             config.token_budget_per_source, text_col,
         ).drop("n_tokens")
-        stages.append(("source_mix", gated))
+        gated = stage("source_mix", gated)
 
     scrubbed = TX.scrub_pii(gated, text_col)
     chunks = TX.chunk_documents(

@@ -272,7 +272,10 @@ def daily_flow(
     cal = cat.table("calendar")
     if not freshness_gate(cal, today):
         return False
-    end = last_market_date(cal)
+    # bounded by today: the calendar covers future schedule dates, and
+    # the nightly flow processes data through the last COMPLETED
+    # market day, never a future one
+    end = last_market_date(cal, before=today)
 
     from nt_data_pipelines_spark.pipelines.calendar import trading_date_range
 

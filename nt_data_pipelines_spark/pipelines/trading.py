@@ -82,7 +82,7 @@ def trading_daily_flow(
     positions = load_positions(catalog.spark, broker)
     targets = target_notionals(weights, equity)
     to_close = positions_to_close(targets, positions)
-    deltas = notional_deltas(targets, positions)
+    deltas = notional_deltas(targets, positions, closing=to_close)
 
     n_closed = close_positions(to_close, broker)
     n_orders = place_orders(deltas, broker)
@@ -108,13 +108,11 @@ def trading_daily_flow(
             # that support it (utils/slack_daily_summary.py:47-202)
             from nt_data_pipelines_spark.summary import send_daily_trading_summary
 
-            pos = (
-                load_positions(catalog.spark, broker)
-                if hasattr(broker, "positions")
-                else None
-            )
+            # the positions frame loaded above is reused — a second
+            # broker round-trip bought nothing (and the hasattr guard
+            # was dead: load_positions already ran unconditionally)
             result["fill_summary"], _ = send_daily_trading_summary(
-                fills, equity, message_sink, positions=pos
+                fills, equity, message_sink, positions=positions
             )
         else:
             result["fill_summary"] = fills_summary(fills, equity, message_sink)
@@ -138,7 +136,10 @@ def positions_to_close(targets: DataFrame, positions: DataFrame) -> DataFrame:
 
 
 def notional_deltas(
-    targets: DataFrame, positions: DataFrame, exclude_closing: bool = True
+    targets: DataFrame,
+    positions: DataFrame,
+    exclude_closing: bool = True,
+    closing: DataFrame | None = None,
 ) -> DataFrame:
     """Full-outer target-vs-held diff -> per-ticker trade notionals.
 
@@ -147,10 +148,13 @@ def notional_deltas(
     ``exclude_closing`` drops tickers that positions_to_close already
     handles (held with target <= 0) — the reference excludes them from
     the delta frame (trading_flow.py:67-70 ``is_in(...).not_()``) so
-    the close and the market sell are never both submitted.
+    the close and the market sell are never both submitted. Pass the
+    already-computed ``closing`` frame to avoid re-deriving it.
     """
     if exclude_closing:
-        closing = positions_to_close(targets, positions).select("ticker")
+        if closing is None:
+            closing = positions_to_close(targets, positions)
+        closing = closing.select("ticker")
         positions = positions.join(closing, "ticker", "left_anti")
         targets = targets.join(closing, "ticker", "left_anti")
     t = targets.alias("t")

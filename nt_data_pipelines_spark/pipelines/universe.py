@@ -25,9 +25,14 @@ from pyspark.sql import types as T
 
 def parse_changes(changes: DataFrame) -> DataFrame:
     """Raw change log with '%B %d, %Y' string dates -> typed rows
-    (universe_flow.py:76 strptime)."""
+    (universe_flow.py:76 strptime).
+
+    ``try_to_date``, not ``to_date``: under ANSI mode an unparseable
+    source string (footnote markers etc.) would crash the whole job
+    with a raw DateTimeException mid-scan; the NULL surfaces instead
+    and :func:`construct_universe` rejects it with a useful error."""
     return changes.select(
-        F.to_date("effective_date", "MMMM d, yyyy").alias("effective_date"),
+        F.try_to_date(F.col("effective_date"), "MMMM d, yyyy").alias("effective_date"),
         "ticker",
         "action",
     ).filter(F.col("ticker").isNotNull())
@@ -39,13 +44,33 @@ def construct_universe(
     changes: DataFrame,
     calendar: DataFrame,
 ) -> DataFrame:
-    """-> (date, year, ticker) per-date membership snapshots."""
+    """-> (date, year, ticker) per-date membership snapshots.
+
+    A change takes effect at the FIRST TRADING DATE at or after its
+    effective date — weekend/holiday effective dates (common in the
+    source change log) land on the next open day instead of silently
+    matching no snapshot and corrupting every earlier one. Change rows
+    whose date string failed to parse are rejected loudly: a silently
+    dropped inversion poisons the whole history.
+    """
+    import bisect
+
     change_rows = parse_changes(changes).collect()
+    bad = [r for r in change_rows if r["effective_date"] is None]
+    if bad:
+        raise ValueError(
+            "change log has unparseable effective_date rows (expected "
+            f"'MMMM d, yyyy'): e.g. {[(r['ticker'], r['action']) for r in bad[:3]]}"
+        )
+    asc = sorted(r["date"] for r in calendar.select("date").distinct().collect())
     by_date: dict[dt.date, list[tuple[str, str]]] = defaultdict(list)
     for r in change_rows:
-        by_date[r["effective_date"]].append((r["ticker"], r["action"]))
+        i = bisect.bisect_left(asc, r["effective_date"])
+        if i < len(asc):
+            by_date[asc[i]].append((r["ticker"], r["action"]))
+        # else: effective after the calendar horizon — not yet visible
 
-    dates = sorted((r["date"] for r in calendar.select("date").collect()), reverse=True)
+    dates = list(reversed(asc))
     members = set(current_tickers)
     snapshots: list[tuple[dt.date, list[str]]] = []
     for d in dates:

@@ -40,7 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
-    key = (id(spark), sf_dir, name)
+    # keyed on the JVM application id, not id(spark): Python can reuse
+    # a garbage-collected session's memory address, which would hand a
+    # fresh session a cached DataFrame bound to the dead one
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

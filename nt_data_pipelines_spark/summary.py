@@ -174,7 +174,11 @@ def build_flow_failure_blocks(
 
     tb_str = "".join(_tb.format_exception(type(error), error, error.__traceback__))
     if len(tb_str) > max_traceback_chars:
-        tb_str = tb_str[-(max_traceback_chars - 50) :] + "\n... (truncated)"
+        # the marker LEADS: the HEAD of the traceback was removed, and
+        # a trailing "(truncated)" would read as the raising frame
+        # having been cut off — sending the on-call reader log-hunting
+        # for exactly the tail they are looking at
+        tb_str = "(truncated) ...\n" + tb_str[-(max_traceback_chars - 50) :]
 
     context_lines = []
     if context:

@@ -160,7 +160,9 @@ def test_failure_blocks_truncate_long_traceback():
     except RuntimeError as e:
         text, blocks = build_flow_failure_blocks("f", e, max_traceback_chars=2000)
     tb_block = blocks[-1]["text"]["text"]
-    assert "... (truncated)" in tb_block
+    # the marker LEADS the retained tail: it is the HEAD that was cut
+    assert "(truncated) ..." in tb_block
+    assert tb_block.rstrip("`\n").endswith("x" * 20)  # raising frame kept
     assert len(tb_block) < 2200  # code fence + label + capped body
     # parameters are capped at ~200 chars too
     try:

@@ -245,3 +245,70 @@ def test_stale_open_orders_cancelled_before_placement(spark, tmp_path):
     filled_tickers = {o["ticker"] for o in broker.filled_orders()}
     assert "STALE" not in filled_tickers and "T00" in filled_tickers
     assert dict(broker.orders) == {"T00": 10_000.0}
+
+
+def test_universe_weekend_change_applies_next_trading_day(spark):
+    """Regression (review finding): a change effective on a weekend
+    must take effect at the FIRST trading date after it — exact-date
+    matching silently dropped the inversion and corrupted every
+    earlier snapshot. Unparseable date strings raise."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    cal = spark.createDataFrame(
+        [(dt.date(2024, 1, d),) for d in (4, 5, 8, 9)],  # Thu Fri Mon Tue
+        T.StructType([T.StructField("date", T.DateType())]),
+    )
+    ch_schema = "effective_date string, ticker string, action string"
+    # NEW added effective Saturday Jan 6 -> visible from Monday Jan 8
+    changes = spark.createDataFrame(
+        [("January 6, 2024", "NEW", "Added")], ch_schema
+    )
+    uni = construct_universe(spark, ["AAA", "NEW"], changes, cal)
+    by_date = {
+        d: {r["ticker"] for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(uni.collect(), key=lambda r: r["date"]), key=lambda r: r["date"]
+        )
+    }
+    assert by_date[dt.date(2024, 1, 5)] == {"AAA"}          # before effect
+    assert by_date[dt.date(2024, 1, 8)] == {"AAA", "NEW"}   # next open day
+    bad = spark.createDataFrame([("June 31st-ish, 2024", "X", "Added")], ch_schema)
+    with pytest.raises(ValueError, match="unparseable"):
+        construct_universe(spark, ["AAA"], bad, cal)
+
+
+def test_daily_summary_blocks_only_sink(spark):
+    """Regression (review finding): a sink implementing only
+    send_blocks must not crash daily_summary AFTER orders are live."""
+    from nt_data_pipelines_spark.sinks import daily_summary
+    from nt_data_pipelines_spark.summary import RecordingBlockSink
+
+    deltas = spark.createDataFrame(
+        [("A", 10.0, 0.0, 10.0)],
+        ["ticker", "target_notional", "current_notional", "notional_delta"],
+    )
+    sink = RecordingBlockSink()
+    text = daily_summary(deltas, 100.0, sink)
+    assert sink.sent and sink.sent[0][0] == text
+
+
+def test_freshness_gate_tolerates_future_calendar(spark):
+    """Regression (review finding): the ingested calendar covers today
+    and future schedule dates (market_is_open REQUIRES it) — the gate
+    must bound by today or the nightly DAG silently stops forever."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from nt_data_pipelines_spark.pipelines.calendar import freshness_gate
+
+    today = dt.date(2024, 1, 9)
+    cal = spark.createDataFrame(
+        [(dt.date(2024, 1, d),) for d in (5, 8, 9, 10, 11)],  # incl. future
+        T.StructType([T.StructField("date", T.DateType())]),
+    )
+    assert freshness_gate(cal, today)                     # last before 9th = 8th
+    assert freshness_gate(cal, dt.date(2024, 1, 11))      # last before 11th = 10th
+    assert not freshness_gate(cal, dt.date(2024, 1, 13))  # last before 13th = 11th
