@@ -104,10 +104,15 @@ def curate_corpus(
         # Persist every stage boundary: the accounting report counts
         # each frame AND later stages extend it — uncached, each of
         # the up-to-9 counts would re-execute the entire upstream
-        # chain (O(stages^2) replays of the LSH/span shuffles). Spark
-        # evicts these caches LRU under pressure; correctness never
-        # depends on them.
-        frame = frame.persist()
+        # chain (O(stages^2) replays of the LSH/span shuffles).
+        # MEMORY_ONLY deliberately: its blocks genuinely LRU-evict
+        # under pressure, while the default MEMORY_AND_DISK would
+        # demote to executor scratch disk and accumulate across calls
+        # for the application lifetime. Correctness never depends on
+        # the cache.
+        from pyspark import StorageLevel
+
+        frame = frame.persist(StorageLevel.MEMORY_ONLY)
         stages.append((name, frame))
         return frame
 

@@ -280,12 +280,16 @@ def daily_flow(
     from nt_data_pipelines_spark.pipelines.calendar import trading_date_range
 
     tail_starts: dict[int, object] = {}
+    # lookbacks are windows of COMPLETED market dates: the calendar
+    # covers today and future schedule dates, and an unbounded
+    # last-N would silently shift (or empty) every factor window
+    cal_past = cal.filter(F.col("date") <= F.lit(end))
 
     def tail(df, n_dates: int):
         # one driver action per distinct lookback size, cached
         if n_dates not in tail_starts:
             tail_starts[n_dates] = (
-                trading_date_range(cal, n_dates).agg(F.min("date")).first()[0]
+                trading_date_range(cal_past, n_dates).agg(F.min("date")).first()[0]
             )
         start = tail_starts[n_dates]
         return df.filter((F.col("date") >= F.lit(start)) & (F.col("date") <= F.lit(end)))

@@ -108,11 +108,12 @@ def trading_daily_flow(
             # that support it (utils/slack_daily_summary.py:47-202)
             from nt_data_pipelines_spark.summary import send_daily_trading_summary
 
-            # the positions frame loaded above is reused — a second
-            # broker round-trip bought nothing (and the hasattr guard
-            # was dead: load_positions already ran unconditionally)
+            # re-load AFTER fills: the pre-trade snapshot from above
+            # would report yesterday's book (closed positions still
+            # listed, new buys missing) in the reconciliation summary
+            post_positions = load_positions(catalog.spark, broker)
             result["fill_summary"], _ = send_daily_trading_summary(
-                fills, equity, message_sink, positions=positions
+                fills, equity, message_sink, positions=post_positions
             )
         else:
             result["fill_summary"] = fills_summary(fills, equity, message_sink)

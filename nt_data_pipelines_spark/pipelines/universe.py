@@ -63,11 +63,11 @@ def construct_universe(
             f"'MMMM d, yyyy'): e.g. {[(r['ticker'], r['action']) for r in bad[:3]]}"
         )
     asc = sorted(r["date"] for r in calendar.select("date").distinct().collect())
-    by_date: dict[dt.date, list[tuple[str, str]]] = defaultdict(list)
+    by_date: dict[dt.date, list[tuple[dt.date, str, str]]] = defaultdict(list)
     for r in change_rows:
         i = bisect.bisect_left(asc, r["effective_date"])
         if i < len(asc):
-            by_date[asc[i]].append((r["ticker"], r["action"]))
+            by_date[asc[i]].append((r["effective_date"], r["ticker"], r["action"]))
         # else: effective after the calendar horizon — not yet visible
 
     dates = list(reversed(asc))
@@ -75,7 +75,10 @@ def construct_universe(
     snapshots: list[tuple[dt.date, list[str]]] = []
     for d in dates:
         snapshots.append((d, sorted(members)))
-        for ticker, action in by_date.get(d, ()):  # invert, walking backwards
+        # a bucket can hold changes with DIFFERENT effective dates
+        # (Saturday + Sunday both snap to Monday); backward inversion
+        # must apply inverses newest-effective first, deterministically
+        for _, ticker, action in sorted(by_date.get(d, ()), reverse=True):
             if action == "Added":
                 members.discard(ticker)
             elif action == "Removed":

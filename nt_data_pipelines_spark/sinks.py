@@ -179,13 +179,12 @@ def fills_summary(fills: DataFrame, equity: float, sink: MessageSink, top_k: int
     lines += [f"filled buy {r['ticker']} {r['notional']:,.2f}" for r in buys[:top_k]]
     lines += [f"filled sell {r['ticker']} {r['notional']:,.2f}" for r in sells[:top_k]]
     text = "\n".join(lines)
-    if hasattr(sink, "send"):
-        sink.send(text)
-    else:
-        # blocks-only sink (the rich-summary tier): deliver the same
-        # text as one section block instead of crashing with
-        # AttributeError AFTER orders are already live at the broker
-        sink.send_blocks(text, [{"type": "section", "text": text}])
+    # one delivery contract codebase-wide (send_blocks preferred,
+    # well-formed mrkdwn section) — a blocks-only sink must not crash
+    # with AttributeError AFTER orders are already live at the broker
+    from nt_data_pipelines_spark.summary import deliver
+
+    deliver(sink, text)
     return text
 
 
@@ -199,11 +198,10 @@ def daily_summary(deltas: DataFrame, equity: float, sink: MessageSink, top_k: in
     lines += [f"buy {r['ticker']} {r['notional_delta']:,.2f}" for r in buys[:top_k]]
     lines += [f"sell {r['ticker']} {r['notional_delta']:,.2f}" for r in sells[:top_k]]
     text = "\n".join(lines)
-    if hasattr(sink, "send"):
-        sink.send(text)
-    else:
-        # blocks-only sink (the rich-summary tier): deliver the same
-        # text as one section block instead of crashing with
-        # AttributeError AFTER orders are already live at the broker
-        sink.send_blocks(text, [{"type": "section", "text": text}])
+    # one delivery contract codebase-wide (send_blocks preferred,
+    # well-formed mrkdwn section) — a blocks-only sink must not crash
+    # with AttributeError AFTER orders are already live at the broker
+    from nt_data_pipelines_spark.summary import deliver
+
+    deliver(sink, text)
     return text

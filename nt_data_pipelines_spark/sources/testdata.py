@@ -78,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Memoized scan plans: a DataFrame is an immutable logical plan, so
 # reusing one skips repeated footer/schema inference on every query.
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

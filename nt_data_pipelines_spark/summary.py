@@ -130,6 +130,20 @@ def render_blocks_text(blocks: list[dict]) -> str:
     return "\n".join(out)
 
 
+def deliver(sink, text: str, blocks: list[dict] | None = None) -> None:
+    """One delivery contract for every summary in the codebase:
+    ``send_blocks(text, blocks)`` preferred, ``send(text)`` fallback —
+    the same preference order as the rich summary and the failure
+    handler, so a dual-interface sink sees ONE transport everywhere.
+    ``blocks`` defaults to the text as a single well-formed mrkdwn
+    section (a bare-string section is rejected by Slack with
+    invalid_blocks)."""
+    if hasattr(sink, "send_blocks"):
+        sink.send_blocks(text, blocks if blocks is not None else [_mrkdwn(text)])
+    else:
+        sink.send(text)
+
+
 def send_daily_trading_summary(
     fills: DataFrame,
     account_value: float,
