@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from nt_data_pipelines_spark.operators import dedup as D
 from nt_data_pipelines_spark.operators import similarity as S
 from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.plans.textdedup import MINHASH_BANDS_CTE
 from nt_data_pipelines_spark.sources.testdata import load_table
 
 
@@ -100,31 +101,7 @@ def a_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_lsh_verified_dedup",
-    oracle="""
-    WITH shingles AS (
-      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-        MIN(md5('0:' || word)) AS mh_0,  MIN(md5('1:' || word)) AS mh_1,
-        MIN(md5('2:' || word)) AS mh_2,  MIN(md5('3:' || word)) AS mh_3,
-        MIN(md5('4:' || word)) AS mh_4,  MIN(md5('5:' || word)) AS mh_5,
-        MIN(md5('6:' || word)) AS mh_6,  MIN(md5('7:' || word)) AS mh_7,
-        MIN(md5('8:' || word)) AS mh_8,  MIN(md5('9:' || word)) AS mh_9,
-        MIN(md5('10:' || word)) AS mh_10, MIN(md5('11:' || word)) AS mh_11,
-        MIN(md5('12:' || word)) AS mh_12, MIN(md5('13:' || word)) AS mh_13,
-        MIN(md5('14:' || word)) AS mh_14, MIN(md5('15:' || word)) AS mh_15
-      FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 'band_0' AS band, md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS band_hash FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_1', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_2', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_3', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sigs
-    ),
+    oracle=MINHASH_BANDS_CTE + """,
     candidates AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b

@@ -142,15 +142,22 @@ def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_asof_tolerance",
     oracle="""
     SELECT l.event_id, l.user_id, l.ts,
-           CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS right_value,
-           CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.ts END AS right_ts
+           CASE WHEN CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0
+                     - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 3600.0
+                THEN r.value END AS right_value,
+           CASE WHEN CAST(epoch_us(l.ts) AS DOUBLE) / 1000000.0
+                     - CAST(epoch_us(r.ts) AS DOUBLE) / 1000000.0 <= 3600.0
+                THEN r.ts END AS right_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     doc="As-of join with a 1-hour tolerance: matches older than the "
     "allowance null out (ALL carried columns together, keyed off the "
-    "matched row). Oracle: native ASOF JOIN + an age cutoff.",
+    "matched row). Oracle: native ASOF JOIN + an age cutoff computed "
+    "with the SAME double-epoch arithmetic as the Spark operator — an "
+    "exact INTERVAL compare could flip a match whose age is exactly "
+    "the tolerance (double ulp at epoch scale is ~0.24 microseconds).",
 )
 def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.asof import asof_join

@@ -15,15 +15,11 @@ from nt_data_pipelines_spark.operators.text import (
     repetition_stats,
     scrub_pii,
 )
-from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.plans.registry import register, TOKEN_SQL, BUCKET_SQL
 from nt_data_pipelines_spark.sources.testdata import load_table
 
-_TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 # md5-derived 0..9999 bucket — identical expression family on both
 # engines (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS INT))
-# 8 hex digits (32 bits), not 4: 65536 % 10000 != 0 would skew buckets
-_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
-
 
 @register(
     "t_repetition_stats",
@@ -64,7 +60,7 @@ def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id, event_type
     FROM events
-    WHERE {_BUCKET_SQL.format(id="event_id")} <
+    WHERE {BUCKET_SQL.format(id="event_id")} <
           CASE event_type WHEN 'view' THEN 1000 WHEN 'click' THEN 2500
                           WHEN 'purchase' THEN 10000 ELSE 0 END
     """,
@@ -88,7 +84,7 @@ def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                   % 64 AS BIGINT) AS shard,
-             CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS n_tokens
+             CAST(len(regexp_extract_all(text, '{TOKEN_SQL}')) AS BIGINT) AS n_tokens
       FROM documents
     )
     SELECT doc_id, shard, n_tokens,

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.operators.sessions import resample_ohlc, session_stats
 from nt_data_pipelines_spark.operators.text import inverted_index, tfidf_top_terms
-from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.plans.registry import register, TOKEN_SQL
 from nt_data_pipelines_spark.sources.testdata import load_table
 
 
@@ -156,7 +156,6 @@ def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
 
 
 @register(
@@ -190,7 +189,7 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, source,
-             CAST(len(regexp_extract_all(text, '{_TOKEN_SQL}')) AS BIGINT) AS n_tokens
+             CAST(len(regexp_extract_all(text, '{TOKEN_SQL}')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     tot AS (SELECT source, SUM(n_tokens) AS total FROM toks GROUP BY source)
@@ -253,7 +252,9 @@ def t_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
     b AS (
-      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+             END AS bin
       FROM events CROSS JOIN g
     )
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
@@ -261,14 +262,19 @@ def t_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Fixed-width 20-bin histogram of event values: global min/max "
     "scalars broadcast back, bin arithmetic identical double ops on "
-    "both engines (explicit FLOOR + clamp for the max edge).",
+    "both engines (explicit FLOOR + clamp for the max edge; a "
+    "degenerate hi=lo range pins bin 0 — DuckDB's /0 NULL vs Spark's "
+    "NaN would otherwise land in different bins).",
 )
 def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     step = (F.col("hi") - F.col("lo")) / 20
-    bin_ = F.least(
-        F.floor((F.col("value") - F.col("lo")) / step).cast("long"), F.lit(19).cast("long")
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / step).cast("long"),
+            F.lit(19).cast("long"),
+        )
     )
     return (
         ev.crossJoin(F.broadcast(g))

@@ -14,12 +14,8 @@ from nt_data_pipelines_spark.operators.text import (
     remove_boilerplate_lines,
     temperature_mix_weights,
 )
-from nt_data_pipelines_spark.plans.registry import register, sql_dsum
+from nt_data_pipelines_spark.plans.registry import register, TOKEN_SQL, BUCKET_SQL, sql_dsum
 from nt_data_pipelines_spark.sources.testdata import load_table
-
-_TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
-# 8 hex digits (32 bits), not 4 — see operators/text.md5_bucket
-_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
 
 # The synthetic documents are single-line; derive a deterministic
 # multi-line corpus in BOTH engines by breaking on the word "batch"
@@ -78,7 +74,7 @@ def t_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per_src AS (
       SELECT source, COUNT(*) AS n_docs,
-             CAST({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)} AS BIGINT)
+             CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -100,8 +96,8 @@ def p_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_split_assign",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN {_BUCKET_SQL.format(id="doc_id")} < 100 THEN 'test'
-                WHEN {_BUCKET_SQL.format(id="doc_id")} < 9900 THEN 'train'
+           CASE WHEN {BUCKET_SQL.format(id="doc_id")} < 100 THEN 'test'
+                WHEN {BUCKET_SQL.format(id="doc_id")} < 9900 THEN 'train'
                 ELSE 'val' END AS split
     FROM documents
     """,
@@ -120,9 +116,9 @@ def p_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_corpus_report",
     oracle=f"""
     SELECT source, lang, COUNT(*) AS n_docs,
-           CAST({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)} AS BIGINT)
+           CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
              AS n_tokens,
-           ROUND({sql_dsum(f"len(regexp_extract_all(text, '{_TOKEN_SQL}'))", 0)}
+           ROUND({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)}
                  / COUNT(*), 6) + 0.0 AS mean_tokens,
            ROUND(SUM(CASE WHEN len(str_split(text, ' ')) < 50 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS short_doc_frac
@@ -279,14 +275,28 @@ def p_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     "onboards a new table.",
 )
 def a_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE aggregation pass over the table for every profiled column
+    # (a per-column agg unioned would scan the table N times — Catalyst
+    # cannot fuse across the union), then unpivot to the same 3-row
+    # shape the oracle's UNION ALL produces.
     ev = load_table(spark, sf_dir, "events")
-    out = None
-    for c in ("value", "event_type", "props"):
-        row = ev.agg(
-            F.lit(c).alias("col"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
-            F.count_distinct(F.col(c)).alias("n_distinct"),
+    cols = ("value", "event_type", "props")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -255,7 +255,8 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT purchase_id,
              (SELECT c.click_id FROM c
               WHERE c.user_id = p.user_id AND c.ts <= p.ts
-                AND c.ts >= p.ts - INTERVAL 60 MINUTE
+                AND CAST(epoch_us(p.ts) AS DOUBLE) / 1000000.0
+                    - CAST(epoch_us(c.ts) AS DOUBLE) / 1000000.0 <= 3600.0
               ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS click_id
       FROM p
     )

@@ -67,12 +67,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (all entries, same protocol) runs via scripts/check_parity.py.
 # Round-6 rotation: front the 57 queries with no row in
 # CORRECTNESS_r05 (all driver-green in r1-r4 and re-verified locally
-# every round) so the r6 artifact re-greens them externally; the
-# union of r5+r6 artifacts then covers the full registry with fresh
-# entries. The seven r1-r3-only names lead (their driver rows are the
-# oldest); 57 > 50 slots, so the trailing seven (t_bm25_topk through
-# d_dup_ngram_fraction — r4-green) overflow and MUST be fronted in
-# round 7's slots. Enforced by tests/test_registry_rotation.py.
+# every round) so the r6 artifact re-greens them externally. The new
+# w6_rolling_regression_k5 takes slot 1 (never driver-verified), then
+# the seven r1-r3-only names (oldest driver rows); 1 + 57 = 58 > 50
+# slots, so the trailing EIGHT (a_value_histogram through
+# d_dup_ngram_fraction — all r4-green) overflow and MUST be fronted
+# in round 7's slots for the r5+r6+r7 union to carry fresh entries
+# for the whole registry. Enforced by tests/test_registry_rotation.py.
 DRIVER_PRIORITY: list[str] = [
     # round-6 addition, never driver-verified — leads the slots:
     "w6_rolling_regression_k5",
@@ -153,6 +154,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         n: REGISTRY[n].oracle for n in _ordered_names() if REGISTRY[n].oracle is not None
     }
+
+
+# ---- shared oracle fragments (single source of truth) ----
+# SQL mirrors of operators/text.py TOKEN_REGEX and md5_bucket — one
+# copy so a tokenizer or bucket-width change cannot silently diverge
+# between plan files and the Spark side.
+TOKEN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
 
 
 # ---- engine-parity helpers (rule 1 & 2 above) ----

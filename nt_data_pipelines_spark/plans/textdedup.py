@@ -22,6 +22,64 @@ _LEX_VALUES = ", ".join(
 )
 
 
+_SIMHASH_CTE = """
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS h
+      FROM shingles
+    ),
+    weights AS (
+      SELECT doc_id, {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM weights)
+""".format(
+    bit_sums=", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w_{b}"
+        for b in range(16)
+    ),
+    fingerprint=" + ".join(
+        f"CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    ),
+)
+
+
+# Shared oracle fragment: MinHash(16) signatures banded 4x4 — ONE copy
+# (d_minhash_lsh here + d_lsh_verified_dedup in plans/extra.py) so the
+# seed scheme can never silently diverge between the two oracles.
+MINHASH_BANDS_CTE = """\
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        MIN(md5('0:' || word)) AS mh_0,  MIN(md5('1:' || word)) AS mh_1,
+        MIN(md5('2:' || word)) AS mh_2,  MIN(md5('3:' || word)) AS mh_3,
+        MIN(md5('4:' || word)) AS mh_4,  MIN(md5('5:' || word)) AS mh_5,
+        MIN(md5('6:' || word)) AS mh_6,  MIN(md5('7:' || word)) AS mh_7,
+        MIN(md5('8:' || word)) AS mh_8,  MIN(md5('9:' || word)) AS mh_9,
+        MIN(md5('10:' || word)) AS mh_10, MIN(md5('11:' || word)) AS mh_11,
+        MIN(md5('12:' || word)) AS mh_12, MIN(md5('13:' || word)) AS mh_13,
+        MIN(md5('14:' || word)) AS mh_14, MIN(md5('15:' || word)) AS mh_15
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 'band_0' AS band, md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_1', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_2', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sigs
+      UNION ALL
+      SELECT doc_id, 'band_3', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sigs
+    )"""
+
+
 @register(
     "d_exact_dedup",
     oracle="""
@@ -63,31 +121,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_minhash_lsh",
-    oracle="""
-    WITH shingles AS (
-      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-        MIN(md5('0:' || word)) AS mh_0,  MIN(md5('1:' || word)) AS mh_1,
-        MIN(md5('2:' || word)) AS mh_2,  MIN(md5('3:' || word)) AS mh_3,
-        MIN(md5('4:' || word)) AS mh_4,  MIN(md5('5:' || word)) AS mh_5,
-        MIN(md5('6:' || word)) AS mh_6,  MIN(md5('7:' || word)) AS mh_7,
-        MIN(md5('8:' || word)) AS mh_8,  MIN(md5('9:' || word)) AS mh_9,
-        MIN(md5('10:' || word)) AS mh_10, MIN(md5('11:' || word)) AS mh_11,
-        MIN(md5('12:' || word)) AS mh_12, MIN(md5('13:' || word)) AS mh_13,
-        MIN(md5('14:' || word)) AS mh_14, MIN(md5('15:' || word)) AS mh_15
-      FROM shingles GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 'band_0' AS band, md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3) AS band_hash FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_1', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7) FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_2', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11) FROM sigs
-      UNION ALL
-      SELECT doc_id, 'band_3', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15) FROM sigs
-    )
+    oracle=MINHASH_BANDS_CTE + """
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -102,33 +136,9 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_simhash",
-    oracle="""
-    WITH shingles AS (
-      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
-           + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
-           + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS h
-      FROM shingles
-    ),
-    weights AS (
-      SELECT doc_id,
-        {bit_sums}
-      FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM weights
-    """.format(
-        bit_sums=",\n        ".join(
-            f"SUM(CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w_{b}"
-            for b in range(16)
-        ),
-        fingerprint=" + ".join(
-            f"CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
-        ),
-    ),
+    oracle=_SIMHASH_CTE + """
+    SELECT doc_id, simhash FROM fps
+    """,
     doc="SimHash-16 fingerprint from word md5 bits (JVM-side bit math).",
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,32 +146,6 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "doc_id", "text", bits=16)
 
 
-_SIMHASH_CTE = """
-    WITH shingles AS (
-      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
-           + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
-           + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1) AS h
-      FROM shingles
-    ),
-    weights AS (
-      SELECT doc_id, {bit_sums}
-      FROM hashed GROUP BY doc_id
-    ),
-    fps AS (SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM weights)
-""".format(
-    bit_sums=", ".join(
-        f"SUM(CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w_{b}"
-        for b in range(16)
-    ),
-    fingerprint=" + ".join(
-        f"CASE WHEN w_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
-    ),
-)
 
 
 @register(
