@@ -132,12 +132,13 @@ def test_chunk_documents_sliding_window(spark):
         chunk_documents(df, "doc_id", chunk_size=4, overlap=1).collect(),
         key=lambda r: r["chunk_start"],
     )
-    # step = 3 -> starts 0,3,6,9; last chunk clipped to one word
+    # step = 3 -> starts 0,3,6; the start at 9 is excluded (review
+    # fix): its chunk "w10" is fully CONTAINED in the chunk at 6,
+    # which already reached the end of the doc
     assert [(r["chunk_start"], r["n_chunk_words"], r["chunk_text"]) for r in got] == [
         (0, 4, "w1 w2 w3 w4"),
         (3, 4, "w4 w5 w6 w7"),
         (6, 4, "w7 w8 w9 w10"),
-        (9, 1, "w10"),
     ]
 
 
@@ -156,14 +157,15 @@ def test_mix_sources_budget_branches(spark):
         (100 + i, "big", "lots and lots of tokens in this document right here") for i in range(50)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
-    # budget 30: "small" (9 tokens) passes whole; "big" (500) is sampled
-    got = mix_sources_to_budget(df, "source", "doc_id", 30).collect()
+    # budget 60: "small" (9 tokens) passes whole; "big" (500) is sampled
+    # (measured 5/50 kept under the 32-bit buckets)
+    got = mix_sources_to_budget(df, "source", "doc_id", 60).collect()
     small = [r for r in got if r["source"] == "small"]
     big = [r for r in got if r["source"] == "big"]
     assert len(small) == 3  # under budget: everything kept
     assert 0 < len(big) < 50  # over budget: strict deterministic subset
     # deterministic: second run returns the identical id set
-    again = mix_sources_to_budget(df, "source", "doc_id", 30).collect()
+    again = mix_sources_to_budget(df, "source", "doc_id", 60).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
 
 
