@@ -685,6 +685,7 @@ class Catalog:
             raise
         self._fl_gc(name, gen)
         self._refresh(name)
+        self._clear_dropped(name)
 
     def _fl_gc(self, name: str, committed_gen: int) -> None:
         """Collect files no retained manifest references.
@@ -824,6 +825,18 @@ class Catalog:
         """
         if mode not in ("replace", "skip"):
             raise ValueError(f"mode must be replace|skip, got {mode!r}")
+        import re as _re
+
+        # commit/GC paths derive sibling paths by SUFFIX (<t>.old,
+        # <t>.staging, <t>.g<N>, <t>.data, <t>._manifest) and delete
+        # them — a table named like another's reserved sibling would be
+        # silently destroyed by that table's maintenance. Dots and
+        # slashes are therefore refused outright.
+        if not _re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_-]*", name):
+            raise ValueError(
+                f"invalid table name {name!r}: letters, digits, _ and - only "
+                "(no dots or slashes — suffixed sibling paths are reserved)"
+            )
         names = {f.name for f in schema.fields}
         for col, expr in (generated or {}).items():
             if col not in names:
@@ -843,7 +856,26 @@ class Catalog:
         self._save()
         # materialize an empty table dir so scans of a fresh table work
         empty = self.spark.createDataFrame([], self._with_ingest(schema))
-        self._write(name, empty, "overwrite")
+        self._bootstrap_write(name, empty)
+
+    def _bootstrap_write(self, name: str, df: DataFrame) -> None:
+        """create()'s initial empty materialization. Nothing committed
+        exists yet, so a plain write IS crash-safe here (worst case the
+        caller retries create) — and manifest mode must start in its
+        documented pre-manifest plain state (history() empty until the
+        first rewrite). Filelist mode commits generation 0 so history
+        starts at creation, per its contract. User-level overwrites
+        (:meth:`insert` mode='overwrite') instead always route through
+        the crash-safe full rewrite in :meth:`_write`."""
+        if self.commit_mode == "filelist":
+            self._rewrite_table_filelist(name, df)
+            return
+        meta = self._meta(name)
+        writer = df.write.mode("overwrite")
+        if meta.partition_keys:
+            writer = writer.partitionBy(*meta.partition_keys)
+        writer.parquet(self._path(name))
+        self._refresh(name)
 
     # ---- generated columns ----
     def _generated(self, name: str) -> dict[str, str]:
@@ -959,6 +991,18 @@ class Catalog:
             raise ValueError(f"column {field.name!r} already exists on {name!r}")
         if field.name == INGEST_COL:
             raise ValueError(f"{INGEST_COL!r} is reserved")
+        if field.name in self._state["tables"][name].get("dropped_columns", []):
+            # existing files still hold the old physical column: re-
+            # adding the name would RESURRECT pre-drop values (same
+            # type) or brick every scan with a parquet type-mismatch
+            # (different type) — the opposite of the files-surface-NULL
+            # contract. A full rewrite clears the tombstone.
+            raise ValueError(
+                f"column {field.name!r} was previously dropped from {name!r} "
+                "and existing files still hold its old values — run "
+                "rewrite()/optimize-with-rewrite first (a full rewrite "
+                "clears the tombstone), then re-add the column"
+            )
         if not field.nullable:
             raise ValueError(
                 "added columns must be nullable — existing files have no values for them"
@@ -982,6 +1026,7 @@ class Catalog:
         fields = [f for f in meta.struct.fields if f.name != col]
         if len(fields) == len(meta.struct.fields):
             raise KeyError(f"column {col!r} does not exist on {name!r}")
+        dropped = self._state["tables"][name].setdefault("dropped_columns", [])
         if not fields:
             raise ValueError(f"cannot drop the last column of {name!r}")
         # A CHECK constraint referencing the column would make every
@@ -1001,6 +1046,8 @@ class Catalog:
         self._state["tables"][name]["schema_json"] = json.dumps(
             T.StructType(fields).jsonValue()
         )
+        if col not in dropped:
+            dropped.append(col)
         stats = self._state["tables"][name].get("stats")
         if stats:
             stats.get("columns", {}).pop(col, None)
@@ -1029,13 +1076,20 @@ class Catalog:
         return T.StructType(list(schema.fields) + [T.StructField(INGEST_COL, T.LongType())])
 
     def _write(self, name: str, df: DataFrame, mode: str) -> None:
+        if mode == "overwrite":
+            # EVERY mode routes overwrites through the crash-safe full
+            # rewrite: a raw Spark Overwrite deletes the destination
+            # before its job commits, leaving no complete copy (rename
+            # mode) or tearing a committed generation that time travel
+            # still references (manifest mode). The data is independent
+            # of the base, so a lost filelist commit race just re-pins
+            # and retries — no recompute.
+            self._with_occ_retry(name, lambda: self._rewrite_table(name, df))
+            return
         if self.commit_mode == "filelist":
-            if mode == "overwrite":
-                self._rewrite_table_filelist(name, df)
-            else:
-                _, files, stats = self._fl_write_batch(name, df)
-                self._fl_commit_append(name, files, stats)
-                self._refresh(name)
+            _, files, stats = self._fl_write_batch(name, df)
+            self._fl_commit_append(name, files, stats)
+            self._refresh(name)
             return
         meta = self._meta(name)
         writer = df.write.mode(mode)
@@ -1241,6 +1295,39 @@ class Catalog:
         finally:
             src.unpersist()
 
+    def _snapshot_deduped(self, name: str, generation: int) -> DataFrame:
+        """:meth:`table_at` with last-write-wins primary-key dedup —
+        the state a generation RESOLVES to (see changes_between)."""
+        meta = self._meta(name)
+        pks = meta.primary_keys
+        if not pks:
+            return self.table_at(name, generation)
+        if self._read_manifest(name, generation) is None:
+            raise LookupError(
+                f"generation {generation} of {name!r} is not readable "
+                "(never committed, or GC'd — raise time_travel to retain more)"
+            )
+        if self.commit_mode == "filelist":
+            raw = self._fl_read(name, generation)
+        else:
+            ddir = self._gen_data_dir(name, generation)
+            fs, p = self._hfs(ddir)
+            if not fs.exists(p):
+                raise LookupError(
+                    f"generation {generation} of {name!r} data was GC'd — "
+                    "raise time_travel to retain more"
+                )
+            raw = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(ddir)
+        payload = [f.name for f in meta.struct.fields]
+        w = Window.partitionBy(*pks).orderBy(
+            F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
+        )
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*payload)
+        )
+
     def changes_between(self, name: str, g_from: int, g_to: int) -> DataFrame:
         """Row-level change feed between two snapshots (Delta CDF
         semantics, computed by diffing): one row per changed primary
@@ -1250,10 +1337,19 @@ class Catalog:
         delete+insert pairs). The diff is one full-outer join on the
         key — linear shuffles, no driver materialization — so a
         downstream consumer can replay a table's evolution without the
-        writer ever having emitted explicit CDC."""
+        writer ever having emitted explicit CDC.
+
+        Each snapshot is LAST-WRITE-WINS deduped on the primary key
+        first: filelist generations include pre-optimize append
+        commits that legitimately hold several copies of a key, and a
+        raw full-outer join would multiply those rows into duplicate,
+        contradictory feed entries. The dedup is the same (ingest-seq,
+        content-hash) rank optimize itself uses, so the feed describes
+        the table STATE each generation resolves to.
+        """
         meta = self._meta(name)
-        old = self.table_at(name, g_from)
-        new = self.table_at(name, g_to)
+        old = self._snapshot_deduped(name, g_from)
+        new = self._snapshot_deduped(name, g_to)
         cols = [f.name for f in meta.struct.fields]
         pks = meta.primary_keys or cols
         payload = [c for c in cols if c not in pks]
@@ -1377,7 +1473,21 @@ class Catalog:
                     return v
                 if isinstance(v, _dt.date):
                     return _dt.datetime.combine(v, _dt.time())
-                return _dt.datetime.fromisoformat(str(v))
+                sv = str(v)
+                try:
+                    return _dt.datetime.fromisoformat(sv)
+                except ValueError:
+                    # Python 3.10 fromisoformat only accepts 3- or
+                    # 6-digit fractional seconds, while Spark's cast
+                    # trims trailing zeros ('...00.5') — pad before
+                    # falling back to the (unsound) string compare
+                    if "." in sv:
+                        head, frac = sv.rsplit(".", 1)
+                        if frac.isdigit():
+                            return _dt.datetime.fromisoformat(
+                                f"{head}.{frac[:6].ljust(6, '0')}"
+                            )
+                    raise
 
             try:
                 return _parse(a) <= _parse(b)
@@ -1389,6 +1499,11 @@ class Catalog:
     def _pred_bounds(spec) -> tuple:
         """Normalize one scan_pruned predicate to interval bounds
         ``(lo, hi, lo_strict, hi_strict)`` (None = unbounded)."""
+        if spec is None:
+            raise ValueError(
+                "scan_pruned got a None predicate — IS NULL filtering is "
+                "not a range predicate; filter the scan result instead"
+            )
         if not isinstance(spec, tuple):
             return spec, spec, False, False  # scalar = equality
         op, *args = spec
@@ -1418,6 +1533,20 @@ class Catalog:
         tests/test_filelist_catalog.py)."""
         fmin, fmax = rng
         lo, hi, lo_strict, hi_strict = bounds
+        if kind == "num":
+            # NaN poisons comparisons (every compare is False): Spark
+            # min/max order NaN above all numbers, so a file holding a
+            # NaN records max="NaN" — pruning on it would drop files
+            # whose NUMERIC rows match. Any NaN in play -> keep.
+            def _nan(v) -> bool:
+                try:
+                    f = float(v)
+                except (TypeError, ValueError):
+                    return False
+                return f != f
+
+            if any(_nan(v) for v in (fmin, fmax, lo, hi) if v is not None):
+                return True
         if lo is not None and fmax is not None:
             # file entirely below the predicate interval
             if not cls._stat_le(lo, fmax, kind) or (
@@ -1509,13 +1638,16 @@ class Catalog:
     # ---- operational maintenance ----
     def data_files(self, name: str) -> list[tuple[str, int]]:
         """(path, bytes) of every live parquet data file."""
-        if self.commit_mode == "filelist":
+        if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
             out = []
             for rel in self._fl_manifest_files(name, self._current_gen(name)) or []:
                 fs, p = self._hfs(self._fl_abs(rel))
                 if fs.exists(p):
                     out.append((p.toString(), fs.getFileStatus(p).getLen()))
             return out
+        # legacy pre-manifest filelist state falls through to the plain
+        # directory listing below — table() shows those rows, so
+        # data_files()/compact() must see their files too
         fs, root = self._hfs(self._data_path(name))
         out: list[tuple[str, int]] = []
         stack = [root]
@@ -2038,6 +2170,14 @@ class Catalog:
         self._fs_delete(staging)
         self._refresh(name)
 
+    def _clear_dropped(self, name: str) -> None:
+        """A completed FULL rewrite rewrote every live file, so dropped
+        columns are physically gone — clear the add_column tombstones."""
+        entry = self._state["tables"].get(name)
+        if entry and entry.get("dropped_columns"):
+            entry["dropped_columns"] = []
+            self._save()
+
     def _rewrite_table(
         self, name: str, deduped: DataFrame, preserve_layout: bool = False
     ) -> None:
@@ -2082,10 +2222,16 @@ class Catalog:
             # partition pruning for every later scan
             writer = writer.partitionBy(*meta.partition_keys)
         writer.parquet(staging)
-        self._fs_rename(self._path(name), old)
+        fs_live, live = self._hfs(self._path(name))
+        if fs_live.exists(live):
+            # fresh tables (create's initial overwrite) have no live
+            # dir yet — RawLocalFileSystem.rename raises on a missing
+            # source rather than returning false
+            self._fs_rename(self._path(name), old)
         self._fs_rename(staging, self._path(name))
         self._fs_delete(old)
         self._refresh(name)
+        self._clear_dropped(name)
 
     def _rewrite_table_manifest(self, name: str, deduped: DataFrame) -> None:
         """Full-table rewrite committed by one manifest-file write.
@@ -2194,6 +2340,7 @@ class Catalog:
                     if g <= latest - KEEP_MANIFESTS:
                         fs2.delete(st.getPath(), False)
         self._refresh(name)
+        self._clear_dropped(name)
 
     def _recover(self, name: str) -> None:
         """Heal a crash inside :meth:`_rewrite_table`'s commit window.

@@ -685,3 +685,93 @@ def test_filelist_optimize_fallback_keeps_pinned_target(spark, tmp_path):
     assert _state(a, "px") == [("A", 2.0), ("R", 7.0)]
     fresh = Catalog(spark, root, commit_mode="filelist")
     assert _state(fresh, "px") == [("A", 2.0), ("R", 7.0)]
+
+
+def test_scan_pruned_nan_stats_are_conservative(spark, tmp_path):
+    """Regression (review finding): a file holding a NaN records
+    max='NaN' (NaN sorts above all numbers), and NaN comparisons are
+    all False — pruning must KEEP such files, not drop their matching
+    numeric rows."""
+    cat = Catalog(spark, str(tmp_path / "nanp"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 7.0), ("B", D1, float("nan"))]))
+    got = cat.scan_pruned("px", close=(">=", 5.0))
+    assert "A" in {r["ticker"] for r in got.collect()}
+    with pytest.raises(ValueError, match="None predicate"):
+        cat.scan_pruned("px", ticker=None)
+
+
+def test_overwrite_insert_goes_through_crash_safe_rewrite(spark, tmp_path):
+    """Regression (review finding): insert(mode='overwrite') must not
+    raw-Overwrite the live dir (rename mode) or a committed generation
+    dir (manifest mode) — both route through the full-rewrite commit,
+    and old snapshots stay intact."""
+    for mode, tt in (("rename", 0), ("manifest", 2), ("filelist", 2)):
+        cat = Catalog(spark, str(tmp_path / f"ow_{mode}"), commit_mode=mode,
+                      time_travel=tt)
+        cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+        cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+        if mode != "rename":
+            cat.rewrite("m", lambda df: df)  # pin a snapshot generation
+            g = cat.history("m")[-1]["generation"]
+        cat.insert("m", _rows(spark, [("B", D2, 2.0)]), mode="overwrite")
+        assert _state(cat, "m") == [("B", 2.0)], mode
+        if mode != "rename":
+            assert _state_at(cat, "m", g) == [("A", 1.0)], mode  # snapshot intact
+
+
+def test_reserved_table_names_rejected(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "nm"))
+    for bad in ("t.old", "t.g1", "t.data", "a/b", "x._manifest"):
+        with pytest.raises(ValueError, match="invalid table name"):
+            cat.create(bad, SCHEMA, None, ["ticker"])
+
+
+def test_readd_dropped_column_refused_until_rewrite(spark, tmp_path):
+    """Regression (review finding): existing files still hold a
+    dropped column's old values — re-adding the name would resurrect
+    them (or brick scans on a type change). A full rewrite clears the
+    tombstone."""
+    cat = Catalog(spark, str(tmp_path / "dc"), commit_mode="filelist")
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    cat.drop_column("m", "close")
+    with pytest.raises(ValueError, match="previously dropped"):
+        cat.add_column("m", T.StructField("close", T.DoubleType(), True))
+    cat.rewrite("m", lambda df: df)  # full rewrite clears the tombstone
+    cat.add_column("m", T.StructField("close", T.DoubleType(), True))
+    rows = cat.table("m").collect()
+    assert [r["close"] for r in rows] == [None]  # files-surface-NULL holds
+
+
+def test_legacy_filelist_compact_sees_plain_dir_files(spark, tmp_path):
+    """Regression (review finding): before the first manifest commit a
+    reopened legacy table's data_files()/compact() must report the
+    plain-dir files that table() reads."""
+    root = str(tmp_path / "legc")
+    old = Catalog(spark, root)
+    old.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i in range(3):
+        old.insert("m", _rows(spark, [(f"T{i}", D1, float(i))]))
+    fl = Catalog(spark, root, commit_mode="filelist")
+    assert len(fl.data_files("m")) >= 3
+    out = fl.compact("m", target_file_bytes=1 << 30)
+    assert out["files_after"] == 1
+    assert fl.table("m").count() == 3
+
+
+def test_change_feed_on_pre_optimize_append_generation(spark, tmp_path):
+    """Regression (review finding): an append generation can hold
+    several copies of a key (upsert = append + optimize); the change
+    feed must diff the last-write-wins STATE, never multiply rows."""
+    cat = Catalog(spark, str(tmp_path / "cdf2"), commit_mode="filelist",
+                  time_travel=5)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
+    g1 = cat.history("m")[-1]["generation"]
+    cat.insert("m", _rows(spark, [("A", D1, 9.0)]))  # duplicate key, no optimize yet
+    g2 = cat.history("m")[-1]["generation"]
+    feed = cat.changes_between("m", g1, g2).collect()
+    assert [(r["ticker"], r["_change_type"], r["close"]) for r in feed] == [
+        ("A", "update", 9.0)
+    ]
