@@ -976,7 +976,7 @@ class Catalog:
                 f"insert into {name!r} rejected: constraint violation(s) {detail}"
             )
 
-    def add_column(self, name: str, field: T.StructField) -> None:
+    def add_column(self, name: str, field: T.StructField, force: bool = False) -> None:
         """Schema evolution: append a nullable column (metadata-only).
 
         No data files are touched: the read path scans with the
@@ -991,7 +991,9 @@ class Catalog:
             raise ValueError(f"column {field.name!r} already exists on {name!r}")
         if field.name == INGEST_COL:
             raise ValueError(f"{INGEST_COL!r} is reserved")
-        if field.name in self._state["tables"][name].get("dropped_columns", []):
+        if not force and field.name in self._state["tables"][name].get(
+            "dropped_columns", []
+        ):
             # existing files still hold the old physical column: re-
             # adding the name would RESURRECT pre-drop values (same
             # type) or brick every scan with a parquet type-mismatch
@@ -999,9 +1001,11 @@ class Catalog:
             # contract. A full rewrite clears the tombstone.
             raise ValueError(
                 f"column {field.name!r} was previously dropped from {name!r} "
-                "and existing files still hold its old values — run "
-                "rewrite()/optimize-with-rewrite first (a full rewrite "
-                "clears the tombstone), then re-add the column"
+                "and live or time-travel-retained files may still hold its "
+                "old values — run rewrite() first (with time_travel=0 a "
+                "full rewrite clears the tombstone), or pass force=True if "
+                "you KNOW no file ever contained the column (e.g. it was "
+                "added and dropped with no insert in between)"
             )
         if not field.nullable:
             raise ValueError(
@@ -1295,9 +1299,23 @@ class Catalog:
         finally:
             src.unpersist()
 
+    @staticmethod
+    def _lww_window(meta: TableMeta):
+        """THE last-write-wins rank: (ingest seq desc, content hash
+        desc) per primary key — shared by optimize and the change feed
+        so the feed always describes the state optimize resolves to."""
+        payload = [f.name for f in meta.struct.fields]
+        return Window.partitionBy(*meta.primary_keys).orderBy(
+            F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
+        )
+
     def _snapshot_deduped(self, name: str, generation: int) -> DataFrame:
         """:meth:`table_at` with last-write-wins primary-key dedup —
         the state a generation RESOLVES to (see changes_between)."""
+        if self.commit_mode == "rename":
+            raise ValueError(
+                "changes_between() requires commit_mode='manifest' or 'filelist'"
+            )
         meta = self._meta(name)
         pks = meta.primary_keys
         if not pks:
@@ -1318,14 +1336,10 @@ class Catalog:
                     "raise time_travel to retain more"
                 )
             raw = self.spark.read.schema(self._with_ingest(meta.struct)).parquet(ddir)
-        payload = [f.name for f in meta.struct.fields]
-        w = Window.partitionBy(*pks).orderBy(
-            F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
-        )
         return (
-            raw.withColumn("__rn", F.row_number().over(w))
+            raw.withColumn("__rn", F.row_number().over(self._lww_window(meta)))
             .filter(F.col("__rn") == 1)
-            .select(*payload)
+            .select(*[f.name for f in meta.struct.fields])
         )
 
     def changes_between(self, name: str, g_from: int, g_to: int) -> DataFrame:
@@ -1638,9 +1652,10 @@ class Catalog:
     # ---- operational maintenance ----
     def data_files(self, name: str) -> list[tuple[str, int]]:
         """(path, bytes) of every live parquet data file."""
-        if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
+        gen = self._current_gen(name) if self.commit_mode == "filelist" else -1
+        if self.commit_mode == "filelist" and gen >= 0:
             out = []
-            for rel in self._fl_manifest_files(name, self._current_gen(name)) or []:
+            for rel in self._fl_manifest_files(name, gen) or []:
                 fs, p = self._hfs(self._fl_abs(rel))
                 if fs.exists(p):
                     out.append((p.toString(), fs.getFileStatus(p).getLen()))
@@ -1871,10 +1886,7 @@ class Catalog:
         # Secondary sort on a content hash: duplicate PKs *within one
         # inserted batch* share an ingest seq, and partition order
         # alone would pick an arbitrary survivor.
-        payload = [f.name for f in meta.struct.fields]
-        w = Window.partitionBy(*pks).orderBy(
-            F.desc(INGEST_COL), F.desc(F.xxhash64(*payload))
-        )
+        w = self._lww_window(meta)
         if self.commit_mode == "filelist" and self._current_gen(name) >= 0:
             # File-level incremental OPTIMIZE — the Delta shape the
             # directory-manifest modes cannot do (see the manifest
@@ -2172,7 +2184,13 @@ class Catalog:
 
     def _clear_dropped(self, name: str) -> None:
         """A completed FULL rewrite rewrote every live file, so dropped
-        columns are physically gone — clear the add_column tombstones."""
+        columns are physically gone from the CURRENT state — clear the
+        add_column tombstones, but only when no retained time-travel
+        snapshot can still reference pre-drop files (table_at on such
+        a snapshot would otherwise resurrect the dropped values, or
+        die on a type mismatch, after a later add_column)."""
+        if self.time_travel:
+            return
         entry = self._state["tables"].get(name)
         if entry and entry.get("dropped_columns"):
             entry["dropped_columns"] = []
