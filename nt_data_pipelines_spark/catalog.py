@@ -45,6 +45,9 @@ from pyspark.sql import types as T
 
 INGEST_COL = "_ingest_seq"
 KEEP_MANIFESTS = 10  # manifest-log history margin retained by GC
+# Schemes with no atomic exclusive-create through the Hadoop FS API —
+# manifest/filelist catalogs on these require an ExclusiveCommitter.
+OBJECT_STORE_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "wasb", "wasbs")
 # filelist mode records per-file min/max for the partition keys PLUS
 # the first N other eligible scalar columns (Delta's
 # dataSkippingNumIndexedCols model) — scan_pruned can then skip files
@@ -82,6 +85,7 @@ class Catalog:
         root: str,
         commit_mode: str = "rename",
         time_travel: int = 0,
+        committer=None,
     ):
         """``commit_mode`` picks the full-rewrite commit protocol:
 
@@ -112,6 +116,19 @@ class Catalog:
         for free — the Delta economics). Retention is opt-in and
         bounded by ``KEEP_MANIFESTS``; the default 0 GCs superseded
         data at the next rewrite commit.
+
+        ``committer`` (an :class:`~nt_data_pipelines_spark.committers.
+        ExclusiveCommitter`) overrides the manifest-commit primitive.
+        Required when a manifest/filelist catalog is rooted on an
+        object store (s3a://, gs://, ...): those stores have no atomic
+        exclusive-create — S3A "rename" is copy+delete, so two racing
+        writers can both win a generation and one acknowledged commit
+        silently vanishes. Pass
+        :class:`~nt_data_pipelines_spark.committers.
+        S3ConditionalPutCommitter` (S3 ``If-None-Match: *`` semantics)
+        or any implementation of the protocol; without one, opening
+        such a catalog raises ``ValueError`` here rather than racing
+        quietly in production.
         """
         if commit_mode not in ("rename", "manifest", "filelist"):
             raise ValueError(
@@ -123,10 +140,35 @@ class Catalog:
             )
         if time_travel and commit_mode == "rename":
             raise ValueError("time_travel requires commit_mode='manifest' or 'filelist'")
+        scheme = root.split("://", 1)[0] if "://" in root else "file"
+        if (
+            committer is None
+            and commit_mode in ("manifest", "filelist")
+            and scheme in OBJECT_STORE_SCHEMES
+        ):
+            # The loud refusal: manifest commits need an atomic
+            # exclusive-create, and object stores only offer one via
+            # conditional PUT (S3 If-None-Match, GCS
+            # if-generation-match) — which Hadoop's FS API does not
+            # surface. Racing writers on plain S3A can BOTH win a
+            # generation (demonstrated by
+            # tests/test_committer.py::test_plain_s3a_protocol_double_wins),
+            # so refuse up front instead of corrupting the log under
+            # load.
+            raise ValueError(
+                f"commit_mode={commit_mode!r} on a {scheme}:// root requires an "
+                "exclusive committer: object stores have no atomic "
+                "create-if-absent through the Hadoop FS API, so racing writers "
+                "could both win a generation. Pass committer="
+                "S3ConditionalPutCommitter(bucket) (see "
+                "nt_data_pipelines_spark.committers) or use commit_mode='rename' "
+                "on a store with atomic rename."
+            )
         self.spark = spark
         self.root = root
         self.commit_mode = commit_mode
         self.time_travel = time_travel
+        self._committer = committer
         # Scheme-qualified roots (file://, s3a://, hdfs://) must go
         # through the Hadoop FS API end to end: os.makedirs/open on a
         # URI string silently create a literal "file:/..." RELATIVE
@@ -366,11 +408,12 @@ class Catalog:
         empty manifest during the payload write). Hadoop schemes stage
         + no-overwrite rename (atomic on HDFS, fails if the
         destination exists). On S3A rename is copy+delete — two racing
-        writers can both "win". Point manifest-mode catalogs at
-        HDFS/posix, or at an object store with conditional-PUT (S3
-        If-None-Match, GCS if-generation-match) surfaced through the
-        Hadoop connector; on plain S3A the race window is small but
-        real."""
+        writers can both "win", so object-store roots REQUIRE an
+        ``ExclusiveCommitter`` (``__init__`` refuses otherwise):
+        the committer branch below routes the commit through one
+        atomic conditional PUT (S3 If-None-Match, GCS
+        if-generation-match) — see
+        :mod:`nt_data_pipelines_spark.committers`."""
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
@@ -388,6 +431,16 @@ class Catalog:
         if file_stats:
             doc["file_stats"] = file_stats
         payload = json.dumps(doc)
+        if self._committer is not None:
+            # Pluggable exclusive-commit hook (LogStore-style): the
+            # committer's put_if_absent both arbitrates and publishes
+            # atomically — e.g. one S3 conditional PUT. False = lost
+            # the race, surfaced as the usual OCC signal.
+            if not self._committer.put_if_absent(mpath, payload.encode("utf-8")):
+                raise ConcurrentWriteError(
+                    f"generation {gen} of {name!r} was committed by another writer"
+                )
+            return
         # The manifest must appear ATOMICALLY WITH ITS CONTENT: a
         # create-then-write sequence exposes an empty (torn) N.json
         # during the write window, and a racing appender then pins
