@@ -197,6 +197,90 @@ def minhash_lsh_spanning_edges(
     return chained.select("id_a", "id_b").distinct()
 
 
+def minhash_verified_dup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Verified near-dup edges: LSH buckets -> BOUNDED candidate edges ->
+    exact word-set Jaccard >= ``threshold``. Feed the result to
+    :func:`resolve_dup_groups_auto` for dup groups.
+
+    Why verification is not optional for dup GROUPS: a band collision at
+    r rows/band is a soft similarity test (P = J^r per band — at r=4 a
+    J=0.3 pair still collides with p~0.008 per band), and connected
+    components amplify every false positive TRANSITIVELY. On any corpus
+    with a shared vocabulary the unverified candidate graph densifies
+    into one giant component — measured on the sf0.1 documents table,
+    spanning-edge CC puts 4,988 of 4,992 docs into a single group, i.e.
+    near-dedup would silently delete the corpus. At 100 TB that failure
+    is catastrophic and invisible: every stage downstream still "works".
+
+    Candidate edges stay linear in corpus size:
+    - buckets <= ``bucket_cap``: all pairs (max cap^2/2 per bucket) —
+      full recall where it is affordable;
+    - hot buckets (> cap, the boilerplate case): a star to the bucket's
+      min-id hub, O(bucket) edges. If the bucket is one true dup
+      cluster (the common reason a bucket is hot) every spoke passes
+      verification and the star connects it exactly; members NOT
+      similar to the hub are dropped here but collide with their own
+      cluster again in the other ``bands-1`` bands.
+
+    Verification then runs on this linear-size edge set only — the
+    shingle join fans each edge out by its word count, never all pairs.
+    """
+    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
+    w = Window.partitionBy("band", "band_hash")
+    sized = long.select(
+        F.col(id_col),
+        "band",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        F.min(id_col).over(w).alias("hub"),
+    )
+    small = sized.filter(F.col("bsize") <= bucket_cap)
+    a = small.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = small.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    small_pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = sized.filter(
+        (F.col("bsize") > bucket_cap) & (F.col(id_col) != F.col("hub"))
+    ).select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    cand = small_pairs.unionByName(star).distinct()
+
+    shingles = word_set(df, id_col, text_col)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sa = shingles.withColumnsRenamed({id_col: "id_a"})
+    sb = shingles.withColumnsRenamed({id_col: "id_b"})
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"})
+    zb = sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"})
+    jac = (
+        common.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",

@@ -6,8 +6,9 @@ registry queries; this module is the production composition):
 
 1. normalize text (canonical form),
 2. exact dedup on normalized content,
-3. near-dup removal — MinHash-LSH spanning edges → connected
-   components → keep each group's canonical (min-id) doc,
+3. near-dup removal — MinHash-LSH bounded candidate edges, exact
+   Jaccard verification (default; unverified spanning edges opt-in)
+   → connected components → keep each group's canonical (min-id) doc,
 4. optional semantic (embedding-cosine) dedup — the paraphrase tier,
 5. span-dedup filter — drop docs whose word-shingle duplicate
    fraction exceeds a threshold,
@@ -36,6 +37,7 @@ from nt_data_pipelines_spark.operators import text as TX
 from nt_data_pipelines_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_spanning_edges,
+    minhash_verified_dup_edges,
     resolve_dup_groups_auto,
 )
 
@@ -47,6 +49,20 @@ class CurationConfig:
     keep_langs: tuple[str, ...] = ("en",)
     max_dup_ngram_frac: float = 0.9
     ngram_n: int = 8
+    # near-dup tier: candidate edges are Jaccard-VERIFIED at this
+    # threshold before connected components. Verification is the
+    # default because band collision is a soft test (P = J^r per band)
+    # and CC amplifies false positives transitively — unverified, a
+    # shared-vocabulary corpus collapses into one giant dup group
+    # (operators/dedup.minhash_verified_dup_edges documents the
+    # measured failure). None restores the unverified spanning-edge
+    # graph for corpora where banding alone is tuned sharp enough.
+    near_dup_jaccard: float | None = 0.7
+    minhash_num_hashes: int = 16
+    minhash_bands: int = 4
+    # all-pairs candidate edges for LSH buckets up to this size; hot
+    # buckets above it connect via a verified hub-star (O(bucket))
+    dup_bucket_cap: int = 64
     chunk_size: int = 64
     chunk_overlap: int = 16
     pack_capacity: int = 512
@@ -123,10 +139,28 @@ def curate_corpus(
     )
     exact = stage("exact_dedup", norm.join(survivors, id_col, "left_semi"))
 
-    # spanning edges, not the all-pairs clique: identical connected
-    # components with O(bucket) instead of O(bucket^2) edges — the
-    # hot-bucket guard a boilerplate-heavy 100 TB corpus needs
-    pairs = minhash_lsh_spanning_edges(exact, id_col, text_col)
+    # bounded candidate edges + exact-Jaccard verification by default
+    # (see CurationConfig.near_dup_jaccard); the unverified spanning
+    # graph keeps O(bucket) edges but trusts the soft band test, which
+    # transitive closure turns into corpus-collapse on dense corpora
+    if config.near_dup_jaccard is not None:
+        pairs = minhash_verified_dup_edges(
+            exact,
+            id_col,
+            text_col,
+            threshold=config.near_dup_jaccard,
+            num_hashes=config.minhash_num_hashes,
+            bands=config.minhash_bands,
+            bucket_cap=config.dup_bucket_cap,
+        ).select("id_a", "id_b")
+    else:
+        pairs = minhash_lsh_spanning_edges(
+            exact,
+            id_col,
+            text_col,
+            num_hashes=config.minhash_num_hashes,
+            bands=config.minhash_bands,
+        )
     groups = resolve_dup_groups_auto(  # (doc_id, canonical_id)
         pairs,
         max_driver_edges=config.max_driver_edges,

@@ -81,6 +81,54 @@ MINHASH_BANDS_CTE = """\
 
 
 @register(
+    "d_verified_dup_edges",
+    oracle=MINHASH_BANDS_CTE + """,
+    sized AS (
+      SELECT doc_id, band, band_hash,
+             COUNT(*) OVER (PARTITION BY band, band_hash) AS bsize,
+             MIN(doc_id) OVER (PARTITION BY band, band_hash) AS hub
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsize <= 64
+        UNION ALL
+        SELECT hub, doc_id FROM sized WHERE bsize > 64 AND doc_id <> hub
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.word = sa.word
+      GROUP BY 1, 2
+    )
+    SELECT v.id_a, v.id_b,
+           ROUND(v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE), 6) AS jaccard
+    FROM verified v
+    JOIN sizes za ON za.doc_id = v.id_a
+    JOIN sizes zb ON zb.doc_id = v.id_b
+    WHERE v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE) >= 0.7
+    """,
+    doc="Near-dup edges for dup-group resolution: bounded LSH candidates "
+    "(all-pairs for buckets <= 64, hub-star above) verified at exact "
+    "word-set Jaccard >= 0.7. The verified default of curate_corpus's "
+    "near-dedup tier — unverified band collisions amplified by "
+    "connected components collapse a shared-vocabulary corpus into one "
+    "giant group (dedup.minhash_verified_dup_edges documents the "
+    "measured failure).",
+)
+def d_verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_verified_dup_edges(docs, "doc_id", "text", threshold=0.7)
+
+
+@register(
     "d_exact_dedup",
     oracle="""
     SELECT md5(text) AS text_hash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups

@@ -562,3 +562,57 @@ def test_knn_graph_cap_no_op_below_threshold(spark):
     capped = set(map(tuple, knn_graph(emb, k=3, bucket_cap=1024).collect()))
     uncapped = set(map(tuple, knn_graph(emb, k=3, bucket_cap=None).collect()))
     assert capped == uncapped and capped
+
+
+def test_verified_dup_edges_rejects_soft_collisions(spark):
+    """The giant-component regression (round 7): unverified band
+    collisions + transitive closure collapse a shared-vocabulary corpus
+    into one dup group. Verified edges keep only true J >= threshold
+    pairs, so moderately-overlapping docs never fuse."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),                       # true near-dup of 1
+        # shares half its words with base — a soft-collision candidate
+        (3, "alpha beta gamma delta epsilon one two three four five"),
+        (4, "totally unrelated content with fresh vocabulary only"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    edges = D.minhash_verified_dup_edges(docs, "doc_id", threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in edges.collect()}
+    assert (1, 2) in got
+    assert all(3 not in e and 4 not in e for e in got), got
+
+
+def test_verified_dup_edges_hot_bucket_star(spark):
+    """A bucket above bucket_cap connects via a verified hub-star:
+    O(bucket) edges, full connectivity for a true dup cluster."""
+    text = "one two three four five six seven eight nine ten"
+    n = 12
+    docs = spark.createDataFrame([(i, text) for i in range(n)], ["doc_id", "text"])
+    edges = D.minhash_verified_dup_edges(docs, "doc_id", threshold=0.9, bucket_cap=4)
+    got = {(r["id_a"], r["id_b"]) for r in edges.collect()}
+    assert got == {(0, i) for i in range(1, n)}          # star from min-id hub
+    groups = D.resolve_dup_groups_auto(edges.select("id_a", "id_b"))
+    assert groups.select("canonical_id").distinct().count() == 1
+    assert groups.count() == n
+
+
+def test_verified_dup_edges_matches_clique_truth_on_testdata(spark):
+    """On the sf0.001 documents table the verified edge set must connect
+    exactly the same docs as exhaustive Jaccard pairs >= threshold do
+    (component MEMBERSHIP can differ only for docs whose every true dup
+    edge is LSH-missed; assert the survivor count stays within the LSH
+    recall budget)."""
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    verified = D.minhash_verified_dup_edges(docs, "doc_id", threshold=0.7)
+    truth = D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.7).select("id_a", "id_b")
+    v = {(r["id_a"], r["id_b"]) for r in verified.select("id_a", "id_b").collect()}
+    t = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    assert v <= t                                  # verification: zero false edges
+    # recall of DOCS REACHED (what dup-group resolution consumes)
+    vd = {d for e in v for d in e}
+    td = {d for e in t for d in e}
+    assert len(vd) >= 0.95 * len(td), (len(vd), len(td))
