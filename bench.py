@@ -50,7 +50,7 @@ def materialize(df) -> int:
 
 
 def _time_queries(
-    run_one, warmup: int, timed: int
+    run_one, warmup: int, timed: int, names: dict[str, str] | None = None
 ) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     """Per query: (median, spread). Spread carries min/median/max/stdev
     of the timed runs so round-over-round artifact comparisons can tell
@@ -58,7 +58,7 @@ def _time_queries(
     as max >> median with a stable min)."""
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for label, qname in HEADLINE.items():
+    for label, qname in (names or HEADLINE).items():
         prepared = run_one(qname)
         for _ in range(warmup):
             prepared()
@@ -136,6 +136,149 @@ def _production_block(spark, data_dir: str) -> dict:
     }
 
 
+# corpus-tier rows with DuckDB oracles in the registry — the
+# SQL-expressible anchors for ratio tracking (BASELINE.md)
+CORPUS_ORACLE = {
+    "c4_exact_dedup": "d_exact_dedup",
+    "c5_dup_ngram_fraction": "d_dup_ngram_fraction",
+}
+
+
+def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
+    """Corpus/dedup-tier bench at a scaled benchdata dir (VERDICT r6 #2).
+
+    Times the tier's flagship compositions — LSH candidate generation,
+    dup-group resolution (spanning edges -> connected components), and
+    the full curation pipeline with every optional stage enabled — in
+    production config. These have no DuckDB equivalent (iterative CC,
+    grouped-map kernels), so the wall times stand alone as the
+    round-over-round regression signal; the two SQL-expressible rows
+    (exact dedup, dup-ngram fraction) additionally run against the
+    DuckDB oracle on the same parquet for a ratio anchor.
+
+    Each curate run is built FRESH and its stage caches dropped after
+    materialization — curate_corpus persists stage boundaries, and a
+    reused lineage would time the cache, not the engine.
+
+    ``heavy=False`` (the sf5 profile) SKIPS the two long compositions —
+    the all-pairs candidate op (its output is ~320 M pairs at 50x: a
+    single run exceeds 5 minutes) and the full curation pipeline — and
+    records WHY under ``skipped`` so the cap is loud, not silent; both
+    stay tracked at sf1 every round. The heavy entries run once after
+    one warmup-free build (medians of n=1), which is noise-tolerant
+    enough for >30 s wall times.
+    """
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_spanning_edges,
+        resolve_dup_groups_auto,
+    )
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from nt_data_pipelines_spark.session import default_parallelism
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+
+    def fresh_docs():
+        return load_table(spark, data_dir, "documents")
+
+    def run_candidates():
+        return materialize(minhash_lsh_candidates(fresh_docs(), "doc_id"))
+
+    def run_groups():
+        edges = minhash_lsh_spanning_edges(fresh_docs(), "doc_id")
+        return materialize(resolve_dup_groups_auto(edges))
+
+    def run_curate():
+        emb = load_table(spark, data_dir, "embeddings").withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        packed, accounting = curate_corpus(
+            fresh_docs(),
+            config=CurationConfig(
+                token_budget_per_source=2000,
+                max_docs_per_source=None,
+                perplexity_band=(0.1, 0.9),
+                semantic_threshold=0.99,
+            ),
+            embeddings=emb,
+        )
+        n = materialize(packed) + materialize(accounting)
+        spark.catalog.clearCache()  # drop the stage-boundary persists
+        return n
+
+    def spark_composed(qname):
+        return thunks[qname]
+
+    skipped: dict[str, str] = {}
+    spark_t: dict[str, float] = {}
+    spark_spread: dict[str, dict[str, float]] = {}
+
+    thunks = {"c2_dup_groups": run_groups}
+    t, s = _time_queries(spark_composed, 1, 3, {k: k for k in thunks})
+    spark_t.update(t)
+    spark_spread.update(s)
+    if heavy:
+        thunks = {
+            "c1_minhash_candidates": run_candidates,
+            "c3_curate_full": run_curate,
+        }
+        t, s = _time_queries(spark_composed, 0, 1, {k: k for k in thunks})
+        spark_t.update(t)
+        spark_spread.update(s)
+    else:
+        skipped["c1_minhash_candidates"] = (
+            "all-pairs candidate output is O(copies x base pairs) "
+            "(~320M rows here); single run >5 min — tracked at sf1"
+        )
+        skipped["c3_curate_full"] = (
+            "full pipeline is ~30 sequential jobs; >5 min here — "
+            "tracked at sf1"
+        )
+
+    def spark_oracle_row(qname):
+        df = plans.REGISTRY[qname].fn(spark, data_dir)
+        return lambda: materialize(df)
+
+    st2, sp2 = _time_queries(spark_oracle_row, 1, 3, CORPUS_ORACLE)
+    spark_t.update(st2)
+    spark_spread.update(sp2)
+
+    import duckdb
+
+    from nt_data_pipelines_spark.sources.testdata import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        glob = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+
+    def duck_one(qname):
+        sql = plans.REGISTRY[qname].oracle
+        return lambda: con.execute(sql).fetch_arrow_table()
+
+    duck_t, _ = _time_queries(duck_one, 1, 3, CORPUS_ORACLE)
+    sub_spark = round(sum(spark_t[k] for k in CORPUS_ORACLE), 4)
+    sub_duck = round(sum(duck_t.values()), 4)
+    out = {
+        "config": "prod(aqe=on)",
+        "value": round(sum(spark_t.values()), 4),
+        "queries": spark_t,
+        "queries_spread": spark_spread,
+        "duckdb_queries": duck_t,
+        "duckdb_subset_value": sub_duck,
+        "subset_ratio_vs_duckdb": round(sub_spark / sub_duck, 4) if sub_duck else None,
+    }
+    if skipped:
+        out["skipped"] = skipped
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -190,6 +333,11 @@ def main() -> None:
                 key = f"{d.name}_prod"
                 out[key] = _production_block(spark, str(d))
                 prod_keys.append(key)
+                ckey = f"{d.name}_corpus"
+                out[ckey] = _corpus_block(
+                    spark, str(d), heavy=float(d.name[2:]) <= 1
+                )
+                prod_keys.append(ckey)
     # The FULL artifact (spreads, per-query prod detail) goes to a
     # file so it survives any capture window — the round-5 official
     # sf0.1 headline was lost because the driver's tail capture
@@ -202,7 +350,15 @@ def main() -> None:
     for key in prod_keys:
         block = out[key]
         slim[key] = {
-            k: block[k] for k in ("value", "duckdb_value", "ratio_vs_duckdb")
+            k: block[k]
+            for k in (
+                "value",
+                "duckdb_value",
+                "ratio_vs_duckdb",
+                "duckdb_subset_value",
+                "subset_ratio_vs_duckdb",
+            )
+            if k in block
         }
     print(json.dumps(slim))
 
