@@ -45,6 +45,15 @@ from pyspark.sql import types as T
 
 INGEST_COL = "_ingest_seq"
 KEEP_MANIFESTS = 10  # manifest-log history margin retained by GC
+# filelist mode: commits whose generation is a multiple of this write a
+# CHECKPOINT manifest (full file set + stats); the commits in between
+# write DELTAS (add/remove lists only). A 10^5-commit log therefore
+# costs O(changed files) per commit and O(interval) manifest reads per
+# snapshot resolution — the Delta-log checkpoint shape. Keep it <=
+# KEEP_MANIFESTS so every retained generation's replay base survives
+# manifest GC (the GC additionally never drops a manifest newer than
+# the oldest retained generation's checkpoint).
+FL_CHECKPOINT_INTERVAL = 10
 # Schemes with no atomic exclusive-create through the Hadoop FS API —
 # manifest/filelist catalogs on these require an ExclusiveCommitter.
 OBJECT_STORE_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "wasb", "wasbs")
@@ -168,6 +177,9 @@ class Catalog:
         self.root = root
         self.commit_mode = commit_mode
         self.time_travel = time_travel
+        # memoized (table, gen) -> resolved filelist snapshot; entries
+        # are immutable-by-construction (see _fl_resolve)
+        self._fl_cache: dict[tuple[str, int], tuple[list[str], dict]] = {}
         self._committer = committer
         # Scheme-qualified roots (file://, s3a://, hdfs://) must go
         # through the Hadoop FS API end to end: os.makedirs/open on a
@@ -387,6 +399,8 @@ class Catalog:
     def _commit_manifest(
         self, name: str, gen: int, dir_name: str | None = None,
         files: list[str] | None = None, file_stats: dict | None = None,
+        add: list[str] | None = None, remove: list[str] | None = None,
+        add_stats: dict | None = None,
     ) -> None:
         """THE commit: create manifest file ``gen.json`` exclusively.
 
@@ -427,9 +441,18 @@ class Catalog:
         if dir_name is not None:
             doc["dir"] = dir_name
         if files is not None:
+            # checkpoint form: the complete file set (and stats) as of
+            # this generation — resolution starts replay here
             doc["files"] = files
         if file_stats:
             doc["file_stats"] = file_stats
+        if add is not None:
+            # delta form: changes against the previous VALID generation
+            doc["add"] = add
+        if remove is not None:
+            doc["remove"] = remove
+        if add_stats:
+            doc["add_stats"] = add_stats
         payload = json.dumps(doc)
         if self._committer is not None:
             # Pluggable exclusive-commit hook (LogStore-style): the
@@ -502,13 +525,77 @@ class Catalog:
     def _fl_root(self, name: str) -> str:
         return self._path(name) + ".data"
 
-    def _fl_manifest_files(self, name: str, gen: int) -> list[str] | None:
-        """Relative file paths a generation's manifest references."""
-        doc = self._read_manifest(name, gen)
-        if doc is None:
+    @staticmethod
+    def _is_checkpoint(doc: dict) -> bool:
+        """A manifest carrying the COMPLETE file set (replay base).
+        Every pre-delta-log manifest wrote full ``files``, so legacy
+        logs read as all-checkpoint — no migration step."""
+        return isinstance(doc.get("files"), list)
+
+    @staticmethod
+    def _manifest_refs(doc: dict) -> list[str]:
+        """Every file path a single manifest MENTIONS (checkpoint set,
+        delta adds, delta removes) — the per-entry reference relation
+        GC and vacuum reason over; NOT the resolved snapshot."""
+        refs = list(doc.get("files") or [])
+        refs += list(doc.get("add") or [])
+        refs += list(doc.get("remove") or [])
+        return refs
+
+    def _fl_resolve(self, name: str, gen: int) -> tuple[list[str], dict] | None:
+        """The COMPLETE (files, file_stats) snapshot of a generation:
+        replay from the newest checkpoint at or below ``gen``, applying
+        each later VALID delta's remove-then-add. O(gen %
+        FL_CHECKPOINT_INTERVAL) manifest reads, memoized — manifests
+        are immutable once committed, so cache entries never go stale
+        (GC only ever deletes log entries, never rewrites them).
+
+        None when the generation cannot be resolved: its own manifest
+        is gone/torn, or every checkpoint at or below it was GC'd
+        (equivalent to today's missing-manifest answer — the caller
+        surfaces the usual retention error).
+        """
+        cached = self._fl_cache.get((name, gen))
+        if cached is not None:
+            return list(cached[0]), dict(cached[1])
+        docs: list[dict] = []  # deltas above the checkpoint, ascending
+        base: dict | None = None
+        g = gen
+        own = self._read_manifest(name, gen)
+        if own is None:
             return None
-        files = doc.get("files")
-        return list(files) if isinstance(files, list) else []
+        while g >= 0:
+            doc = own if g == gen else self._read_manifest(name, g)
+            if doc is not None:
+                if self._is_checkpoint(doc):
+                    base = doc
+                    break
+                docs.append(doc)
+            # a torn/GC'd manifest between checkpoint and gen never
+            # committed (torn) or is older than every retained
+            # checkpoint (GC'd) — skip, mirroring _current_gen
+            g -= 1
+        if base is None:
+            return None
+        files = set(base.get("files") or [])
+        stats = dict(base.get("file_stats") or {})
+        for doc in reversed(docs):
+            for rel in doc.get("remove") or []:
+                files.discard(rel)
+                stats.pop(rel, None)
+            for rel in doc.get("add") or []:
+                files.add(rel)
+            stats.update(doc.get("add_stats") or {})
+        out = (sorted(files), {f: s for f, s in stats.items() if f in files})
+        if len(self._fl_cache) >= 8 * KEEP_MANIFESTS:
+            self._fl_cache.clear()
+        self._fl_cache[(name, gen)] = out
+        return list(out[0]), dict(out[1])
+
+    def _fl_manifest_files(self, name: str, gen: int) -> list[str] | None:
+        """Relative file paths of a generation's RESOLVED snapshot."""
+        resolved = self._fl_resolve(name, gen)
+        return None if resolved is None else resolved[0]
 
     def _fl_abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
@@ -655,9 +742,29 @@ class Catalog:
                     # rows itself) — don't leak it as crash debris
                     self._fs_delete(migrated_dir)
                     migrated_dir, migrated = None, False
-                doc = self._read_manifest(name, cur) or {}
-                prev = doc.get("files") or []
-                stats = dict(doc.get("file_stats") or {})
+                if target % FL_CHECKPOINT_INTERVAL != 0:
+                    # delta append: O(new files) commit payload, no
+                    # base read at all — the resolved snapshot is
+                    # (previous gen) + add at read time
+                    try:
+                        self._commit_manifest(
+                            name, target,
+                            add=sorted(new_files),
+                            add_stats=dict(new_stats or {}),
+                        )
+                    except ConcurrentWriteError:
+                        continue
+                    self._fl_gc(name, target)
+                    return
+                # checkpoint due: materialize the full snapshot
+                resolved = self._fl_resolve(name, cur)
+                if resolved is None:
+                    raise LookupError(
+                        f"generation {cur} of {name!r} cannot be resolved "
+                        "(checkpoint base GC'd?) — refusing to write a "
+                        "checkpoint that would drop its files"
+                    )
+                prev, stats = resolved
             else:
                 # migration: import a pre-manifest plain dir's files
                 # into the first filelist generation's base
@@ -761,15 +868,38 @@ class Catalog:
         keep: set[str] = set()
         drop_candidates: set[str] = set()
         for g in gens:
-            files = self._fl_manifest_files(name, g)
-            if files is None:
-                continue
-            (keep if g >= cutoff else drop_candidates).update(files)
+            if g >= cutoff:
+                # retained snapshot: protect its RESOLVED file set
+                # (delta manifests alone don't list carried-over files)
+                keep.update(self._fl_manifest_files(name, g) or [])
+            else:
+                # superseded: every file it merely MENTIONS is a
+                # candidate (checkpoint sets, delta adds AND removes)
+                doc = self._read_manifest(name, g)
+                if doc is not None:
+                    drop_candidates.update(self._manifest_refs(doc))
         for rel in sorted(drop_candidates - keep):
             self._fs_delete(self._fl_abs(rel))
-        # drop superseded log entries (same margin as manifest mode)
+        # Drop superseded log entries — but NEVER at or above the
+        # replay base (newest checkpoint at or below the oldest kept
+        # generation): the deltas between that checkpoint and the
+        # retention margin are what resolution of the oldest retained
+        # snapshots replays. With FL_CHECKPOINT_INTERVAL <=
+        # KEEP_MANIFESTS this retains at most one extra interval of
+        # entries beyond the plain margin.
+        margin = committed_gen - KEEP_MANIFESTS
+        kept_gens = [g for g in gens if g > margin]
+        base: int | None = None
+        if kept_gens:
+            for g in sorted(gens, reverse=True):
+                if g > kept_gens[0]:
+                    continue
+                doc = self._read_manifest(name, g)
+                if doc is not None and self._is_checkpoint(doc):
+                    base = g
+                    break
         for g in gens:
-            if g <= committed_gen - KEEP_MANIFESTS:
+            if g <= margin and (base is not None and g < base):
                 fs.delete(
                     self.spark._jvm.org.apache.hadoop.fs.Path(
                         os.path.join(self._manifest_dir(name), f"{g}.json")
@@ -1474,7 +1604,13 @@ class Catalog:
         self._meta(name)
         referenced: set[str] = set()
         for g in self._manifest_gens(name):
-            for rel in self._fl_manifest_files(name, g) or []:
+            doc = self._read_manifest(name, g)
+            # raw MENTIONS, not resolved snapshots: a batch dir named
+            # by any surviving log entry (checkpoint set, delta add or
+            # remove) stays protected even when that entry's replay
+            # base is gone — vacuum only ever collects dirs no log
+            # entry knows about
+            for rel in self._manifest_refs(doc) if doc else []:
                 # first path segment under the data root = batch dir
                 parts = rel.split("/")
                 if len(parts) >= 2:
@@ -1674,9 +1810,7 @@ class Catalog:
             # migration branch (an empty frame here would be a
             # silently WRONG answer, not a pruned one)
             return _row_filter(self.table(name))
-        doc = self._read_manifest(name, gen) or {}
-        files = doc.get("files") or []
-        stats = doc.get("file_stats") or {}
+        files, stats = self._fl_resolve(name, gen) or ([], {})
         kinds = {f.name: self._col_kind(f.dataType) for f in meta.struct.fields}
         kept = []
         for rel in files:
@@ -1879,9 +2013,10 @@ class Catalog:
             if doc is None:
                 continue
             if self.commit_mode == "filelist":
-                files = doc.get("files")
-                if not isinstance(files, list):
-                    continue
+                resolved = self._fl_resolve(name, g)
+                if resolved is None:
+                    continue  # delta with no surviving checkpoint base
+                files = resolved[0]
                 if not files or self._fl_snapshot_readable(name, g, files):
                     out.append({"generation": g, "n_files": len(files)})
                 continue
@@ -2052,8 +2187,7 @@ class Catalog:
             raise ConcurrentWriteError(
                 f"optimize of {name!r} raced a rival past its pinned generation"
             )
-        doc = self._read_manifest(name, gen) or {}
-        files = doc.get("files") or []
+        files, base_stats = self._fl_resolve(name, gen) or ([], {})
         if not files:
             return
         schema = self._with_ingest(meta.struct)
@@ -2103,32 +2237,42 @@ class Catalog:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        self._fl_commit_surgical(name, target, doc, files, dirty_rel, deduped)
+        self._fl_commit_surgical(name, target, base_stats, files, dirty_rel, deduped)
 
     def _fl_commit_surgical(
         self,
         name: str,
         target: int,
-        doc: dict,
+        base_stats: dict,
         files: list[str],
         dirty_rel: set[str],
         new_df: DataFrame,
     ) -> None:
         """Shared surgical-commit tail: stage ``new_df`` as a batch,
-        commit manifest ``target`` = (files − dirty) + staged, carrying
-        the kept files' stats; a lost race deletes the staged batch
-        and surfaces the OCC signal."""
+        commit manifest ``target`` = (files − dirty) + staged; a lost
+        race deletes the staged batch and surfaces the OCC signal.
+
+        The commit is a DELTA (remove=dirty, add=staged) — O(touched
+        files) payload, the apply-changes economics the docstring above
+        promises — except when ``target`` lands on the checkpoint
+        cadence, where the full resolved set is materialized so later
+        replays stay O(FL_CHECKPOINT_INTERVAL)."""
         bdir, new_files, new_stats = self._fl_write_batch(name, new_df)
-        kept_set = set(files) - set(dirty_rel)
-        stats = {
-            f: s for f, s in (doc.get("file_stats") or {}).items() if f in kept_set
-        }
-        stats.update(new_stats)
         try:
-            self._commit_manifest(
-                name, target, files=sorted(kept_set | set(new_files)),
-                file_stats=stats,
-            )
+            if target % FL_CHECKPOINT_INTERVAL == 0:
+                kept_set = set(files) - set(dirty_rel)
+                stats = {f: s for f, s in base_stats.items() if f in kept_set}
+                stats.update(new_stats)
+                self._commit_manifest(
+                    name, target, files=sorted(kept_set | set(new_files)),
+                    file_stats=stats,
+                )
+            else:
+                self._commit_manifest(
+                    name, target,
+                    add=sorted(new_files), remove=sorted(dirty_rel),
+                    add_stats=new_stats,
+                )
         except ConcurrentWriteError:
             self._fs_delete(bdir)  # our staged batch is garbage
             raise
@@ -2165,13 +2309,12 @@ class Catalog:
             raise ConcurrentWriteError(
                 f"merge into {name!r} raced a rival past its pinned generation"
             )
-        doc = self._read_manifest(name, gen) or {}
-        files = doc.get("files") or []
+        files, base_stats = self._fl_resolve(name, gen) or ([], {})
         schema = self._with_ingest(meta.struct)
         if not files:
             if survivors is None:
                 return  # delete against an empty file set: no-op
-            self._fl_commit_surgical(name, target, doc, [], set(), survivors)
+            self._fl_commit_surgical(name, target, {}, [], set(), survivors)
             return
         base = self.spark.read.schema(schema).parquet(
             *[self._fl_abs(f) for f in files]
@@ -2212,7 +2355,7 @@ class Catalog:
             if survivors is None:
                 return  # pure delete with nothing matching: no-op
             new_df = survivors  # insert-only merge: plain batch append
-        self._fl_commit_surgical(name, target, doc, files, dirty_rel, new_df)
+        self._fl_commit_surgical(name, target, base_stats, files, dirty_rel, new_df)
 
     def _rewrite_partitions(self, name: str, meta: TableMeta, deduped_dirty: DataFrame):
         """Replace exactly the partitions present in ``deduped_dirty``.

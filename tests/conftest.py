@@ -10,6 +10,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from nt_data_pipelines_spark.session import get_spark
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (long fuzzes / e2e flows) — the "
+        "full-fidelity profile; the default profile skips them for a "
+        "fast inner loop (pytest-xdist is not available in this "
+        "environment, so profile split is the only lever)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("nt-tests", cores=4, shuffle_partitions=4)

@@ -127,7 +127,9 @@ def test_filelist_concurrent_commit_fuzz(spark, tmp_path):
         for g in range(start_gen, end_gen + 1):
             doc = cat._read_manifest("m", g)
             assert doc is not None and doc["generation"] == g
-            window[g] = set(doc.get("files") or [])
+            # RESOLVED snapshots (manifests are deltas between
+            # checkpoints; the invariants below are about snapshots)
+            window[g] = set(cat._fl_manifest_files("m", g) or [])
         rw = set(committed_rewrites[0])
         rewrite_gens = [g for g in range(start_gen + 1, end_gen + 1) if window[g] == rw]
         assert len(rewrite_gens) == 1, "rewrite manifest = exactly its staged files"
