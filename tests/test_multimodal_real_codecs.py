@@ -1,0 +1,96 @@
+"""Real-codec multimodal branches (VERDICT r6 #5).
+
+The container CI has no PIL/ffmpeg, so these tests SKIP there (visibly,
+via importorskip/skipif — never silently passing); on a box with the
+codecs installed they execute the non-stub branches end-to-end so the
+real decode paths have executed lines before a user hits them.
+"""
+
+from __future__ import annotations
+
+import io
+import subprocess
+import tempfile
+
+import pytest
+
+from nt_data_pipelines_spark.operators import multimodal as M
+
+
+def _media_df(spark, payload: bytes, media_type: str):
+    import hashlib
+
+    return spark.createDataFrame(
+        [(1, payload, media_type, len(payload), hashlib.sha256(payload).hexdigest())],
+        "media_id long, payload binary, media_type string, n_bytes long, sha string",
+    )
+
+
+def test_resize_images_real_pil_branch(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+
+    img = Image.new("L", (2, 2))
+    img.putdata([0, 85, 170, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = _media_df(spark, payload, "image/png")
+
+    real = M.resize_images(media, 4, 4, decode_stub="pil").collect()[0]
+    fake = M.resize_images(media, 4, 4, decode_stub="fake").collect()[0]
+
+    # contract parity with the tested fake path: schema, byte-count
+    # semantics, and metadata columns are identical
+    assert (real["width"], real["height"]) == (fake["width"], fake["height"]) == (4, 4)
+    assert real["n_bytes"] == fake["n_bytes"] == 16
+    assert len(bytes(real["payload"])) == 16
+
+    # and the PIL branch really decoded: exactly PIL's grayscale resize
+    expected = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4)).tobytes()
+    assert bytes(real["payload"]) == expected
+
+
+def test_resize_images_auto_picks_pil_when_present(spark):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img = Image.new("L", (3, 3), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = _media_df(spark, buf.getvalue(), "image/png")
+    via_auto = M.resize_images(media, 2, 2, decode_stub="auto").collect()[0]
+    via_pil = M.resize_images(media, 2, 2, decode_stub="pil").collect()[0]
+    assert bytes(via_auto["payload"]) == bytes(via_pil["payload"])
+
+
+@pytest.mark.skipif(not M.HAS_FFMPEG, reason="ffmpeg not on PATH")
+def test_sample_frames_real_ffmpeg_branch(spark):
+    """Synthesize a 1-second test video with ffmpeg itself, then sample
+    keyframes through the real branch."""
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-y",
+                "-f", "lavfi", "-i", "testsrc=duration=1:size=64x64:rate=8",
+                f.name,
+            ],
+            check=True,
+        )
+        payload = open(f.name, "rb").read()
+    media = _media_df(spark, payload, "video/mp4")
+    frames = M.sample_frames(media, max_frames=2, decode_stub="ffmpeg").collect()
+    assert 1 <= len(frames) <= 2
+    for r in frames:
+        assert r["n_bytes"] == len(bytes(r["frame_payload"])) > 0
+    # schema parity with the fake path
+    fake = M.sample_frames(media, max_frames=2, decode_stub="fake")
+    assert fake.schema == M.sample_frames(media, 2, decode_stub="ffmpeg").schema
+
+
+def test_error_stub_is_loud_not_silent(spark):
+    """Whatever the box has installed, decode_stub='error' must raise —
+    the honest-missing-codec contract (never a silent fake)."""
+    media = _media_df(spark, b"\x89PNG fake", "image/png")
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        M.resize_images(media, 2, 2, decode_stub="error").collect()
