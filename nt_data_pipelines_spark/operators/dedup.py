@@ -378,6 +378,61 @@ def simhash_banded_pairs(
     )
 
 
+def dedup_new_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingestion dedup: keep the NEW batch's docs that are
+    not near-dups (exact word-set Jaccard >= ``threshold``) of any
+    document already in ``corpus``.
+
+    The continuous-training-data shape: every ingestion round dedups
+    its delta against the accumulated corpus instead of re-deduping
+    the world. Candidates are a (band, band_hash) equi-join of the
+    batch's MinHash bands against the corpus's — cost O(batch x
+    bucket), never corpus x corpus, and only candidate pairs pay the
+    exact-verify shingle join. Duplicates WITHIN the new batch are out
+    of scope by design (run the batch through curate_corpus /
+    minhash_verified_dup_edges first); this operator answers only "is
+    it already in the corpus".
+    """
+    nb = banded_minhash(new_docs, id_col, text_col, num_hashes, bands)
+    cb = banded_minhash(corpus, id_col, text_col, num_hashes, bands)
+    cand = (
+        nb.withColumnsRenamed({id_col: "id_new"})
+        .join(cb.withColumnsRenamed({id_col: "id_old"}), ["band", "band_hash"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    new_sh = word_set(new_docs, id_col, text_col).withColumnsRenamed({id_col: "id_new"})
+    old_sh = word_set(corpus, id_col, text_col).withColumnsRenamed({id_col: "id_old"})
+    common = (
+        cand.join(new_sh, "id_new")
+        .join(old_sh, ["id_old", "word"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sn = new_sh.groupBy("id_new").agg(F.count(F.lit(1)).alias("size_new"))
+    so = old_sh.groupBy("id_old").agg(F.count(F.lit(1)).alias("size_old"))
+    dup_new = (
+        common.join(sn, "id_new")
+        .join(so, "id_old")
+        .filter(
+            F.col("n_common")
+            / (F.col("size_new") + F.col("size_old") - F.col("n_common")).cast("double")
+            >= threshold
+        )
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_new, id_col, "left_anti")
+
+
 def resolve_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Near-dup pairs -> (doc_id, canonical_id) via connected components.
 

@@ -78,6 +78,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 DRIVER_PRIORITY: list[str] = [
     # new in round 7, never driver-verified — must lead the slots:
     "d_verified_dup_edges",
+    "d_dedup_against_corpus",
     # no driver row in r5 nor r6 — these must make the 50 slots:
     "a_value_histogram",
     "t_bm25_topk",

@@ -80,6 +80,68 @@ MINHASH_BANDS_CTE = """\
     )"""
 
 
+# per-side minhash fragments for oracles joining TWO banded relations
+# (same md5 seed scheme as MINHASH_BANDS_CTE — one construction, two
+# renderings, so the signatures can never diverge between oracles)
+_MINS_SQL = ", ".join(f"MIN(md5('{s}:' || word)) AS mh_{s}" for s in range(16))
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, 'band_{b}' AS band, md5({parts}) AS band_hash FROM {{sig}}".format(
+        b=b, parts=" || '|' || ".join(f"mh_{b * 4 + r}" for r in range(4))
+    )
+    for b in range(4)
+)
+
+
+@register(
+    "d_dedup_against_corpus",
+    oracle=f"""
+    WITH newdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+    nsh AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM newdocs),
+    osh AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word FROM corpus),
+    nsig AS (SELECT doc_id, {_MINS_SQL} FROM nsh GROUP BY doc_id),
+    osig AS (SELECT doc_id, {_MINS_SQL} FROM osh GROUP BY doc_id),
+    nbands AS ({_BANDS_SQL.format(sig="nsig")}),
+    obands AS ({_BANDS_SQL.format(sig="osig")}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM nbands n JOIN obands o
+        ON n.band = o.band AND n.band_hash = o.band_hash
+    ),
+    common AS (
+      SELECT c.id_new, c.id_old, COUNT(*) AS n_common
+      FROM cand c
+      JOIN nsh ON nsh.doc_id = c.id_new
+      JOIN osh ON osh.doc_id = c.id_old AND osh.word = nsh.word
+      GROUP BY 1, 2
+    ),
+    sn AS (SELECT doc_id, COUNT(*) AS s FROM nsh GROUP BY 1),
+    so AS (SELECT doc_id, COUNT(*) AS s FROM osh GROUP BY 1),
+    dups AS (
+      SELECT DISTINCT c.id_new
+      FROM common c
+      JOIN sn ON sn.doc_id = c.id_new
+      JOIN so ON so.doc_id = c.id_old
+      WHERE c.n_common / CAST(sn.s + so.s - c.n_common AS DOUBLE) >= 0.7
+    )
+    SELECT d.doc_id, d.text
+    FROM newdocs d LEFT JOIN dups ON dups.id_new = d.doc_id
+    WHERE dups.id_new IS NULL
+    """,
+    doc="Incremental-ingestion dedup: new batch (doc_id % 10 = 7) kept "
+    "only where no corpus doc (the other 90%) is a verified near-dup "
+    "(MinHash-LSH candidates batch-vs-corpus, exact Jaccard >= 0.7). "
+    "The continuous-training-data shape: each round dedups its delta "
+    "against the accumulated corpus, O(batch x bucket) never corpus^2.",
+)
+def d_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    kept = D.dedup_new_against_corpus(new_docs, corpus, "doc_id", "text", threshold=0.7)
+    return kept.select("doc_id", "text")
+
+
 @register(
     "d_verified_dup_edges",
     oracle=MINHASH_BANDS_CTE + """,

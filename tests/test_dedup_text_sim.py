@@ -616,3 +616,24 @@ def test_verified_dup_edges_matches_clique_truth_on_testdata(spark):
     vd = {d for e in v for d in e}
     td = {d for e in t for d in e}
     assert len(vd) >= 0.95 * len(td), (len(vd), len(td))
+
+
+def test_dedup_new_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus content right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+            (11, "the quick brown fox jumps over a lazy dog"),     # near-dup of 1
+            (12, "fresh unseen material with novel vocabulary"),   # keep
+            (13, "fresh unseen material with novel vocabulary"),   # intra-batch dup of 12: kept BY DESIGN
+        ],
+        ["doc_id", "text"],
+    )
+    kept = D.dedup_new_against_corpus(new, corpus, "doc_id", threshold=0.7)
+    assert {r["doc_id"] for r in kept.collect()} == {12, 13}
