@@ -266,6 +266,14 @@ DUP_PAIR_SCHEMA = T.StructType(
 )
 
 
+WORD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("word", T.StringType()),
+    ]
+)
+
+
 def minhash_foreach_batch(
     catalog,
     sig_table: str,
@@ -274,6 +282,8 @@ def minhash_foreach_batch(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    words_table: str | None = None,
+    verify_threshold: float | None = None,
 ):
     """foreachBatch sink: incremental NEAR-dup candidates over a
     document stream — the streaming tier of MinHash-LSH.
@@ -311,8 +321,32 @@ def minhash_foreach_batch(
 
         catalog.create(sig_table, MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
         catalog.create(pairs_table, DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+
+    **Verified tier** (``words_table`` + ``verify_threshold``): band
+    collision is a soft similarity test and connected components
+    amplify its false positives transitively — resolving groups over
+    RAW candidates collapses a shared-vocabulary corpus exactly like
+    the batch case (operators/dedup.minhash_verified_dup_edges
+    documents the measured failure). With both parameters set, the
+    sink additionally maintains the corpus's word-set state (PK
+    (doc_id, word)) and upserts only candidate pairs whose EXACT
+    word-set Jaccard meets the threshold, so ``pairs_table`` converges
+    to the batch LSH-candidates-then-verify pair set over the latest
+    version of every document (the `d_lsh_verified_dedup` contract).
+    Verification cost per batch is O(batch candidates x words), never
+    corpus-quadratic. Change detection upgrades from signature diff to
+    word-set diff (a strict superset: an edit can change the Jaccard
+    of stored pairs without moving any MinHash component). Create the
+    extra state table as::
+
+        catalog.create(words_table, WORD_STATE_SCHEMA, None, ["doc_id", "word"])
     """
-    from nt_data_pipelines_spark.operators.dedup import banded_minhash
+    if (words_table is None) != (verify_threshold is None):
+        raise ValueError(
+            "words_table and verify_threshold enable the verified tier "
+            "together — set both or neither"
+        )
+    from nt_data_pipelines_spark.operators.dedup import banded_minhash, word_set
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.filter(F.col(text_col).isNotNull())
@@ -337,26 +371,69 @@ def minhash_foreach_batch(
         # 16 min-hashes) is the dominant per-batch cost and is used
         # THREE times below (change detection, upsert, pair join)
         bands_long = bands_long.localCheckpoint(eager=True)
-        # Retraction pass: docs whose signature CHANGED vs the stored
-        # state carry stale pairs computed from their old content.
-        prev = catalog.table(sig_table)
-        changed = (
-            bands_long.alias("n")
-            .join(prev.alias("o"), ["doc_id", "band"])
-            .filter(F.col("n.band_hash") != F.col("o.band_hash"))
-            .select("doc_id")
-            .distinct()
-        )
-        changed = changed.localCheckpoint(eager=True)  # pin pre-upsert view
-        if changed.limit(1).count():
-            catalog.rewrite(
-                pairs_table,
-                lambda df: df.join(
-                    changed.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
-                ).join(
-                    changed.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
-                ),
+        if words_table is not None:
+            # Verified tier: word-set state + word-diff change
+            # detection (a strict superset of signature diff — an edit
+            # can change stored pairs' Jaccard without moving any
+            # MinHash component).
+            words_long = (
+                word_set(docs, id_col, text_col)
+                .select(F.col(id_col).cast("long").alias("doc_id"), "word")
+                .localCheckpoint(eager=True)
             )
+            stored_words = catalog.table(words_table).join(
+                words_long.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            added = words_long.join(stored_words, ["doc_id", "word"], "left_anti")
+            removed = stored_words.join(words_long, ["doc_id", "word"], "left_anti")
+            # brand-new docs (no stored words) are additions, not
+            # changes — retracting for them would rewrite the pairs
+            # table every batch for nothing
+            changed = (
+                added.join(
+                    stored_words.select("doc_id").distinct(), "doc_id", "left_semi"
+                )
+                .select("doc_id")
+                .unionByName(removed.select("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=True)  # pin pre-upsert view
+            )
+            if changed.limit(1).count():
+                catalog.rewrite(
+                    pairs_table,
+                    lambda df: df.join(
+                        changed.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+                    ).join(
+                        changed.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+                    ),
+                )
+                catalog.rewrite(
+                    words_table,
+                    lambda df: df.join(changed, "doc_id", "left_anti"),
+                )
+            catalog.upsert(words_table, words_long)
+        else:
+            # Retraction pass: docs whose signature CHANGED vs the
+            # stored state carry stale pairs computed from their old
+            # content.
+            prev = catalog.table(sig_table)
+            changed = (
+                bands_long.alias("n")
+                .join(prev.alias("o"), ["doc_id", "band"])
+                .filter(F.col("n.band_hash") != F.col("o.band_hash"))
+                .select("doc_id")
+                .distinct()
+            )
+            changed = changed.localCheckpoint(eager=True)  # pin pre-upsert view
+            if changed.limit(1).count():
+                catalog.rewrite(
+                    pairs_table,
+                    lambda df: df.join(
+                        changed.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+                    ).join(
+                        changed.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+                    ),
+                )
         catalog.upsert(sig_table, bands_long)
         state = catalog.table(sig_table)
         a = bands_long.select(F.col("doc_id").alias("__a"), "band", "band_hash")
@@ -370,7 +447,41 @@ def minhash_foreach_batch(
             )
             .distinct()
         )
-        catalog.upsert(pairs_table, new_pairs)
+        if words_table is not None:
+            # verify the batch's candidates against the (now updated)
+            # word state: only exact Jaccard >= threshold pairs persist
+            ws = catalog.table(words_table)
+            wa = ws.withColumnsRenamed({"doc_id": "id_a"})
+            wb = ws.withColumnsRenamed({"doc_id": "id_b"})
+            common = (
+                new_pairs.join(wa, "id_a")
+                .join(wb, ["id_b", "word"])
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("__nc"))
+            )
+            ids = (
+                new_pairs.select(F.col("id_a").alias("doc_id"))
+                .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            sz = (
+                ws.join(ids, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("__s"))
+            )
+            verified = (
+                common.join(sz.withColumnsRenamed({"doc_id": "id_a", "__s": "__sa"}), "id_a")
+                .join(sz.withColumnsRenamed({"doc_id": "id_b", "__s": "__sb"}), "id_b")
+                .filter(
+                    F.col("__nc")
+                    / (F.col("__sa") + F.col("__sb") - F.col("__nc")).cast("double")
+                    >= verify_threshold
+                )
+                .select("id_a", "id_b")
+            )
+            catalog.upsert(pairs_table, verified)
+        else:
+            catalog.upsert(pairs_table, new_pairs)
 
     return write_batch
 

@@ -524,3 +524,90 @@ def test_same_batch_vector_versions_yield_coherent_index_row(spark, tmp_path):
 
     got = (int(row[0]["cell"]), list(row[0]["codes"]))
     assert got in (expect(v1), expect(v2))  # one coherent version, no chimera
+
+
+def test_streaming_minhash_verified_tier_matches_batch(spark, tmp_path):
+    """Verified streaming dedup (round 7): with words_table +
+    verify_threshold the accumulated pair set equals the batch
+    LSH-candidates-then-exact-Jaccard set over the latest version of
+    every doc — soft band collisions never persist, so group
+    resolution cannot collapse the corpus. Covers cross-batch
+    near-dups, a soft-collision candidate that must be REJECTED,
+    mutation retraction, and replay idempotence."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from nt_data_pipelines_spark.streaming import (
+        minhash_foreach_batch,
+        run_available_now,
+        streaming_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+        WORD_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [
+        (1, base),
+        # shares 5/10 words with doc 1: a plausible soft-collision
+        # candidate that exact verification must reject
+        (2, "alpha beta gamma delta epsilon one two three four five"),
+    ]
+    b2 = [
+        (3, base + " extra"),  # true near-dup of 1, later batch
+        (4, "totally unrelated content with fresh vocabulary only"),
+    ]
+    src = str(tmp_path / "vd_docs")
+    spark.createDataFrame(b1, doc_schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, doc_schema).coalesce(1).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "vd_lake"))
+    cat.create("v_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("v_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    cat.create("v_words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+    sink = minhash_foreach_batch(
+        cat, "v_sigs", "v_pairs", words_table="v_words", verify_threshold=0.7
+    )
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_available_now(stream, sink, str(tmp_path / "vd_ckpt"), output_mode="append")
+
+    def batch_verified(rows):
+        full = spark.createDataFrame(rows, doc_schema)
+        cand = minhash_lsh_candidates(full, "doc_id")
+        true = ngram_jaccard_pairs(full, "doc_id", threshold=0.7).select("id_a", "id_b")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in cand.join(true, ["id_a", "id_b"], "left_semi").collect()
+        }
+
+    want = batch_verified(b1 + b2)
+    got = {(r["id_a"], r["id_b"]) for r in cat.table("v_pairs").collect()}
+    assert got == want
+    assert (1, 3) in got            # cross-batch true near-dup
+    assert (1, 2) not in got        # soft collision rejected by verify
+    groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in streaming_dup_groups(cat, "v_pairs").collect()
+    }
+    assert (3, 1) in groups and all(d not in (2, 4) for d, _ in groups)
+
+    # mutation: doc 3 re-delivered as a DUP OF DOC 2's text — its old
+    # (1,3) pair must be retracted and the new (2,3) pair verified in
+    b3 = [(3, b1[1][1])]
+    sink(spark.createDataFrame(b3, doc_schema), epoch_id=50)
+    latest = [b1[0], b1[1], (3, b1[1][1]), b2[1]]
+    want2 = batch_verified(latest)
+    got2 = {(r["id_a"], r["id_b"]) for r in cat.table("v_pairs").collect()}
+    assert got2 == want2 and (2, 3) in got2 and (1, 3) not in got2
+
+    # replay of the mutation batch: state unchanged (idempotent)
+    sink(spark.createDataFrame(b3, doc_schema), epoch_id=51)
+    assert {(r["id_a"], r["id_b"]) for r in cat.table("v_pairs").collect()} == want2
