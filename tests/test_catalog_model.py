@@ -106,3 +106,21 @@ def _run_sequence(spark, tmp, mode, ops):
 @settings(**_SETTINGS)
 def test_catalog_matches_model_under_random_ops(spark, tmp_path_factory, mode, ops):
     _run_sequence(spark, tmp_path_factory.mktemp("fuzz"), mode, ops)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["manifest", "filelist"])
+@given(ops=st.lists(OP, min_size=6, max_size=14))
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_catalog_matches_model_deep_histories(spark, tmp_path_factory, mode, ops):
+    """Deep profile (--runslow): 100 examples per manifest mode with
+    histories long enough that filelist runs routinely CROSS the
+    checkpoint-cadence boundary (every commit is a generation, so a
+    10-op sequence passes gen 10) — the surgical merge/delete/optimize
+    mutators interleave with appends across checkpoint AND delta
+    manifests, checked against the dict-model after every history."""
+    _run_sequence(spark, tmp_path_factory.mktemp("fuzzdeep"), mode, ops)
