@@ -295,12 +295,16 @@ def main() -> None:
     else:
         # Latency profile for sub-second queries: AQE's between-stage
         # re-optimization costs 2-3x at this scale (measured: 57ms vs
-        # 23ms for top-k dates), so bench runs with it off; shuffle=16
-        # won a 4/8/16/32 sweep at sf0.1. Batch jobs at real scale keep
-        # the session defaults (AQE on) — see session.py / docs/SCALE.md.
+        # 23ms for top-k dates), so bench runs with it off. shuffle=8
+        # won the round-7 idle-box re-sweep (4/8/16: 0.259/0.250/0.327 s
+        # headline total — 16-partition stages pay ~2x task overhead on
+        # 100k-row shuffles; the round-2 sweep that picked 16 predates
+        # half the current headline plans). Batch jobs at real scale
+        # keep the session defaults (AQE on) — see session.py /
+        # docs/SCALE.md.
         spark = get_spark(
             "bench",
-            shuffle_partitions=16,
+            shuffle_partitions=8,
             extra_conf={"spark.sql.adaptive.enabled": "false", **quiet},
         )
     spark.sparkContext.setLogLevel("ERROR")
