@@ -378,6 +378,63 @@ def simhash_banded_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER word set is mostly
+    contained in the larger (|A∩B| / min(|A|, |B|) >= ``threshold``).
+
+    Jaccard misses doc-inside-doc duplication by construction — a
+    paragraph quoted inside a 10x-longer article has J ≈ 0.1 but
+    containment ≈ 1.0, and training corpora are full of exactly that
+    (aggregator pages, quote chains, boilerplate-wrapped articles).
+    Candidates come from the same banded MinHash buckets as the
+    symmetric tier (recall for high-containment pairs is lower than
+    for high-Jaccard pairs — the longer doc's extra words can steal
+    min-hash slots — so pair this with a smaller rows-per-band setting
+    when the size skew is extreme); the exact containment verify runs
+    on candidates only. Output: (id_a, id_b, n_common, containment)
+    with id_a < id_b.
+    """
+    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
+    a = long.withColumnsRenamed({id_col: "id_a"})
+    b_ = long.withColumnsRenamed({id_col: "id_b"})
+    cand = (
+        a.join(b_, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shingles = word_set(df, id_col, text_col)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sa = shingles.withColumnsRenamed({id_col: "id_a"})
+    sb = shingles.withColumnsRenamed({id_col: "id_b"})
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"})
+    zb = sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"})
+    out = (
+        common.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least("size_a", "size_b").cast("double"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "n_common", F.round("containment", 6).alias("containment")
+    )
+
+
 def dedup_new_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     # new in round 7, never driver-verified — must lead the slots:
     "d_verified_dup_edges",
     "d_dedup_against_corpus",
+    "d_containment_pairs",
     # no driver row in r5 nor r6 — these must make the 50 slots:
     "a_value_histogram",
     "t_bm25_topk",

@@ -80,6 +80,38 @@ MINHASH_BANDS_CTE = """\
     )"""
 
 
+@register(
+    "d_containment_pairs",
+    oracle=MINHASH_BANDS_CTE + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.word = sa.word
+      GROUP BY 1, 2
+    )
+    SELECT m.id_a, m.id_b, m.n_common,
+           ROUND(m.n_common / CAST(LEAST(za.set_size, zb.set_size) AS DOUBLE), 6) AS containment
+    FROM common m
+    JOIN sizes za ON za.doc_id = m.id_a
+    JOIN sizes zb ON zb.doc_id = m.id_b
+    WHERE m.n_common / CAST(LEAST(za.set_size, zb.set_size) AS DOUBLE) >= 0.9
+    """,
+    doc="Asymmetric near-dup: word-set containment |A∩B|/min(|A|,|B|) "
+    ">= 0.9 on LSH candidates — catches doc-inside-doc duplication "
+    "(quotes, aggregator pages) that Jaccard punishes by size ratio.",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
 # per-side minhash fragments for oracles joining TWO banded relations
 # (same md5 seed scheme as MINHASH_BANDS_CTE — one construction, two
 # renderings, so the signatures can never diverge between oracles)

@@ -637,3 +637,26 @@ def test_dedup_new_against_corpus(spark):
     )
     kept = D.dedup_new_against_corpus(new, corpus, "doc_id", threshold=0.7)
     assert {r["doc_id"] for r in kept.collect()} == {12, 13}
+
+
+def test_containment_pairs_catch_doc_inside_doc(spark):
+    inner = "alpha beta gamma delta epsilon"
+    outer = inner + " " + "one two three four five six seven eight nine ten"
+    rows = [
+        (1, inner),
+        (2, outer),                                  # contains doc 1 whole
+        (3, "unrelated fresh vocabulary only here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # bands=8 (2 rows/band): high-containment SIZE-SKEWED pairs match
+    # each MinHash component only with p = |A∩B|/|A∪B|, so candidate
+    # recall needs shorter bands than the symmetric tier — exactly the
+    # caveat the operator docstring carries
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(docs, "doc_id", threshold=0.9, bands=8).collect()
+    }
+    # Jaccard(1,2) = 5/15 = 0.33 — symmetric near-dup misses it;
+    # containment = 5/5 = 1.0
+    assert got.get((1, 2)) == pytest.approx(1.0)
+    assert all(3 not in k for k in got)
