@@ -398,8 +398,9 @@ def containment_pairs(
     for high-Jaccard pairs — the longer doc's extra words can steal
     min-hash slots — so pair this with a smaller rows-per-band setting
     when the size skew is extreme); the exact containment verify runs
-    on candidates only. Output: (id_a, id_b, n_common, containment)
-    with id_a < id_b.
+    on candidates only. Output: (id_a, id_b, n_common, size_a, size_b,
+    containment) with id_a < id_b — the sizes let a caller pick the
+    SUPERSET doc as survivor (pipelines/corpus containment stage).
     """
     long = banded_minhash(df, id_col, text_col, num_hashes, bands)
     a = long.withColumnsRenamed({id_col: "id_a"})
@@ -431,7 +432,8 @@ def containment_pairs(
         )
     )
     return out.filter(F.col("containment") >= threshold).select(
-        "id_a", "id_b", "n_common", F.round("containment", 6).alias("containment")
+        "id_a", "id_b", "n_common", "size_a", "size_b",
+        F.round("containment", 6).alias("containment"),
     )
 
 

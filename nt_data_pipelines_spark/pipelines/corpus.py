@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.operators import text as TX
 from nt_data_pipelines_spark.operators.dedup import (
+    containment_pairs as minhash_containment_pairs,
     exact_dedup,
     minhash_lsh_spanning_edges,
     minhash_verified_dup_edges,
@@ -60,6 +61,14 @@ class CurationConfig:
     near_dup_jaccard: float | None = 0.7
     minhash_num_hashes: int = 16
     minhash_bands: int = 4
+    # containment stage: drop docs whose word set is >= this contained
+    # in a larger surviving doc (doc-inside-doc duplication Jaccard
+    # misses — quotes, aggregator pages); the SUPERSET doc survives.
+    # None disables. Bands are shorter than the symmetric tier's
+    # because size-skewed pairs match each MinHash component only with
+    # p = |A∩B|/|A∪B| (see operators/dedup.containment_pairs).
+    containment_threshold: float | None = None
+    containment_bands: int = 8
     # all-pairs candidate edges for LSH buckets up to this size; hot
     # buckets above it connect via a verified hub-star (O(bucket))
     dup_bucket_cap: int = 64
@@ -221,6 +230,27 @@ def curate_corpus(
             .drop("canonical_id")
         )
         near = stage("semantic_dedup", near)
+
+    if config.containment_threshold is not None:
+        # doc-inside-doc tier: drop the contained (smaller-set) doc,
+        # keep the superset; ties keep the min id. Not transitive by
+        # design — this drops CONTAINED docs, it does not group them.
+        cp = minhash_containment_pairs(
+            near,
+            id_col,
+            text_col,
+            threshold=config.containment_threshold,
+            num_hashes=config.minhash_num_hashes,
+            bands=config.containment_bands,
+        )
+        losers = cp.select(
+            F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+        near = stage(
+            "containment_dedup", near.join(losers, id_col, "left_anti")
+        )
 
     span = TX.duplicated_ngram_fraction(near, id_col, text_col, n=config.ngram_n)
     spanned = near.join(

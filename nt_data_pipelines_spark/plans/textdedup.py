@@ -97,6 +97,7 @@ MINHASH_BANDS_CTE = """\
       GROUP BY 1, 2
     )
     SELECT m.id_a, m.id_b, m.n_common,
+           za.set_size AS size_a, zb.set_size AS size_b,
            ROUND(m.n_common / CAST(LEAST(za.set_size, zb.set_size) AS DOUBLE), 6) AS containment
     FROM common m
     JOIN sizes za ON za.doc_id = m.id_a

@@ -141,3 +141,28 @@ def test_curate_corpus_with_source_cap(spark):
     acct = {r["stage"]: r["docs"] for r in accounting.collect()}
     assert "source_cap" in acct
     assert 0 < acct["source_cap"] <= acct["quality_lang_gate"]
+
+
+def test_containment_stage_drops_contained_doc(spark):
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outer = inner + " plus surrounding commentary wrapping the quoted paragraph body text"
+    rows = [
+        (1, outer),
+        (2, inner),                                           # contained in 1
+        (3, "the completely different document with its own fresh words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    _, acct = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=1.0, containment_threshold=0.9
+        ),
+    )
+    counts = {r["stage"]: r["docs"] for r in acct.collect()}
+    assert counts["near_dedup"] == 3          # J(1,2) ~ 0.6: not a near-dup
+    assert counts["containment_dedup"] == 2   # doc 2 dropped, superset kept
