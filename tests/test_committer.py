@@ -148,6 +148,7 @@ def test_conditional_put_never_double_wins(spark, tmp_path):
         assert doc is not None and doc["generation"] == gen
 
 
+@pytest.mark.slow
 def test_filelist_fuzz_through_committer(spark, tmp_path):
     """The full concurrency fuzz (racing appenders + rewriter +
     vacuum) with EVERY commit arbitrated by the conditional-PUT hook:

@@ -52,6 +52,7 @@ def test_gate_skips_when_market_closed(spark, lake):
     assert daily_flow(spark, cat, today=last + dt.timedelta(days=5), window=WINDOW, half_life=HL) is False
 
 
+@pytest.mark.slow
 def test_daily_flow_writes_end_date_and_matches_batch(spark, lake):
     cat, last, prices, etf = lake
     before = cat.table("signals").filter(F.col("date") == F.lit(last)).count()

@@ -20,6 +20,8 @@ code runs unmodified. Invariants asserted per schedule:
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import random
 import threading
@@ -47,6 +49,7 @@ def _fake_batch(root: str, name: str, tag: str):
     return bdir, [os.path.relpath(fp, root)], {}
 
 
+@pytest.mark.slow
 def test_filelist_concurrent_commit_fuzz(spark, tmp_path):
     root = str(tmp_path / "fuzz")
     cat = Catalog(spark, root, commit_mode="filelist")

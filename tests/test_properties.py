@@ -64,6 +64,7 @@ def test_union_of_year_batches_equals_full_range(spark, rows):
     assert sorted(map(tuple, unioned.collect())) == sorted(map(tuple, full.collect()))
 
 
+@pytest.mark.slow
 @given(rows=ROWS, replays=st.integers(min_value=1, max_value=3))
 @settings(**_SETTINGS)
 def test_upsert_idempotent_under_replay(spark, tmp_path_factory, rows, replays):
@@ -244,6 +245,7 @@ def test_winsorize_bounds_and_interior(spark, rows):
             assert r["w"] == r["x"]
 
 
+@pytest.mark.slow
 @given(rows=ROWS, batch=ROWS)
 @settings(**_SETTINGS)
 def test_merge_equals_antijoin_plus_insert(spark, tmp_path_factory, rows, batch):
