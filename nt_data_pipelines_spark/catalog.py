@@ -2187,7 +2187,16 @@ class Catalog:
             raise ConcurrentWriteError(
                 f"optimize of {name!r} raced a rival past its pinned generation"
             )
-        files, base_stats = self._fl_resolve(name, gen) or ([], {})
+        resolved = self._fl_resolve(name, gen) if gen >= 0 else None
+        if gen >= 0 and resolved is None:
+            # never treat an unresolvable CURRENT generation as empty:
+            # committing on that base would drop every live file
+            raise LookupError(
+                f"generation {gen} of {name!r} cannot be resolved "
+                "(checkpoint base GC'd?) — refusing to optimize on an "
+                "empty base"
+            )
+        files, base_stats = resolved or ([], {})
         if not files:
             return
         schema = self._with_ingest(meta.struct)
@@ -2309,7 +2318,16 @@ class Catalog:
             raise ConcurrentWriteError(
                 f"merge into {name!r} raced a rival past its pinned generation"
             )
-        files, base_stats = self._fl_resolve(name, gen) or ([], {})
+        resolved = self._fl_resolve(name, gen) if gen >= 0 else None
+        if gen >= 0 and resolved is None:
+            # see _optimize_filelist_incremental: an unresolvable
+            # current generation must fail loudly, not read as empty
+            raise LookupError(
+                f"generation {gen} of {name!r} cannot be resolved "
+                "(checkpoint base GC'd?) — refusing to merge on an "
+                "empty base"
+            )
+        files, base_stats = resolved or ([], {})
         schema = self._with_ingest(meta.struct)
         if not files:
             if survivors is None:
