@@ -378,6 +378,60 @@ def simhash_banded_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs from signature
+    agreement alone: est = (matching MinHash components) / num_hashes.
+
+    The O(1)-per-pair verification tier: exact word-set verification
+    joins each candidate against both docs' shingle relations
+    (O(words) per pair); the signature estimate needs only the 2 x
+    num_hashes components already computed for banding. Unbiased
+    (P[component match] = J exactly), stderr = sqrt(J(1-J)/k) — at
+    k=16 that is ~0.12 worst-case, so use it to ORDER and TRIAGE
+    candidates (or raise num_hashes for tighter bands), and keep the
+    exact verify for accept/reject thresholds near the decision
+    boundary. Output: (id_a, id_b, n_match, est_jaccard), id_a < id_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_long = banded_minhash(df, id_col, text_col, num_hashes, bands)
+    a = band_long.withColumnsRenamed({id_col: "id_a"})
+    b_ = band_long.withColumnsRenamed({id_col: "id_b"})
+    cand = (
+        a.join(b_, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("n_match"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

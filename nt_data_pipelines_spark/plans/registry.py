@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "d_verified_dup_edges",
     "d_dedup_against_corpus",
     "d_containment_pairs",
+    "d_minhash_jaccard_estimate",
     # no driver row in r5 nor r6 — these must make the 50 slots:
     "a_value_histogram",
     "t_bm25_topk",

@@ -80,6 +80,36 @@ MINHASH_BANDS_CTE = """\
     )"""
 
 
+_SIG_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+@register(
+    "d_minhash_jaccard_estimate",
+    oracle=MINHASH_BANDS_CTE + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           {matches} AS n_match,
+           ROUND(({matches}) / 16.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """.format(matches=_SIG_MATCHES),
+    doc="Signature-only Jaccard estimate for LSH candidates: matching "
+    "MinHash components / 16. The O(1)-per-pair triage tier — orders "
+    "candidates without the O(words)-per-pair shingle join; unbiased "
+    "with stderr sqrt(J(1-J)/k).",
+)
+def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_jaccard_estimate(docs, "doc_id", "text")
+
+
 @register(
     "d_containment_pairs",
     oracle=MINHASH_BANDS_CTE + """,

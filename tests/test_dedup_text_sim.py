@@ -660,3 +660,30 @@ def test_containment_pairs_catch_doc_inside_doc(spark):
     # containment = 5/5 = 1.0
     assert got.get((1, 2)) == pytest.approx(1.0)
     assert all(3 not in k for k in got)
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    """Estimator contract: 1.0 on identical word sets, and within the
+    k=16 binomial error band of the exact Jaccard on true near-dups
+    (the md5 hashing is deterministic, so these bounds are exact facts
+    about these texts, not flaky statistics)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "lazy dog the quick brown fox jumps over"),       # same word SET
+        (3, "the quick brown fox jumps over a lazy dog"),     # J = 8/10
+        (4, "completely different words entirely over here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_jaccard_estimate(docs, "doc_id").collect()
+    }
+    assert est[(1, 2)] == pytest.approx(1.0)
+    assert est[(1, 3)] >= 0.5                 # true J = 0.8, k=16 band
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.0).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) <= 0.35, (pair, e, exact[pair])
