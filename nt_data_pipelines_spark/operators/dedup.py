@@ -105,6 +105,38 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*[_minhash_component(s) for s in range(num_hashes)])
 
 
+def band_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding step alone: precomputed (id, mh_0..mh_{k-1}) signatures ->
+    long-form (id, band, band_hash) LSH bucket relation.
+
+    Factored out of :func:`banded_minhash` so a caller that already
+    holds signatures (the estimate tier, a persisted corpus state
+    table) never pays the exploded-shingle aggregation shuffle twice.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature components would be silently ignored"
+        )
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sigs.select(id_col, *band_cols)
+    return banded.unpivot(
+        ids=[id_col],
+        values=[f"band_{b}" for b in range(bands)],
+        variableColumnName="band",
+        valueColumnName="band_hash",
+    )
+
+
 def banded_minhash(
     df: DataFrame,
     id_col: str,
@@ -119,24 +151,54 @@ def banded_minhash(
     batch candidate generator and the streaming signature state table
     share: equality on (band, band_hash) == band collision.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
-            "trailing signature components would be silently ignored"
-        )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sigs.select(id_col, *band_cols)
-    return banded.unpivot(
-        ids=[id_col],
-        values=[f"band_{b}" for b in range(bands)],
-        variableColumnName="band",
-        valueColumnName="band_hash",
+    return band_signatures(sigs, id_col, num_hashes, bands)
+
+
+def _bounded_band_candidates(
+    long: DataFrame,
+    id_col: str,
+    bucket_cap: int,
+    hub_order: list[Column] | None = None,
+) -> DataFrame:
+    """Long-form band relation -> candidate pairs with LINEAR edge count.
+
+    Buckets with <= ``bucket_cap`` members emit all pairs (full recall
+    where affordable, max cap^2/2 per bucket); hot buckets — the
+    boilerplate-corpus case where an uncapped self-join is O(bucket^2)
+    — emit a star to one hub per bucket: the first member under
+    ``hub_order`` (default: min id). Members not similar to the hub
+    lose this bucket's edge but collide with their own cluster again
+    in the other bands (see minhash_verified_dup_edges's recall
+    argument). Output (id_a, id_b) distinct with id_a < id_b.
+    """
+    w = Window.partitionBy("band", "band_hash")
+    order = hub_order if hub_order is not None else [F.col(id_col)]
+    wo = w.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    sized = long.select(
+        F.col(id_col),
+        "band",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        F.first(id_col).over(wo).alias("hub"),
+    )
+    small = sized.filter(F.col("bsize") <= bucket_cap)
+    a = small.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = small.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    small_pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = sized.filter(
+        (F.col("bsize") > bucket_cap) & (F.col(id_col) != F.col("hub"))
+    ).select(
+        F.least("hub", F.col(id_col)).alias("id_a"),
+        F.greatest("hub", F.col(id_col)).alias("id_b"),
+    )
+    return small_pairs.unionByName(star).distinct()
 
 
 def minhash_lsh_candidates(
@@ -234,26 +296,7 @@ def minhash_verified_dup_edges(
     shingle join fans each edge out by its word count, never all pairs.
     """
     long = banded_minhash(df, id_col, text_col, num_hashes, bands)
-    w = Window.partitionBy("band", "band_hash")
-    sized = long.select(
-        F.col(id_col),
-        "band",
-        "band_hash",
-        F.count(F.lit(1)).over(w).alias("bsize"),
-        F.min(id_col).over(w).alias("hub"),
-    )
-    small = sized.filter(F.col("bsize") <= bucket_cap)
-    a = small.select("band", "band_hash", F.col(id_col).alias("id_a"))
-    b = small.select("band", "band_hash", F.col(id_col).alias("id_b"))
-    small_pairs = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    star = sized.filter(
-        (F.col("bsize") > bucket_cap) & (F.col(id_col) != F.col("hub"))
-    ).select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
-    cand = small_pairs.unionByName(star).distinct()
+    cand = _bounded_band_candidates(long, id_col, bucket_cap)
 
     shingles = word_set(df, id_col, text_col)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -384,6 +427,7 @@ def minhash_jaccard_estimate(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Estimated Jaccard for LSH candidate pairs from signature
     agreement alone: est = (matching MinHash components) / num_hashes.
@@ -397,17 +441,18 @@ def minhash_jaccard_estimate(
     candidates (or raise num_hashes for tighter bands), and keep the
     exact verify for accept/reject thresholds near the decision
     boundary. Output: (id_a, id_b, n_match, est_jaccard), id_a < id_b.
+
+    Candidates are the same BOUNDED edge set as
+    :func:`minhash_verified_dup_edges` (all pairs for buckets <=
+    ``bucket_cap``, min-id hub-star above): a triage tier must never
+    cost more than the verify tier it triages for, and the uncapped
+    bucket self-join is O(bucket^2) on exactly the boilerplate-heavy
+    corpora where triage matters. Signatures are computed ONCE and
+    banded from that frame — no second shingle-aggregation shuffle.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
-    band_long = banded_minhash(df, id_col, text_col, num_hashes, bands)
-    a = band_long.withColumnsRenamed({id_col: "id_a"})
-    b_ = band_long.withColumnsRenamed({id_col: "id_b"})
-    cand = (
-        a.join(b_, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    band_long = band_signatures(sigs, id_col, num_hashes, bands)
+    cand = _bounded_band_candidates(band_long, id_col, bucket_cap)
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
@@ -439,6 +484,7 @@ def containment_pairs(
     threshold: float = 0.9,
     num_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Asymmetric near-dup: pairs where the SMALLER word set is mostly
     contained in the larger (|A∩B| / min(|A|, |B|) >= ``threshold``).
@@ -455,18 +501,24 @@ def containment_pairs(
     on candidates only. Output: (id_a, id_b, n_common, size_a, size_b,
     containment) with id_a < id_b — the sizes let a caller pick the
     SUPERSET doc as survivor (pipelines/corpus containment stage).
+
+    Hot buckets (> ``bucket_cap`` members) emit a star to the bucket's
+    LARGEST doc (ties: min id) instead of all O(bucket^2) pairs —
+    boilerplate-wrapped articles, containment's stated use case, are
+    precisely what makes buckets hot. The largest doc is the natural
+    hub: it is the superset-survivor candidate for every contained
+    member, so hub spokes are the pairs the corpus containment stage
+    acts on anyway.
     """
-    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
-    a = long.withColumnsRenamed({id_col: "id_a"})
-    b_ = long.withColumnsRenamed({id_col: "id_b"})
-    cand = (
-        a.join(b_, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     shingles = word_set(df, id_col, text_col)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    long = banded_minhash(df, id_col, text_col, num_hashes, bands).join(
+        sizes, id_col
+    )
+    cand = _bounded_band_candidates(
+        long, id_col, bucket_cap,
+        hub_order=[F.col("set_size").desc(), F.col(id_col)],
+    )
     sa = shingles.withColumnsRenamed({id_col: "id_a"})
     sb = shingles.withColumnsRenamed({id_col: "id_b"})
     common = (
@@ -491,18 +543,44 @@ def containment_pairs(
     )
 
 
+def corpus_dedup_state(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) state frames for incremental corpus dedup.
+
+    Compute ONCE per corpus snapshot and persist both as tables (the
+    streaming tier maintains the same two shapes as its state tables,
+    streaming/incremental.py); feed them to
+    :func:`dedup_new_against_corpus` as ``corpus_bands`` /
+    ``corpus_shingles`` so each ingestion round joins against stored
+    state instead of re-scanning and re-tokenizing the full corpus.
+    Shapes: bands (id, band, band_hash); shingles (id, word) distinct.
+    """
+    return (
+        banded_minhash(corpus, id_col, text_col, num_hashes, bands),
+        word_set(corpus, id_col, text_col),
+    )
+
+
 def dedup_new_against_corpus(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.7,
     num_hashes: int = 16,
     bands: int = 4,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    corpus_bucket_cap: int | None = 64,
 ) -> DataFrame:
     """Incremental-ingestion dedup: keep the NEW batch's docs that are
     not near-dups (exact word-set Jaccard >= ``threshold``) of any
-    document already in ``corpus``.
+    document already in the corpus.
 
     The continuous-training-data shape: every ingestion round dedups
     its delta against the accumulated corpus instead of re-deduping
@@ -513,9 +591,44 @@ def dedup_new_against_corpus(
     of scope by design (run the batch through curate_corpus /
     minhash_verified_dup_edges first); this operator answers only "is
     it already in the corpus".
+
+    **Persisted state is the scale path**: pass ``corpus_bands`` and
+    ``corpus_shingles`` (from :func:`corpus_dedup_state`, persisted as
+    tables and maintained incrementally — append each kept batch's
+    bands/shingles after the round) and the 100-TB corpus is never
+    re-scanned or re-tokenized per batch; only the state tables are
+    read. ``corpus`` may then be None. When the precomputed frames are
+    omitted the operator derives both from ``corpus`` — correct, but a
+    full corpus recompute per call; fine for one-shot use only.
+
+    ``corpus_bucket_cap`` bounds the candidate join on hot corpus
+    buckets: only the ``cap`` min-id corpus docs per (band, band_hash)
+    join the batch, so a boilerplate bucket contributes O(batch x cap)
+    pairs, not O(batch x bucket). Recall argument: a corpus that is
+    itself near-deduped (the maintained-state regime) has no giant
+    true-dup buckets, so a hot bucket is shared-vocabulary soft
+    collisions, and a genuine near-dup of a new doc still collides in
+    the other ``bands - 1`` bands. None disables the cap.
     """
+    if corpus_bands is None or corpus_shingles is None:
+        if corpus is None:
+            raise ValueError(
+                "either corpus or both corpus_bands and corpus_shingles "
+                "must be provided"
+            )
+        if corpus_bands is None:
+            corpus_bands = banded_minhash(corpus, id_col, text_col, num_hashes, bands)
+        if corpus_shingles is None:
+            corpus_shingles = word_set(corpus, id_col, text_col)
     nb = banded_minhash(new_docs, id_col, text_col, num_hashes, bands)
-    cb = banded_minhash(corpus, id_col, text_col, num_hashes, bands)
+    cb = corpus_bands
+    if corpus_bucket_cap is not None:
+        wb = Window.partitionBy("band", "band_hash").orderBy(id_col)
+        cb = (
+            cb.withColumn("_brank", F.row_number().over(wb))
+            .filter(F.col("_brank") <= corpus_bucket_cap)
+            .drop("_brank")
+        )
     cand = (
         nb.withColumnsRenamed({id_col: "id_new"})
         .join(cb.withColumnsRenamed({id_col: "id_old"}), ["band", "band_hash"])
@@ -523,7 +636,7 @@ def dedup_new_against_corpus(
         .distinct()
     )
     new_sh = word_set(new_docs, id_col, text_col).withColumnsRenamed({id_col: "id_new"})
-    old_sh = word_set(corpus, id_col, text_col).withColumnsRenamed({id_col: "id_old"})
+    old_sh = corpus_shingles.withColumnsRenamed({id_col: "id_old"})
     common = (
         cand.join(new_sh, "id_new")
         .join(old_sh, ["id_old", "word"])

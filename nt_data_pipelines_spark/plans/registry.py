@@ -65,70 +65,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # so round 4 fronts the 25 that have never had a driver row plus a
 # representative spread of each operator class. Full-registry parity
 # (all entries, same protocol) runs via scripts/check_parity.py.
-# Round-7 rotation: front the 58 queries with no row in
-# CORRECTNESS_r06 (all driver-green in earlier rounds and re-verified
-# by the local full-registry parity run every round). The first eight
-# (a_value_histogram .. d_dup_ngram_fraction) are the round-6
-# overflow with no row in r5 OR r6 — they must occupy guaranteed
-# slots; the remaining 50 follow in registration order, with the
-# trailing eight (w_user_streaks .. g_pagerank_knn, all r5-green)
-# overflowing to round 8 so the r5+r6+r7 union still carries a fresh
-# row for every registered query. Enforced by
-# tests/test_registry_rotation.py.
+# Round-8 rotation, staleness-first: (a) the three dedup queries whose
+# SEMANTICS changed this round (hot-bucket caps + persisted-state
+# corpus join, oracles updated in lockstep) need fresh driver rows even
+# though r7 verified their old forms; (b) the 12 queries whose latest
+# driver row is r5 (the r7 priority-overflow); (c) the r6-verified
+# queries that sat out r7, in registration order — the last 15 of these
+# overflow to round 9 (r6+r8 union still covers them). Any NEW round-8
+# query must be inserted at the very top (never-verified first —
+# enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
-    # new in round 7, never driver-verified — must lead the slots:
-    "d_verified_dup_edges",
+    # semantics changed in round 8 — re-verify first:
     "d_dedup_against_corpus",
     "d_containment_pairs",
     "d_minhash_jaccard_estimate",
-    # no driver row in r5 nor r6 — these must make the 50 slots:
-    "a_value_histogram",
-    "t_bm25_topk",
-    "w_xsec_rank",
-    "w_forward_returns",
-    "w_drawdown",
-    "w_gap_fill",
-    "p_winsorize",
-    "d_dup_ngram_fraction",
-    # r5-green, absent from r6 — registration order:
-    "j1_universe_gated_join",
-    "j5_full_outer_coalesce",
-    "a2_collect_sorted_list",
-    "a3_global_max",
-    "a4_distinct",
-    "o3_topk_dates",
-    "r1_union_slices",
-    "r3_unpivot_lineitem",
-    "r4_explode_embeddings",
-    "f1_json_props",
-    "w2_rolling_sum21",
-    "w3_rolling_std21",
-    "w5_rolling_cov21",
-    "a5_zscore_global",
-    "t_asof_last_view",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "d_simhash_pairs",
-    "t_quality_features",
-    "t_language_id",
-    "t_fingerprint",
-    "t_normalize",
-    "t_token_totals",
-    "s_near_dup_pairs",
-    "t_boilerplate_lines",
-    "p_temperature_mix",
-    "p_split_assign",
-    "a_corpus_report",
-    "t_dedup_paragraphs",
-    "t_vocab_topk",
-    "s_quantize_embeddings",
-    "p_quantile_transform",
-    "a_null_profile",
-    "w_rolling_skew_kurt",
-    "w_rsi14",
-    "w_robust_zscore",
-    "t_unigram_logprob",
-    "s_knn_graph",
+    # latest driver row is r5 (r7 slot overflow):
     "s_pq_encode",
     "s_pq_search_topk",
     "p_zorder_key",
@@ -136,12 +87,63 @@ DRIVER_PRIORITY: list[str] = [
     "a_funnel_conversion",
     "a_cohort_retention",
     "a_event_transitions",
-    # --- 50-slot boundary falls here; the rest overflow to round 8 ---
     "w_user_streaks",
     "t_lexical_diversity",
     "t_bigram_logprob",
     "a_last_touch_attribution",
     "g_pagerank_knn",
+    # latest driver row is r6 — registration order:
+    "a1_pricing_summary",
+    "j2_shipping_priority",
+    "j6_semi_anti",
+    "o4_top3_per_group",
+    "p_scalar_suite",
+    "f1_date_parts",
+    "r2_pivot_event_type",
+    "w1_pct_change",
+    "a5_zscore_per_date",
+    "a6_equal_weight_benchmark",
+    "t_sessionize",
+    "w6_rolling_regression",
+    "w4_ewma_halflife",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_simhash_banded",
+    "s_brute_topk",
+    "s_lsh_ann_topk",
+    "s_lsh_dedup_groups",
+    "s_ivf_search_topk",
+    "s_centroid_per_label",
+    "a_cube_counts",
+    "a_grouping_sets",
+    "o1_multisort_limit",
+    "a_median_exact",
+    "d_lsh_verified_dedup",
+    "s_ivf_assign",
+    "m_media_metadata",
+    "a_rollup_counts",
+    "w_rolling_minmax",
+    "w_rolling_median",
+    "j_asof_join",
+    "j_asof_forward",
+    "j_asof_tolerance",
+    "j_interval_join",
+    # --- 50-slot boundary falls here; the rest overflow to round 9 ---
+    "p_clean_corpus",
+    "t_repetition_stats",
+    "p_stratified_sample",
+    "t_sequence_pack",
+    "t_scrub_pii",
+    "t_contamination",
+    "w_sessionize",
+    "w_ohlc_resample",
+    "t_tfidf_top_terms",
+    "t_inverted_index",
+    "a_exact_quantiles",
+    "t_chunk_documents",
+    "p_mix_sources",
+    "t_bm25_scores",
+    "w6_rolling_regression_k5",
 ]
 
 

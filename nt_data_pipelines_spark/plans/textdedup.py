@@ -88,10 +88,23 @@ _SIG_MATCHES = " + ".join(
 @register(
     "d_minhash_jaccard_estimate",
     oracle=MINHASH_BANDS_CTE + """,
+    sized AS (
+      SELECT doc_id, band, band_hash,
+             COUNT(*) OVER (PARTITION BY band, band_hash) AS bsize,
+             MIN(doc_id) OVER (PARTITION BY band, band_hash) AS hub
+      FROM bands
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsize <= 64
+        UNION ALL
+        SELECT LEAST(hub, doc_id), GREATEST(hub, doc_id)
+        FROM sized WHERE bsize > 64 AND doc_id <> hub
+      )
     )
     SELECT c.id_a, c.id_b,
            {matches} AS n_match,
@@ -103,7 +116,9 @@ _SIG_MATCHES = " + ".join(
     doc="Signature-only Jaccard estimate for LSH candidates: matching "
     "MinHash components / 16. The O(1)-per-pair triage tier — orders "
     "candidates without the O(words)-per-pair shingle join; unbiased "
-    "with stderr sqrt(J(1-J)/k).",
+    "with stderr sqrt(J(1-J)/k). Candidates are the bounded edge set "
+    "(all pairs <= 64/bucket, min-id hub-star above) — a triage tier "
+    "must never cost more than the verify tier it triages for.",
 )
 def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -113,12 +128,28 @@ def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_containment_pairs",
     oracle=MINHASH_BANDS_CTE + """,
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-    ),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    sized AS (
+      SELECT b.doc_id, b.band, b.band_hash,
+             COUNT(*) OVER (PARTITION BY b.band, b.band_hash) AS bsize,
+             FIRST_VALUE(b.doc_id) OVER (
+               PARTITION BY b.band, b.band_hash
+               ORDER BY z.set_size DESC, b.doc_id
+             ) AS hub
+      FROM bands b JOIN sizes z ON z.doc_id = b.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsize <= 64
+        UNION ALL
+        SELECT LEAST(hub, doc_id), GREATEST(hub, doc_id)
+        FROM sized WHERE bsize > 64 AND doc_id <> hub
+      )
+    ),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
@@ -136,7 +167,9 @@ def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Asymmetric near-dup: word-set containment |A∩B|/min(|A|,|B|) "
     ">= 0.9 on LSH candidates — catches doc-inside-doc duplication "
-    "(quotes, aggregator pages) that Jaccard punishes by size ratio.",
+    "(quotes, aggregator pages) that Jaccard punishes by size ratio. "
+    "Candidates are bounded: all pairs for buckets <= 64, hub-star to "
+    "the bucket's LARGEST doc (the superset survivor) above.",
 )
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -166,9 +199,16 @@ _BANDS_SQL = " UNION ALL ".join(
     osig AS (SELECT doc_id, {_MINS_SQL} FROM osh GROUP BY doc_id),
     nbands AS ({_BANDS_SQL.format(sig="nsig")}),
     obands AS ({_BANDS_SQL.format(sig="osig")}),
+    ocapped AS (
+      SELECT doc_id, band, band_hash FROM (
+        SELECT doc_id, band, band_hash,
+               ROW_NUMBER() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS brank
+        FROM obands
+      ) WHERE brank <= 64
+    ),
     cand AS (
       SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
-      FROM nbands n JOIN obands o
+      FROM nbands n JOIN ocapped o
         ON n.band = o.band AND n.band_hash = o.band_hash
     ),
     common AS (
@@ -195,13 +235,20 @@ _BANDS_SQL = " UNION ALL ".join(
     "only where no corpus doc (the other 90%) is a verified near-dup "
     "(MinHash-LSH candidates batch-vs-corpus, exact Jaccard >= 0.7). "
     "The continuous-training-data shape: each round dedups its delta "
-    "against the accumulated corpus, O(batch x bucket) never corpus^2.",
+    "against the accumulated corpus, O(batch x bucket) never corpus^2. "
+    "Corpus side joins through precomputed corpus_dedup_state frames "
+    "(the persisted-state path) with hot corpus buckets capped at 64 "
+    "min-id members (mirrored in the oracle).",
 )
 def d_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new_docs = docs.filter(F.col("doc_id") % 10 == 7)
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    kept = D.dedup_new_against_corpus(new_docs, corpus, "doc_id", "text", threshold=0.7)
+    cb, csh = D.corpus_dedup_state(corpus, "doc_id", "text")
+    kept = D.dedup_new_against_corpus(
+        new_docs, None, "doc_id", "text", threshold=0.7,
+        corpus_bands=cb, corpus_shingles=csh,
+    )
     return kept.select("doc_id", "text")
 
 

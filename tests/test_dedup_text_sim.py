@@ -687,3 +687,179 @@ def test_minhash_jaccard_estimate_tracks_exact(spark):
     for pair, e in est.items():
         if pair in exact:
             assert abs(e - exact[pair]) <= 0.35, (pair, e, exact[pair])
+
+
+# ---- round-8: hot-bucket caps for the triage/containment tiers ----
+
+
+def test_bounded_candidates_hub_selection(spark):
+    """Unit contract of _bounded_band_candidates: small buckets emit all
+    pairs; hot buckets emit a star to the FIRST member under hub_order
+    (here: largest set_size, min-id ties) — the containment tier's
+    superset-survivor hub."""
+    rows = [
+        # one bucket of 4 (hot at cap=3); doc 30 is the largest
+        *[(i, "band_0", "h1", sz) for i, sz in [(10, 5), (20, 5), (30, 9), (40, 2)]],
+        # one bucket of 2 (small): all pairs
+        (50, "band_0", "h2", 3),
+        (60, "band_0", "h2", 4),
+    ]
+    long = spark.createDataFrame(rows, ["doc_id", "band", "band_hash", "set_size"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D._bounded_band_candidates(
+            long, "doc_id", bucket_cap=3,
+            hub_order=[F.col("set_size").desc(), F.col("doc_id")],
+        ).collect()
+    }
+    assert got == {(10, 30), (20, 30), (30, 40), (50, 60)}
+    # default hub (min id) on the same frame
+    got_min = {
+        (r["id_a"], r["id_b"])
+        for r in D._bounded_band_candidates(long, "doc_id", bucket_cap=3).collect()
+    }
+    assert got_min == {(10, 20), (10, 30), (10, 40), (50, 60)}
+
+
+def test_capped_equals_uncapped_on_normal_corpus(spark):
+    """When no bucket exceeds the cap, the capped code path (window
+    sizing + hub computation + small/star union) must reproduce the
+    all-pairs form EXACTLY — for both newly-capped tiers. The cap is
+    set to the corpus's real max bucket size, so every bucket takes
+    the small-pairs branch."""
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    max_bucket = (
+        D.banded_minhash(docs, "doc_id", "text")
+        .groupBy("band", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    capped = D.containment_pairs(docs, "doc_id", threshold=0.9, bucket_cap=max_bucket)
+    uncapped = D.containment_pairs(docs, "doc_id", threshold=0.9, bucket_cap=10**9)
+    assert rows(capped) == rows(uncapped)
+
+    est_c = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=max_bucket)
+    est_u = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=10**9)
+    assert rows(est_c) == rows(est_u)
+
+
+def test_hot_bucket_candidates_stay_linear(spark):
+    """One-hot-bucket corpus (n identical texts): uncapped candidates
+    are O(n^2); the capped tiers must emit O(n) rows — the star to the
+    hub — and still verify them all (identical texts: containment and
+    estimate are 1.0)."""
+    n = 120
+    text = "shared boilerplate words repeated across every single page"
+    docs = spark.createDataFrame([(i, text) for i in range(n)], ["doc_id", "text"])
+
+    cp = D.containment_pairs(docs, "doc_id", threshold=0.9, bucket_cap=16).collect()
+    assert len(cp) == n - 1                      # star, not clique
+    assert all(r["containment"] == pytest.approx(1.0) for r in cp)
+
+    est = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=16).collect()
+    assert len(est) == n - 1
+    assert all(r["est_jaccard"] == pytest.approx(1.0) for r in est)
+
+    # uncapped really would be quadratic — the cap is doing the work
+    unc = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=10**9)
+    assert unc.count() == n * (n - 1) // 2
+
+
+# ---- round-8: persisted-state incremental corpus dedup ----
+
+
+def test_dedup_against_corpus_from_persisted_state(spark, tmp_path):
+    """The scale path: corpus bands/shingles precomputed once, persisted,
+    and joined per batch — result identical to the derive-from-corpus
+    path, and the plan reads the STATE parquet, never the corpus."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus content right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over a lazy dog"),
+            (12, "fresh unseen material with novel vocabulary"),
+        ],
+        ["doc_id", "text"],
+    )
+    bands_df, shingles_df = D.corpus_dedup_state(corpus, "doc_id", "text")
+    bpath, spath = str(tmp_path / "state_bands"), str(tmp_path / "state_words")
+    bands_df.write.parquet(bpath)
+    shingles_df.write.parquet(spath)
+
+    kept = D.dedup_new_against_corpus(
+        new, None, "doc_id", threshold=0.7,
+        corpus_bands=spark.read.parquet(bpath),
+        corpus_shingles=spark.read.parquet(spath),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {12}
+    baseline = D.dedup_new_against_corpus(new, corpus, "doc_id", threshold=0.7)
+    assert {r["doc_id"] for r in baseline.collect()} == {12}
+
+    # plan-shape: the corpus side comes from the state tables — the
+    # plan's ONLY file scans are the two state parquet roots (the batch
+    # is an in-memory LocalTableScan), so no corpus re-scan/re-tokenize
+    # can hide anywhere in the lineage.
+    scanned = set(kept.inputFiles())
+    assert any("state_bands" in f for f in scanned)
+    assert any("state_words" in f for f in scanned)
+    assert all("state_bands" in f or "state_words" in f for f in scanned)
+
+
+def test_streaming_state_feeds_batch_incremental_dedup(spark, tmp_path):
+    """Tier tie-in: the streaming verified tier's signature and word-set
+    state tables ARE valid corpus_bands/corpus_shingles for the batch
+    incremental operator — maintain state with minhash_foreach_batch,
+    then dedup a new batch against it without ever re-reading the
+    corpus documents."""
+    from pyspark.sql import types as T
+
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.streaming import minhash_foreach_batch
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+        WORD_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different corpus content right here"),
+    ]
+    cat = Catalog(spark, str(tmp_path / "inc_lake"))
+    cat.create("sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    cat.create("words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+    sink = minhash_foreach_batch(
+        cat, "sigs", "pairs", words_table="words", verify_threshold=0.7
+    )
+    sink(spark.createDataFrame(corpus_rows, doc_schema), epoch_id=0)
+
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (12, "fresh unseen material with novel vocabulary"),
+        ],
+        doc_schema,
+    )
+    kept = D.dedup_new_against_corpus(
+        new, None, "doc_id", threshold=0.7,
+        corpus_bands=cat.table("sigs"),
+        corpus_shingles=cat.table("words"),
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {12}
