@@ -924,6 +924,14 @@ class Catalog:
                 return self.spark.read.schema(schema).parquet(self._path(name))
             return self.spark.createDataFrame([], schema)
         files = self._fl_manifest_files(name, g)
+        if files is None:
+            # never treat an unresolvable generation as empty: zero
+            # rows would be a silently WRONG answer (the write paths
+            # raise for exactly this condition)
+            raise LookupError(
+                f"generation {g} of {name!r} cannot be resolved "
+                "(checkpoint base GC'd?) — refusing to read it as empty"
+            )
         if not files:
             return self.spark.createDataFrame([], schema)
         if not self._fl_snapshot_readable(name, g, files):
@@ -1245,6 +1253,12 @@ class Catalog:
             del self._state["tables"][name]
             self._save()
             self._delete_all_data(name)
+            # a recreated table restarts generations at 0 — stale
+            # (name, gen) cache entries would serve the DROPPED
+            # table's file lists for colliding keys
+            self._fl_cache = {
+                k: v for k, v in self._fl_cache.items() if k[0] != name
+            }
 
     def _delete_all_data(self, name: str) -> None:
         """Remove every artifact of a table: the plain dir, and in
@@ -1810,7 +1824,15 @@ class Catalog:
             # migration branch (an empty frame here would be a
             # silently WRONG answer, not a pruned one)
             return _row_filter(self.table(name))
-        files, stats = self._fl_resolve(name, gen) or ([], {})
+        resolved = self._fl_resolve(name, gen)
+        if resolved is None:
+            # mirror _fl_read: unresolvable != empty — an empty pruned
+            # scan here would be a silently wrong answer
+            raise LookupError(
+                f"generation {gen} of {name!r} cannot be resolved "
+                "(checkpoint base GC'd?) — refusing to read it as empty"
+            )
+        files, stats = resolved
         kinds = {f.name: self._col_kind(f.dataType) for f in meta.struct.fields}
         kept = []
         for rel in files:
@@ -1841,8 +1863,15 @@ class Catalog:
         """(path, bytes) of every live parquet data file."""
         gen = self._current_gen(name) if self.commit_mode == "filelist" else -1
         if self.commit_mode == "filelist" and gen >= 0:
+            rels = self._fl_manifest_files(name, gen)
+            if rels is None:
+                raise LookupError(
+                    f"generation {gen} of {name!r} cannot be resolved "
+                    "(checkpoint base GC'd?) — refusing to report no "
+                    "data files"
+                )
             out = []
-            for rel in self._fl_manifest_files(name, gen) or []:
+            for rel in rels:
                 fs, p = self._hfs(self._fl_abs(rel))
                 if fs.exists(p):
                     out.append((p.toString(), fs.getFileStatus(p).getLen()))

@@ -43,6 +43,7 @@ commit path is first-class here rather than a documented caveat.
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
 import uuid
@@ -167,7 +168,25 @@ def _mirror_to_local(path: str, payload: bytes) -> None:
     On a real S3 root the conditional PUT already IS the readable
     object and no mirror is involved.
     """
-    local = path.split("://", 1)[1] if path.startswith("file://") else path
+    # Hadoop normalizes file URIs to BOTH 'file:///p' and 'file:/p'
+    # forms — strip either, and refuse other schemes outright (an
+    # os-level write of 's3a://…' would create a literal relative
+    # 's3a:' directory, the exact pitfall catalog.py's scheme
+    # handling warns about).
+    if path.startswith("file:///"):
+        local = path[len("file://"):]
+    elif path.startswith("file:/") and not path.startswith("file://"):
+        local = path[len("file:"):]
+    elif path.startswith("file:"):
+        # file://host/p (remote authority) or file:relative
+        raise ValueError(f"unsupported file URI form: {path!r}")
+    elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        raise ValueError(
+            f"_mirror_to_local got non-local scheme-qualified path {path!r}; "
+            "mirroring is only meaningful for local roots"
+        )
+    else:
+        local = path
     os.makedirs(os.path.dirname(local), exist_ok=True)
     tmp = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:

@@ -48,7 +48,8 @@ def scaled(df: DataFrame, key_spans: dict[str, int], copies: int) -> DataFrame:
 def scaled_documents(docs: DataFrame, copies: int) -> DataFrame:
     """Union ``copies`` doc-id-shifted clones with per-copy token salting.
 
-    Every token in copy i>0 gets a ``c{i}_`` prefix, which makes the
+    Every token in copy i>0 gets a ``c{i}x`` prefix (no underscore —
+    normalize_text would split an underscore salt back off), making the
     copies pairwise DISJOINT in word-shingle space: each clone carries
     the source corpus's exact/near-dup structure, and no cross-copy
     near-dups appear. Dedup work therefore scales LINEARLY with copies

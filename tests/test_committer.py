@@ -322,3 +322,29 @@ def test_s3_key_translation():
     assert k("s3a://bkt/a/b/0.json") == "a/b/0.json"
     assert k("/a/b/0.json") == "a/b/0.json"
     assert k("a/b/0.json") == "a/b/0.json"
+
+
+def test_mirror_to_local_normalizes_file_uri_forms(tmp_path):
+    """Hadoop emits BOTH 'file:///p' and 'file:/p' (single slash) for
+    local paths — the mirror must strip either instead of creating a
+    literal 'file:' directory, and must refuse non-local schemes."""
+    from nt_data_pipelines_spark.committers import _mirror_to_local
+
+    p1 = tmp_path / "a" / "m1.json"
+    _mirror_to_local(f"file://{p1}", b"one")      # file:///abs form
+    assert p1.read_bytes() == b"one"
+
+    p2 = tmp_path / "b" / "m2.json"
+    _mirror_to_local(f"file:{p2}", b"two")        # file:/abs form
+    assert p2.read_bytes() == b"two"
+
+    p3 = tmp_path / "c" / "m3.json"
+    _mirror_to_local(str(p3), b"three")           # plain path
+    assert p3.read_bytes() == b"three"
+
+    with pytest.raises(ValueError):
+        _mirror_to_local("s3a://bucket/key.json", b"x")
+    with pytest.raises(ValueError):
+        _mirror_to_local("file:relative/m.json", b"x")
+    # nothing leaked into the CWD as a literal 'file:'/'s3a:' dir
+    assert not os.path.exists("file:") and not os.path.exists("s3a:")

@@ -157,7 +157,7 @@ def test_containment_stage_drops_contained_doc(spark):
         (3, "the completely different document with its own fresh words here"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    _, acct = curate_corpus(
+    packed, acct = curate_corpus(
         docs,
         config=CurationConfig(
             min_words=5, max_dup_ngram_frac=1.0, containment_threshold=0.9
@@ -166,3 +166,8 @@ def test_containment_stage_drops_contained_doc(spark):
     counts = {r["stage"]: r["docs"] for r in acct.collect()}
     assert counts["near_dedup"] == 3          # J(1,2) ~ 0.6: not a near-dup
     assert counts["containment_dedup"] == 2   # doc 2 dropped, superset kept
+    # survivor IDENTITY, end to end: chunk_uid = "{doc_id}#{start}", so
+    # the packed corpus names its source docs — the SUPERSET (1) made
+    # it through, the quote-page (2) did not
+    packed_docs = {int(r["chunk_uid"].split("#")[0]) for r in packed.collect()}
+    assert 1 in packed_docs and 2 not in packed_docs

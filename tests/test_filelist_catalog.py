@@ -775,3 +775,41 @@ def test_change_feed_on_pre_optimize_append_generation(spark, tmp_path):
     assert [(r["ticker"], r["_change_type"], r["close"]) for r in feed] == [
         ("A", "update", 9.0)
     ]
+
+
+# ---- round-8 ADVICE fixes: unresolvable-gen reads + drop cache ----
+
+
+def test_unresolvable_generation_raises_not_empty(spark, tmp_path):
+    """An unresolvable current generation (checkpoint base GC'd /
+    missing) must raise on READ paths exactly like the write paths do
+    — an empty result here is a silently wrong answer, not a scan."""
+    cat = Catalog(spark, str(tmp_path / "ur"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("A", D1, 1.0)]))
+    cat.insert("px", _rows(spark, [("B", D2, 2.0)]))
+    cat.insert("px", _rows(spark, [("C", D2, 3.0)]))
+    # destroy the checkpoint base (gen 0) so deltas 1..2 have nothing
+    # to replay from
+    os.remove(os.path.join(cat._manifest_dir("px"), "0.json"))
+    cat._fl_cache.clear()
+    with pytest.raises(LookupError, match="cannot be resolved"):
+        cat.table("px").collect()
+    with pytest.raises(LookupError, match="cannot be resolved"):
+        cat.scan_pruned("px", ticker="A").collect()
+    with pytest.raises(LookupError, match="cannot be resolved"):
+        cat.data_files("px")
+
+
+def test_drop_invalidates_filelist_cache(spark, tmp_path):
+    """Dropping and recreating a table restarts generations at 0 —
+    stale (name, gen) cache entries must not serve the dropped table's
+    file lists (they reference deleted files)."""
+    cat = Catalog(spark, str(tmp_path / "dc"), commit_mode="filelist")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("OLD", D1, 1.0)]))
+    assert _state(cat, "px") == [("OLD", 1.0)]  # populates (px, 0) cache
+    cat.drop("px")
+    cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
+    cat.insert("px", _rows(spark, [("NEW", D2, 9.0)]))
+    assert _state(cat, "px") == [("NEW", 9.0)]
