@@ -164,9 +164,12 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     the all-pairs candidate op (its output is ~320 M pairs at 50x: a
     single run exceeds 5 minutes) and the full curation pipeline — and
     records WHY under ``skipped`` so the cap is loud, not silent; both
-    stay tracked at sf1 every round. The heavy entries run once after
-    one warmup-free build (medians of n=1), which is noise-tolerant
-    enough for >30 s wall times.
+    stay tracked at sf1 every round. The heavy entries run 3 timed
+    runs with no warmup (VERDICT r7 #4: median-of-1 gave a degenerate
+    stdev=0 spread, so a 20% regression was indistinguishable from
+    noise) — real medians cost ~3 extra minutes but make the two
+    entries the block exists to guard actually comparable round over
+    round.
     """
     from nt_data_pipelines_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -227,7 +230,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
             "c1_minhash_candidates": run_candidates,
             "c3_curate_full": run_curate,
         }
-        t, s = _time_queries(spark_composed, 0, 1, {k: k for k in thunks})
+        t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks})
         spark_t.update(t)
         spark_spread.update(s)
     else:
@@ -276,6 +279,110 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     }
     if skipped:
         out["skipped"] = skipped
+    return out
+
+
+def _streaming_block(spark, data_dir: str, n_batches: int = 3) -> dict:
+    """Streaming-tier bench (VERDICT r7 #5): drive both foreachBatch
+    sinks over ``n_batches`` micro-batches of the scaled corpus and
+    record per-batch wall time + final state-table sizes.
+
+    The thing this makes visible round-over-round: the per-batch cost
+    of the verified near-dup tier's state joins (batch bands vs the
+    accumulated signature table, candidate word-set verification, PK
+    upserts into three state tables) and of IVF-PQ index maintenance.
+    Batch_i times are expected to GROW with state size — a slope
+    change, not the absolute, is the regression signal. Batches are
+    deterministic doc_id/vec_id % n_batches slices, so the workload is
+    identical every round.
+
+    The minhash tier runs on a deterministic 1/``docs_mod`` subsample:
+    the full sf1 corpus's verified pair set is ~44 M rows (the salted
+    copies carry big TRUE near-dup cliques, and the contract pair
+    table is all verified pairs — quadratic per clique), which puts a
+    single pass at ~6 min of mostly pairs-table rewrite. The subsample
+    keeps every join shape and the state-growth slope at ~1/25 the
+    pair volume; being id-deterministic, it is the same workload every
+    round.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.catalog import Catalog
+    from nt_data_pipelines_spark.operators.ivf import kmeans_train
+    from nt_data_pipelines_spark.operators.pq import pq_train
+    from nt_data_pipelines_spark.session import default_parallelism
+    from nt_data_pipelines_spark.sources.testdata import load_table
+    from nt_data_pipelines_spark.streaming import (
+        ann_index_foreach_batch,
+        minhash_foreach_batch,
+    )
+    from nt_data_pipelines_spark.streaming.incremental import (
+        ANN_INDEX_SCHEMA,
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+        WORD_STATE_SCHEMA,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    lake = tempfile.mkdtemp(prefix="bench_streaming_")
+    out: dict = {"config": "prod(aqe=on)", "n_batches": n_batches}
+    try:
+        cat = Catalog(spark, lake, commit_mode="filelist")
+        cat.create("sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+        cat.create("pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+        cat.create("words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+        sink = minhash_foreach_batch(
+            cat, "sigs", "pairs", words_table="words", verify_threshold=0.7
+        )
+        docs_mod = 5
+        out["docs_mod"] = docs_mod
+        docs = (
+            load_table(spark, data_dir, "documents")
+            .filter(F.col("doc_id") % docs_mod == 0)
+            .select("doc_id", "text")
+        )
+        batch_secs = []
+        for i in range(n_batches):
+            b = docs.filter(F.col("doc_id") % n_batches == i)
+            t0 = time.perf_counter()
+            sink(b, epoch_id=i)
+            batch_secs.append(round(time.perf_counter() - t0, 4))
+        out["minhash_verified"] = {
+            "batch_secs": batch_secs,
+            "value": round(sum(batch_secs), 4),
+            "state_rows": {
+                "sigs": cat.table("sigs").count(),
+                "pairs": cat.table("pairs").count(),
+                "words": cat.table("words").count(),
+            },
+        }
+
+        emb = load_table(spark, data_dir, "embeddings").select("vec_id", "embedding")
+        seed = emb.filter(F.col("vec_id") < 2000)
+        cents = kmeans_train(seed, n_cells=16, iterations=2)
+        cb = pq_train(seed, m=4, k=16, dim=64, iterations=1)
+        cat.create("ann_idx", ANN_INDEX_SCHEMA, None, ["vec_id"])
+        asink = ann_index_foreach_batch(cat, "ann_idx", cents, cb, m=4, dim=64)
+        ann_secs = []
+        for i in range(n_batches):
+            b = emb.filter(F.col("vec_id") % n_batches == i)
+            t0 = time.perf_counter()
+            asink(b, epoch_id=i)
+            ann_secs.append(round(time.perf_counter() - t0, 4))
+        out["ann_index"] = {
+            "batch_secs": ann_secs,
+            "value": round(sum(ann_secs), 4),
+            "state_rows": {"ann_idx": cat.table("ann_idx").count()},
+        }
+        out["value"] = round(
+            out["minhash_verified"]["value"] + out["ann_index"]["value"], 4
+        )
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
     return out
 
 
@@ -342,6 +449,10 @@ def main() -> None:
                     spark, str(d), heavy=float(d.name[2:]) <= 1
                 )
                 prod_keys.append(ckey)
+                if float(d.name[2:]) <= 1:
+                    skey = f"{d.name}_streaming"
+                    out[skey] = _streaming_block(spark, str(d))
+                    prod_keys.append(skey)
     # The FULL artifact (spreads, per-query prod detail) goes to a
     # file so it survives any capture window — the round-5 official
     # sf0.1 headline was lost because the driver's tail capture
