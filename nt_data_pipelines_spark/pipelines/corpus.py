@@ -103,6 +103,29 @@ class CurationConfig:
     # parquet file per shard (operators/shards.write_training_shards),
     # bins contiguous and ordered within each file
     output_path: str | None = None
+    # how each of the up-to-9 stage boundaries is pinned:
+    #
+    # - "local_checkpoint" (default): localCheckpoint(eager=False) —
+    #   TRUNCATES the logical plan to the checkpointed RDD. This is
+    #   load-bearing, not a convenience: with plain persist(), every
+    #   downstream plan tree embeds every upstream stage's full plan
+    #   (InMemoryRelation keeps its cachedPlan as innerChildren), and
+    #   under AQE the driver regenerates the plan-description string
+    #   over that nested tree after every query stage — measured 22 s
+    #   of pure TreeNode.generateTreeString per FRESH count at stage
+    #   depth 8 (sf1, all caches hot; jstack-confirmed). Truncated,
+    #   the same count is milliseconds. Blocks store MEMORY_AND_DISK;
+    #   an executor loss makes the run fail-and-restart rather than
+    #   recompute — acceptable for single-node and dedicated clusters.
+    # - "checkpoint": reliable checkpoint to spark's checkpoint dir
+    #   (caller must have set sparkContext.setCheckpointDir) — the
+    #   multi-tenant-cluster choice: survives executor loss, same
+    #   plan-truncation benefit, costs a durable write per stage.
+    # - "persist": StorageLevel.MEMORY_ONLY cache, pure recompute
+    #   semantics (no action can fail from a lost block) — carries
+    #   the deep-lineage driver cost above; prefer it only with AQE
+    #   disabled or shallow configs.
+    stage_boundary: str = "local_checkpoint"
 
 
 def curate_corpus(
@@ -126,18 +149,27 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
 
     def stage(name: str, frame: DataFrame) -> DataFrame:
-        # Persist every stage boundary: the accounting report counts
-        # each frame AND later stages extend it — uncached, each of
-        # the up-to-9 counts would re-execute the entire upstream
-        # chain (O(stages^2) replays of the LSH/span shuffles).
-        # MEMORY_ONLY deliberately: its blocks genuinely LRU-evict
-        # under pressure, while the default MEMORY_AND_DISK would
-        # demote to executor scratch disk and accumulate across calls
-        # for the application lifetime. Correctness never depends on
-        # the cache.
+        # Pin every stage boundary: the accounting report counts each
+        # frame AND later stages extend it — unpinned, each of the
+        # up-to-9 counts would re-execute the entire upstream chain
+        # (O(stages^2) replays of the LSH/span shuffles). The pin mode
+        # trades fault-tolerance against plan size — see
+        # CurationConfig.stage_boundary for the measured rationale.
         from pyspark import StorageLevel
 
-        frame = frame.persist(StorageLevel.MEMORY_ONLY)
+        if config.stage_boundary == "local_checkpoint":
+            frame = frame.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        elif config.stage_boundary == "checkpoint":
+            frame = frame.checkpoint(eager=False)
+        elif config.stage_boundary == "persist":
+            frame = frame.persist(StorageLevel.MEMORY_ONLY)
+        else:
+            raise ValueError(
+                "stage_boundary must be 'local_checkpoint', 'checkpoint'"
+                f" or 'persist', got {config.stage_boundary!r}"
+            )
         stages.append((name, frame))
         return frame
 
@@ -323,10 +355,20 @@ def curate_corpus(
             order_by=["bin_id", "chunk_uid"],
         )
 
-    accounting = None
+    # One tagged union -> one groupBy: a single action materializes
+    # the whole report (map-side partial counts make the shuffle one
+    # row per partition per stage, so this holds at any scale), and
+    # the left join against the stage-name list keeps fully-filtered
+    # stages in the report as 0 rather than silently absent.
+    tagged = None
     for name, frame in stages:
-        row = frame.agg(
-            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("docs")
-        )
-        accounting = row if accounting is None else accounting.unionByName(row)
+        part = frame.select(F.lit(name).alias("stage"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    counts = tagged.groupBy("stage").agg(F.count(F.lit(1)).alias("docs"))
+    names = docs.sparkSession.createDataFrame(
+        [(n,) for n, _ in stages], "stage string"
+    )
+    accounting = names.join(counts, "stage", "left").select(
+        "stage", F.coalesce("docs", F.lit(0)).alias("docs")
+    )
     return packed, accounting
