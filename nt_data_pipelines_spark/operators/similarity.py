@@ -521,3 +521,41 @@ def dequantize_error(
         lambda acc, e: F.greatest(acc, e),
     )
     return joined.select(id_col, "q_scale", err.alias("max_abs_err"))
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Fuse N ranked candidate lists by reciprocal-rank fusion.
+
+    RRF (Cormack et al. 2009): score(d) = sum over lists of
+    1 / (k + rank_d), with documents absent from a list contributing
+    0. The standard trick for hybrid retrieval — fusing a lexical
+    (BM25) list with an embedding-cosine list without score
+    calibration, since only RANKS enter the fusion.
+
+    Each input frame carries (id_col, rank_col) for its own candidate
+    list. Lists are small (top-k per retriever), so the fusion is a
+    union + one groupBy over at most N*k rows — negligible at any
+    corpus scale; the cost lives in the retrievers. The fused score is
+    rounded to 6 decimals (engine-parity rule 2) with id tie-break.
+    """
+    if not rankings:
+        raise ValueError("rankings must contain at least one ranked frame")
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("double"))).alias("__rr"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    # decimal sum: order-independent addition, bit-stable across engines
+    fused = F.sum(F.col("__rr").cast("decimal(38,12)")).cast("double")
+    return (
+        tagged.groupBy(id_col)
+        .agg((F.round(fused, 6) + 0.0).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )

@@ -893,3 +893,98 @@ def dedup_paragraphs(
             ).alias("clean_text")
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality-rule signals and a composite keep flag.
+
+    The heuristic document filter from "Scaling Language Models" (Rae
+    et al. 2021, §A1.1): word-count bounds, mean-word-length band,
+    symbol-to-word ratio (# and ... marks), bullet-started and
+    ellipsis-ended line fractions, fraction of words containing an
+    alphabetic character, and a required minimum of distinct common
+    stopwords. Complements :func:`repetition_stats` (the same paper's
+    repetition tier) — rules here are structural, not repetition.
+
+    All signals are built-in expressions — one codegen stage over the
+    corpus scan, no shuffle, scale-free. Ratios are rounded to 6
+    decimals BEFORE the threshold comparisons so the keep flag is
+    bit-stable across engines (registry parity rule 2).
+    """
+    t = F.col(text_col)
+    ws = words(t)
+    n_words = F.size(ws)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    r = lambda c: F.round(c, 6) + 0.0  # noqa: E731 (parity rounding)
+
+    mean_wl = r(
+        F.try_divide(
+            F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
+                "double"
+            ),
+            n_words,
+        )
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = r(F.try_divide((n_hash + n_ellipsis).cast("double"), n_words))
+    bullet_frac = r(
+        F.try_divide(
+            F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast("double"), n_lines
+        )
+    )
+    ellipsis_frac = r(
+        F.try_divide(
+            F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))).cast("double"),
+            n_lines,
+        )
+    )
+    alpha_frac = r(
+        F.try_divide(
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double"), n_words
+        )
+    )
+    # explicit per-word contains-sum (not array_intersect) so the SQL
+    # oracle can mirror it with list_contains without relying on either
+    # engine's set-dedup semantics
+    stop_hits = sum(
+        (
+            F.when(F.array_contains(ws, w), F.lit(1)).otherwise(F.lit(0))
+            for w in STOPWORD_LEXICON["en"]
+        ),
+        F.lit(0),
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)).cast("int"))

@@ -75,6 +75,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # query must be inserted at the very top (never-verified first —
 # enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
+    # NEW in round 8 — never driver-verified:
+    "t_gopher_rules",
+    "s_hybrid_rrf",
     # semantics changed in round 8 — re-verify first:
     "d_dedup_against_corpus",
     "d_containment_pairs",
@@ -126,9 +129,9 @@ DRIVER_PRIORITY: list[str] = [
     "w_rolling_median",
     "j_asof_join",
     "j_asof_forward",
+    # --- 50-slot boundary falls here; the rest overflow to round 9 ---
     "j_asof_tolerance",
     "j_interval_join",
-    # --- 50-slot boundary falls here; the rest overflow to round 9 ---
     "p_clean_corpus",
     "t_repetition_stats",
     "p_stratified_sample",

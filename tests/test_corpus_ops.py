@@ -209,3 +209,59 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     assert a == b
     with pytest.raises(ValueError):
         cap_per_group(df, "source", "doc_id", 0)
+
+
+def test_gopher_rules_signals_and_keep(spark):
+    from nt_data_pipelines_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog and it runs to town"
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "short of the a"),                       # too few words
+        (3, "- the bullet\n- a bullet\n- of course"),  # all bullet lines
+        (4, "the story trails of...\nand a second...\nthird line too..."),
+        (5, "### the ### a ### of ### markup ### heavy ### doc ### here "
+            "### pads ### words ### to ### length ### with ### symbols"),
+        (6, "120 123 456 789 000 111 222 333 444 555 666 777 888 999 "
+            "101 202 303 404 505 606"),               # digits: no stopwords/alpha
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            min_words=10, max_words=100,
+        ).collect()
+    }
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["n_words"] == 4
+    assert got[3]["keep"] == 0 and got[3]["bullet_line_frac"] == 1.0
+    assert got[4]["keep"] == 0 and got[4]["ellipsis_line_frac"] == 1.0
+    assert got[5]["keep"] == 0 and got[5]["symbol_word_ratio"] > 0.1
+    assert got[6]["keep"] == 0
+    assert got[6]["alpha_word_frac"] == 0.0 and got[6]["stop_hits"] == 0
+    # signal sanity on the good doc
+    assert got[1]["stop_hits"] >= 4
+    assert 3.0 <= got[1]["mean_word_len"] <= 10.0
+
+
+def test_reciprocal_rank_fusion_math(spark):
+    from nt_data_pipelines_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    lexical = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"])
+    semantic = spark.createDataFrame([(11, 1), (10, 2), (99, 3)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in reciprocal_rank_fusion([lexical, semantic], k=60).collect()
+    }
+    assert got[10] == pytest.approx(round(1 / 61 + 1 / 62, 6))
+    assert got[11] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert got[12] == pytest.approx(round(1 / 63, 6))   # single-list docs still score
+    assert got[99] == pytest.approx(round(1 / 63, 6))
+    # symmetric ranks fuse to the same score; ordering falls to doc_id
+    order = [
+        r["doc_id"]
+        for r in reciprocal_rank_fusion([lexical, semantic], k=60).collect()
+    ]
+    assert order == [10, 11, 12, 99]
