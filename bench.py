@@ -156,9 +156,10 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     (exact dedup, dup-ngram fraction) additionally run against the
     DuckDB oracle on the same parquet for a ratio anchor.
 
-    Each curate run is built FRESH and its stage caches dropped after
-    materialization — curate_corpus persists stage boundaries, and a
-    reused lineage would time the cache, not the engine.
+    Each curate run is built FRESH and its stage-boundary blocks
+    dropped after materialization — curate_corpus pins stage
+    boundaries (localCheckpoint by default), and a reused lineage
+    would time the blocks, not the engine.
 
     ``heavy=False`` (the sf5 profile) SKIPS the two long compositions —
     the all-pairs candidate op (its output is ~320 M pairs at 50x: a
@@ -211,7 +212,12 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
             embeddings=emb,
         )
         n = materialize(packed) + materialize(accounting)
-        spark.catalog.clearCache()  # drop the stage-boundary persists
+        # stage boundaries are localCheckpoint blocks (not SQL cache):
+        # unpersist them explicitly so back-to-back timed runs don't
+        # accumulate block-manager state across iterations
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         return n
 
     def spark_composed(qname):

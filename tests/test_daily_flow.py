@@ -19,8 +19,8 @@ from nt_data_pipelines_spark.catalog import Catalog
 from nt_data_pipelines_spark.pipelines.runner import backfill_flow, daily_flow, ensure_tables
 from nt_data_pipelines_spark.sources import synthetic as S
 
-N_DAYS = 300
-WINDOW = 120
+N_DAYS = 150  # halved from 300 (same assertions hold; fixture is the suite's slowest setup)
+WINDOW = 60
 HL = 20.0
 
 

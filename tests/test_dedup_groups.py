@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.operators.dedup import resolve_dup_groups
@@ -108,6 +110,7 @@ def test_auto_routing_selects_distributed_above_edge_bound(spark, monkeypatch):
         D.resolve_dup_groups_auto(pairs, mode="bogus")
 
 
+@pytest.mark.slow  # ~15s: heaviest of its parity family; cheaper siblings stay default
 def test_curate_corpus_distributed_resolver_matches_driver(spark):
     """The composed pipeline yields identical survivors whichever
     dup-group resolver the config routes to."""

@@ -481,6 +481,7 @@ def test_same_batch_doc_versions_yield_coherent_signature(spark, tmp_path):
     } == stored
 
 
+@pytest.mark.slow  # ~15s: heaviest of its parity family; cheaper siblings stay default
 def test_same_batch_vector_versions_yield_coherent_index_row(spark, tmp_path):
     """Regression (review finding): two versions of one vec_id in a
     single micro-batch could store one version's IVF cell with a MIX
@@ -526,6 +527,7 @@ def test_same_batch_vector_versions_yield_coherent_index_row(spark, tmp_path):
     assert got in (expect(v1), expect(v2))  # one coherent version, no chimera
 
 
+@pytest.mark.slow  # ~15s: heaviest of its parity family; cheaper siblings stay default
 def test_streaming_minhash_verified_tier_matches_batch(spark, tmp_path):
     """Verified streaming dedup (round 7): with words_table +
     verify_threshold the accumulated pair set equals the batch

@@ -19,6 +19,7 @@ from nt_data_pipelines_spark.streaming import (
     search_ann_index,
 )
 from nt_data_pipelines_spark.streaming.incremental import ANN_INDEX_SCHEMA
+import pytest
 
 DIM, M = 16, 4
 
@@ -39,6 +40,7 @@ def _vectors(n, seed):
     ]
 
 
+@pytest.mark.slow  # ~15s: heaviest of its parity family; cheaper siblings stay default
 def test_streaming_ann_index_matches_batch_build(spark, tmp_path):
     seed_rows = _vectors(40, seed=1)
     seed = spark.createDataFrame(seed_rows, EMB_SCHEMA)
