@@ -212,3 +212,35 @@ def test_curate_corpus_composed_plan_is_scale_safe(spark):
             assert _op_count(plan, "Exchange") <= bound, _op_count(plan, "Exchange")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_curate_stage_boundaries_truncate_lineage(spark):
+    """Pin the round-8 fix for the deep-lineage AQE pathology: with the
+    default stage_boundary=local_checkpoint, downstream curate plans
+    scan checkpointed RDDs instead of embedding every upstream stage's
+    full plan (driver plan-description generation was measured at 22 s
+    per fresh action at stage depth 8 — docs/SCALE.md round-8 note). A
+    revert to persist() here silently reintroduces that cost."""
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    packed, accounting = curate_corpus(
+        docs, config=CurationConfig(token_budget_per_source=2000)
+    )
+    for df in (packed, accounting):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # upstream stages appear only as checkpointed-RDD scans
+        assert "Scan ExistingRDD" in plan
+        assert "InMemoryTableScan" not in plan
+    # the accounting tree stays O(stages), not O(stages^2): a union of
+    # tagged checkpoint scans + one aggregate, nothing nested
+    acct_plan = spark._jvm.PythonSQLUtils.explainString(
+        accounting._jdf.queryExecution(), "formatted"
+    )
+    assert len(acct_plan.splitlines()) < 400, len(acct_plan.splitlines())
