@@ -988,3 +988,52 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)).cast("int"))
+
+
+# Hand-set weights standing in for a trained quality classifier (the
+# CCNet / fastText-style "model-based filtering" tier). The FEATURES
+# and the inference plumbing are the real deliverable — swap these for
+# learned coefficients without touching the plan shape.
+QUALITY_LOGIT_BIAS = -2.0
+QUALITY_LOGIT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("q_alpha_ratio", 2.5),
+    ("q_en_stopword_distinct_ratio", 5.0),
+    ("q_digit_ratio", -3.0),
+    ("q_log_words", 0.25),
+    ("q_avg_word_len", -0.05),
+)
+
+
+def quality_logit_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality score: logistic over the quality features.
+
+    The model-inference tier of corpus filtering (CCNet's fastText LM
+    filter, FineWeb's quality classifier): a linear model over cheap
+    per-document features, applied corpus-wide. Here the coefficients
+    are fixed and documented (QUALITY_LOGIT_WEIGHTS) — a deterministic
+    stand-in for trained weights; the Spark side (feature extraction +
+    broadcast-free codegen arithmetic, one stage, no shuffle) is the
+    production shape either way.
+
+    Engine parity: the linear term is rounded to 6 decimals before the
+    sigmoid and the score after it (registry rule 2 — exp/ln differ in
+    final ulps across libm implementations).
+    """
+    feats = quality_features(df, text_col).withColumn(
+        "q_log_words", F.log1p(F.col("q_words").cast("double"))
+    )
+    z = F.lit(QUALITY_LOGIT_BIAS)
+    for name, w in QUALITY_LOGIT_WEIGHTS:
+        z = z + F.lit(w) * F.col(name)
+    z = F.round(z, 6) + 0.0
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) + 0.0
+    return feats.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).cast("int").alias("keep"),
+    )

@@ -162,3 +162,42 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), "rank")
     )
     return reciprocal_rank_fusion([bm, cos], "doc_id", "rank", k=_RRF_K).limit(10)
+
+
+_EN = ", ".join(
+    f"'{w}'"
+    for w in ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"]
+)
+_QL_Z = (
+    "ROUND(-2.0"
+    " + 2.5 * (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    "          / CAST(LENGTH(text) AS DOUBLE))"
+    f" + 5.0 * (LEN(list_filter(list_distinct(ws), x -> x IN ({_EN})))"
+    "          / CAST(LEN(ws) AS DOUBLE))"
+    " + (-3.0) * (LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))"
+    "          / CAST(LENGTH(text) AS DOUBLE))"
+    " + 0.25 * ln(1 + CAST(LEN(ws) AS DOUBLE))"
+    " + (-0.05) * (LENGTH(text) / CAST(LEN(ws) AS DOUBLE)), 6) + 0.0"
+)
+
+
+@register(
+    "t_quality_logit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    z AS (SELECT doc_id, {_QL_Z} AS z FROM d),
+    s AS (SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) + 0.0 AS quality_score FROM z)
+    SELECT doc_id, quality_score,
+           CAST(quality_score >= 0.5 AS INT) AS keep
+    FROM s
+    """,
+    doc="Model-based quality filter: fixed-weight logistic over the "
+    "quality features (the CCNet/FineWeb classifier tier with "
+    "documented stand-in coefficients). Linear term and score rounded "
+    "to 6 decimals so exp/ln ulp differences cannot flip the hash.",
+)
+def t_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import quality_logit_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_logit_score(docs, "doc_id", "text")

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     # NEW in round 8 — never driver-verified:
     "t_gopher_rules",
     "s_hybrid_rrf",
+    "t_quality_logit",
     # semantics changed in round 8 — re-verify first:
     "d_dedup_against_corpus",
     "d_containment_pairs",

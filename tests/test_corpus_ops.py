@@ -265,3 +265,27 @@ def test_reciprocal_rank_fusion_math(spark):
         for r in reciprocal_rank_fusion([lexical, semantic], k=60).collect()
     ]
     assert order == [10, 11, 12, 99]
+
+
+def test_quality_logit_score_orders_quality(spark):
+    from nt_data_pipelines_spark.operators.text import quality_logit_score
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and it runs to town"),
+        (2, "0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"),   # all digits
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in quality_logit_score(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert 0.0 < got[2]["quality_score"] < got[1]["quality_score"] < 1.0
+    assert got[1]["keep"] == 1 and got[2]["keep"] == 0
+    # deterministic: same input, same score
+    again = quality_logit_score(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).collect()
+    assert {r["doc_id"]: r["quality_score"] for r in again} == {
+        k: v["quality_score"] for k, v in got.items()
+    }
