@@ -14,12 +14,14 @@ registry queries; this module is the production composition):
    fraction exceeds a threshold,
 6. quality + language gate (length / alpha-ratio / stopword signals,
    n-gram language ID),
-7. optional perplexity band filter (corpus-unigram surprisal — the
+7. optional model-based quality gate (fixed-weight logistic over
+   the quality features — the classifier tier),
+8. optional perplexity band filter (corpus-unigram surprisal — the
    CCNet head/middle/tail cut, keeping the middle),
-8. optional per-source document cap and/or token-budget mixing,
-9. PII scrub,
-10. chunk to training windows and pack into fixed-capacity bins,
-11. per-source token accounting (+ optional shard materialization).
+9. optional per-source document cap and/or token-budget mixing,
+10. PII scrub,
+11. chunk to training windows and pack into fixed-capacity bins,
+12. per-source token accounting (+ optional shard materialization).
 
 Every stage is a linear shuffle or a broadcast; nothing is pairwise.
 The function returns (packed chunks, per-stage survivor accounting) —
@@ -84,6 +86,11 @@ class CurationConfig:
     # bits/token falls inside these quantiles of the surviving
     # distribution; None disables the stage
     perplexity_band: tuple[float, float] | None = None
+    # model-based quality score gate: drop docs whose logistic
+    # quality score (operators/text.quality_logit_score) falls below
+    # this threshold — the classifier tier after the rule-based gate;
+    # None disables the stage
+    quality_model_threshold: float | None = None
     # embedding-cosine semantic dedup: docs whose embeddings exceed
     # this cosine threshold collapse to one canonical survivor
     # (requires an `embeddings` frame passed to curate_corpus);
@@ -103,7 +110,7 @@ class CurationConfig:
     # parquet file per shard (operators/shards.write_training_shards),
     # bins contiguous and ordered within each file
     output_path: str | None = None
-    # how each of the up-to-9 stage boundaries is pinned:
+    # how each of the up-to-10 stage boundaries is pinned:
     #
     # - "local_checkpoint" (default): localCheckpoint(eager=False) —
     #   TRUNCATES the logical plan to the checkpointed RDD. This is
@@ -151,7 +158,7 @@ def curate_corpus(
     def stage(name: str, frame: DataFrame) -> DataFrame:
         # Pin every stage boundary: the accounting report counts each
         # frame AND later stages extend it — unpinned, each of the
-        # up-to-9 counts would re-execute the entire upstream chain
+        # up-to-10 counts would re-execute the entire upstream chain
         # (O(stages^2) replays of the LSH/span shuffles). The pin mode
         # trades fault-tolerance against plan size — see
         # CurationConfig.stage_boundary for the measured rationale.
@@ -304,6 +311,15 @@ def curate_corpus(
         .select(*spanned.columns)
     )
     gated = stage("quality_lang_gate", gated)
+
+    if config.quality_model_threshold is not None:
+        scored = TX.quality_logit_score(
+            gated, id_col, text_col, threshold=config.quality_model_threshold
+        )
+        gated = gated.join(
+            scored.filter(F.col("keep") == 1).select(id_col), id_col, "left_semi"
+        )
+        gated = stage("quality_model_gate", gated)
 
     if config.perplexity_band is not None:
         from nt_data_pipelines_spark.operators.lm import perplexity_band_filter

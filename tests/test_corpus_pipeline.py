@@ -171,3 +171,32 @@ def test_containment_stage_drops_contained_doc(spark):
     # it through, the quote-page (2) did not
     packed_docs = {int(r["chunk_uid"].split("#")[0]) for r in packed.collect()}
     assert 1 in packed_docs and 2 not in packed_docs
+
+
+def test_curate_corpus_quality_model_gate(spark):
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and it runs to town"),
+        # passes language-ID (the/a are English) but drowns in digits
+        (2, "the 0 1 2 3 4 5 6 7 8 9 10 11 12 13 a 15 16 17 18"),
+        (3, "a calm story of the sea and it told of ships in the bay"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed, acct = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5,
+            min_alpha_ratio=0.0,          # let the MODEL gate decide
+            max_dup_ngram_frac=1.0,
+            quality_model_threshold=0.5,
+        ),
+    )
+    counts = {r["stage"]: r["docs"] for r in acct.collect()}
+    assert counts["quality_lang_gate"] == 3   # rule gate passes all three
+    assert counts["quality_model_gate"] == 2  # the classifier drops the digits
+    packed_docs = {int(r["chunk_uid"].split("#")[0]) for r in packed.collect()}
+    assert packed_docs == {1, 3}
