@@ -207,6 +207,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
                 token_budget_per_source=2000,
                 max_docs_per_source=None,
                 perplexity_band=(0.1, 0.9),
+                quality_model_threshold=0.05,
                 semantic_threshold=0.99,
             ),
             embeddings=emb,

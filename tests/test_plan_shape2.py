@@ -195,6 +195,7 @@ def test_curate_corpus_composed_plan_is_scale_safe(spark):
                 token_budget_per_source=2000,
                 max_docs_per_source=200,
                 perplexity_band=(0.1, 0.9),
+                quality_model_threshold=0.05,
                 semantic_threshold=0.99,
             ),
             embeddings=emb.withColumnRenamed("vec_id", "doc_id"),
