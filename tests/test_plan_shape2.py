@@ -151,6 +151,9 @@ PARTITIONLESS_WINDOW_WHITELIST = {
     "a_funnel_conversion",
     "s_pq_encode",
     "s_pq_search_topk",
+    # rank window runs AFTER a distributed TakeOrdered limit(20) — the
+    # single task sees at most _FUSE_TOPN rows (plans/extra9.py)
+    "s_hybrid_rrf",
 }
 
 
