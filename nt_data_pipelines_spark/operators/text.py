@@ -1037,3 +1037,89 @@ def quality_logit_score(
         score.alias("quality_score"),
         (score >= F.lit(threshold)).cast("int").alias("keep"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup: cut globally repeated word spans from docs.
+
+    The ExactSubstr tier of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021), re-expressed
+    relationally at word granularity: any word n-gram occurring >=
+    ``min_count`` times in the corpus (across OR within documents)
+    marks its n positions for removal in every occurrence; surviving
+    words re-join in order. Pigeonhole gives the suffix-array
+    guarantee at word level: every repeated span of >= n words is
+    covered by repeated n-grams, so all such spans are removed in one
+    pass — no suffix array, no driver state.
+
+    Scale shape: one posexplode of n-grams (O(total words) rows), one
+    count shuffle, one equi-join back, one anti-join, one per-doc
+    regroup — all linear, no pairwise work. Documents shorter than
+    ``n`` words carry no n-grams and pass through; documents whose
+    every position is covered return an empty string (the row is
+    KEPT, so accounting sees the survivor-with-no-text case
+    explicitly).
+
+    Returns (id_col, clean_text, n_removed_words).
+    """
+    if n < 2:
+        raise ValueError("span length n must be >= 2 (n=1 removes every repeated word)")
+    ws = words(text_col)
+    base = df.select(F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__nw"))
+
+    # n-gram strings with their 0-based start positions
+    starts = F.when(
+        F.col("__nw") >= n, F.sequence(F.lit(0), F.col("__nw") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.array_join(F.slice("__ws", i + 1, n), " ")
+            )
+        ).alias("__p", "__g"),
+    )
+    repeated = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__g")
+    )
+    covered = (
+        grams.join(repeated, "__g")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + n - 1)).alias("__q"),
+        )
+        .distinct()
+    )
+    positions = base.select(
+        F.col(id_col), F.posexplode("__ws").alias("__q", "__w")
+    )
+    kept = positions.join(covered, [id_col, "__q"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__q", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__nw") - F.coalesce("__kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_words"),
+        )
+    )

@@ -201,3 +201,50 @@ def t_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_logit_score(docs, "doc_id", "text")
+
+
+_SPAN_N = 8
+
+
+@register(
+    "t_remove_dup_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, p, array_to_string(ws[p+1:p+{_SPAN_N}], ' ') AS g
+      FROM d, UNNEST(generate_series(0, len(ws)-{_SPAN_N})) AS t(p)
+      WHERE len(ws) >= {_SPAN_N}
+    ),
+    rep AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, p + i AS q
+      FROM sh JOIN rep USING (g), UNNEST(generate_series(0, {_SPAN_N}-1)) AS t(i)
+    ),
+    wpos AS (
+      SELECT doc_id, q, ws[q+1] AS w
+      FROM d, UNNEST(generate_series(0, len(ws)-1)) AS t(q)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.q, w.w FROM wpos w
+      ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.q = c.q
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(d2.ws) - COALESCE(reb.kept_n, 0) AS BIGINT) AS n_removed_words
+    FROM d d2 LEFT JOIN reb USING (doc_id)
+    """,
+    doc="Exact-substring dedup (Lee et al. 2021 ExactSubstr at word "
+    "granularity): every word 8-gram occurring >=2 times corpus-wide "
+    "marks its positions for removal in ALL occurrences; pigeonhole "
+    "covers every repeated span of >=8 words. Linear shuffles only — "
+    "no suffix array, no pairwise work.",
+)
+def t_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", n=_SPAN_N)

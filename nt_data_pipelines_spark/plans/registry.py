@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "t_gopher_rules",
     "s_hybrid_rrf",
     "t_quality_logit",
+    "t_remove_dup_spans",
     # semantics changed in round 8 — re-verify first:
     "d_dedup_against_corpus",
     "d_containment_pairs",
@@ -128,9 +129,9 @@ DRIVER_PRIORITY: list[str] = [
     "a_rollup_counts",
     "w_rolling_minmax",
     "w_rolling_median",
+    # --- 50-slot boundary falls here (slot 50 = w_rolling_median); the rest overflow to round 9 ---
     "j_asof_join",
     "j_asof_forward",
-    # --- 50-slot boundary falls here; the rest overflow to round 9 ---
     "j_asof_tolerance",
     "j_interval_join",
     "p_clean_corpus",

@@ -289,3 +289,53 @@ def test_quality_logit_score_orders_quality(spark):
     assert {r["doc_id"]: r["quality_score"] for r in again} == {
         k: v["quality_score"] for k, v in got.items()
     }
+
+
+def test_remove_duplicate_spans(spark):
+    from nt_data_pipelines_spark.operators.text import remove_duplicate_spans
+
+    span = "one two three four"  # repeated 4-gram across docs 1 and 2
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"{span} epsilon zeta eta theta"),
+        (3, "totally unrelated words live here quietly"),
+        (4, span),                                  # nothing survives
+        (5, "tiny doc"),                            # shorter than n
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+        for r in remove_duplicate_spans(docs, n=4).collect()
+    }
+    # BOTH occurrences lose the span (Lee et al. semantics); order kept
+    assert out[1] == ("alpha beta gamma delta", 4)
+    assert out[2] == ("epsilon zeta eta theta", 4)
+    assert out[3] == ("totally unrelated words live here quietly", 0)
+    assert out[4] == ("", 4)      # row kept, text emptied
+    assert out[5] == ("tiny doc", 0)
+
+    # spans LONGER than n are fully covered by their repeated n-grams
+    long_span = "a1 a2 a3 a4 a5 a6"
+    rows2 = [
+        (1, f"x {long_span} y"),
+        (2, f"p q {long_span} r"),
+    ]
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows2, ["doc_id", "text"]), n=4
+        ).collect()
+    }
+    assert out2[1] == "x y" and out2[2] == "p q r"
+
+    # intra-document repetition also counts toward min_count
+    rep = "m1 m2 m3 m4"
+    out3 = remove_duplicate_spans(
+        spark.createDataFrame([(1, f"{rep} mid {rep}")], ["doc_id", "text"]),
+        n=4,
+    ).first()
+    assert out3["clean_text"] == "mid" and out3["n_removed_words"] == 8
+
+    import pytest
+    with pytest.raises(ValueError, match="n must be"):
+        remove_duplicate_spans(docs, n=1)
