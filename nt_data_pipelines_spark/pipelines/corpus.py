@@ -10,18 +10,20 @@ registry queries; this module is the production composition):
    Jaccard verification (default; unverified spanning edges opt-in)
    → connected components → keep each group's canonical (min-id) doc,
 4. optional semantic (embedding-cosine) dedup — the paraphrase tier,
-5. span-dedup filter — drop docs whose word-shingle duplicate
+5. optional exact-substring rewrite — corpus-wide repeated word
+   spans cut from every occurrence (Lee et al. 2021 ExactSubstr),
+6. span-dedup filter — drop docs whose word-shingle duplicate
    fraction exceeds a threshold,
-6. quality + language gate (length / alpha-ratio / stopword signals,
+7. quality + language gate (length / alpha-ratio / stopword signals,
    n-gram language ID),
-7. optional model-based quality gate (fixed-weight logistic over
+8. optional model-based quality gate (fixed-weight logistic over
    the quality features — the classifier tier),
-8. optional perplexity band filter (corpus-unigram surprisal — the
+9. optional perplexity band filter (corpus-unigram surprisal — the
    CCNet head/middle/tail cut, keeping the middle),
-9. optional per-source document cap and/or token-budget mixing,
-10. PII scrub,
-11. chunk to training windows and pack into fixed-capacity bins,
-12. per-source token accounting (+ optional shard materialization).
+10. optional per-source document cap and/or token-budget mixing,
+11. PII scrub,
+12. chunk to training windows and pack into fixed-capacity bins,
+13. per-source token accounting (+ optional shard materialization).
 
 Every stage is a linear shuffle or a broadcast; nothing is pairwise.
 The function returns (packed chunks, per-stage survivor accounting) —
@@ -86,6 +88,11 @@ class CurationConfig:
     # bits/token falls inside these quantiles of the surviving
     # distribution; None disables the stage
     perplexity_band: tuple[float, float] | None = None
+    # exact-substring rewrite (Lee et al. 2021 ExactSubstr): word
+    # n-grams repeated corpus-wide at least twice are CUT from every
+    # occurrence before the quality gates see the text (docs emptied
+    # by the cut fall to the min_words rule downstream); None disables
+    remove_dup_spans_n: int | None = None
     # model-based quality score gate: drop docs whose logistic
     # quality score (operators/text.quality_logit_score) falls below
     # this threshold — the classifier tier after the rule-based gate;
@@ -110,7 +117,7 @@ class CurationConfig:
     # parquet file per shard (operators/shards.write_training_shards),
     # bins contiguous and ordered within each file
     output_path: str | None = None
-    # how each of the up-to-10 stage boundaries is pinned:
+    # how each of the up-to-11 stage boundaries is pinned:
     #
     # - "local_checkpoint" (default): localCheckpoint(eager=False) —
     #   TRUNCATES the logical plan to the checkpointed RDD. This is
@@ -158,7 +165,7 @@ def curate_corpus(
     def stage(name: str, frame: DataFrame) -> DataFrame:
         # Pin every stage boundary: the accounting report counts each
         # frame AND later stages extend it — unpinned, each of the
-        # up-to-10 counts would re-execute the entire upstream chain
+        # up-to-11 counts would re-execute the entire upstream chain
         # (O(stages^2) replays of the LSH/span shuffles). The pin mode
         # trades fault-tolerance against plan size — see
         # CurationConfig.stage_boundary for the measured rationale.
@@ -290,6 +297,16 @@ def curate_corpus(
         near = stage(
             "containment_dedup", near.join(losers, id_col, "left_anti")
         )
+
+    if config.remove_dup_spans_n is not None:
+        rewritten = TX.remove_duplicate_spans(
+            near, id_col, text_col, n=config.remove_dup_spans_n
+        )
+        near = near.drop(text_col).join(
+            rewritten.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
+        near = stage("span_rewrite", near)
 
     span = TX.duplicated_ngram_fraction(near, id_col, text_col, n=config.ngram_n)
     spanned = near.join(

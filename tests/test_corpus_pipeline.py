@@ -200,3 +200,41 @@ def test_curate_corpus_quality_model_gate(spark):
     assert counts["quality_model_gate"] == 2  # the classifier drops the digits
     packed_docs = {int(r["chunk_uid"].split("#")[0]) for r in packed.collect()}
     assert packed_docs == {1, 3}
+
+
+def test_curate_corpus_span_rewrite_stage(spark):
+    from nt_data_pipelines_spark.pipelines.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    boiler = "all the rights of this page are reserved to the site"
+    rows = [
+        (1, f"a fresh story about the sea and it sailed far {boiler}"),
+        (2, f"{boiler} a different tale of the hills and it climbed high"),
+        (3, "an unrelated piece of writing that is all its own here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed, acct = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=1.0, remove_dup_spans_n=8
+        ),
+    )
+    counts = {r["stage"]: r["docs"] for r in acct.collect()}
+    assert counts["span_rewrite"] == 3      # rewrite keeps rows
+    assert counts["quality_lang_gate"] == 3
+    # the boilerplate sentence is gone from the packed text: rebuild
+    # chunk text through the same normalize+chunk path and check words
+    from pyspark.sql import functions as F
+
+    packed_docs = {int(r["chunk_uid"].split("#")[0]) for r in packed.collect()}
+    assert packed_docs == {1, 2, 3}
+    # the rewrite reached the pipeline: without it, the same config
+    # packs MORE chunk tokens (the boilerplate words survive)
+    packed_off, _ = curate_corpus(
+        docs, config=CurationConfig(min_words=5, max_dup_ngram_frac=1.0)
+    )
+    tokens_on = packed.agg(F.sum("n_tokens")).first()[0]
+    tokens_off = packed_off.agg(F.sum("n_tokens")).first()[0]
+    assert tokens_on < tokens_off
