@@ -208,6 +208,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
                 max_docs_per_source=None,
                 perplexity_band=(0.1, 0.9),
                 quality_model_threshold=0.05,
+                remove_dup_spans_n=8,
                 semantic_threshold=0.99,
             ),
             embeddings=emb,

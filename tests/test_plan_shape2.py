@@ -199,6 +199,7 @@ def test_curate_corpus_composed_plan_is_scale_safe(spark):
                 max_docs_per_source=200,
                 perplexity_band=(0.1, 0.9),
                 quality_model_threshold=0.05,
+                remove_dup_spans_n=8,
                 semantic_threshold=0.99,
             ),
             embeddings=emb.withColumnRenamed("vec_id", "doc_id"),
