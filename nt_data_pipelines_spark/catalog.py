@@ -597,6 +597,25 @@ class Catalog:
         resolved = self._fl_resolve(name, gen)
         return None if resolved is None else resolved[0]
 
+    def _fl_keep_files(self, name: str, gen: int) -> list[str]:
+        """Resolved files of a RETAINED generation, for keep-set math.
+
+        A retained generation that cannot be resolved is an invariant
+        violation (the log-trim rule preserves every replay base inside
+        the retention window), and treating it as an empty contribution
+        would let GC delete files that snapshot still references —
+        turning a loud read-path LookupError into silent data loss on
+        the most destructive path. Raise instead, mirroring _fl_read.
+        """
+        files = self._fl_manifest_files(name, gen)
+        if files is None:
+            raise LookupError(
+                f"retained generation {gen} of {name!r} cannot be "
+                "resolved (torn or missing replay base?) — aborting "
+                "the sweep rather than risking deletion of its files"
+            )
+        return files
+
     def _fl_abs(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
@@ -870,8 +889,9 @@ class Catalog:
         for g in gens:
             if g >= cutoff:
                 # retained snapshot: protect its RESOLVED file set
-                # (delta manifests alone don't list carried-over files)
-                keep.update(self._fl_manifest_files(name, g) or [])
+                # (delta manifests alone don't list carried-over files);
+                # raises if unresolvable — never sweep on a partial keep-set
+                keep.update(self._fl_keep_files(name, g))
             else:
                 # superseded: every file it merely MENTIONS is a
                 # candidate (checkpoint sets, delta adds AND removes)
@@ -965,7 +985,10 @@ class Catalog:
             keep: set[str] = set()
             for g in self._manifest_gens(name):
                 if g >= cur - self.time_travel:
-                    keep.update(self._fl_manifest_files(name, g) or [])
+                    # raises if a retained gen is unresolvable — a
+                    # partial keep-set here could misclassify protected
+                    # files as GC-doomed probes
+                    keep.update(self._fl_keep_files(name, g))
             doomed = [f for f in files if f not in keep] or files[:1]
         fs, p = self._hfs(self._fl_abs(doomed[0]))
         return bool(fs.exists(p))

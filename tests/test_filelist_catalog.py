@@ -813,3 +813,30 @@ def test_drop_invalidates_filelist_cache(spark, tmp_path):
     cat.create("px", SCHEMA, None, ["ticker", "date"], mode="replace")
     cat.insert("px", _rows(spark, [("NEW", D2, 9.0)]))
     assert _state(cat, "px") == [("NEW", 9.0)]
+
+
+def test_gc_aborts_when_retained_generation_unresolvable(spark, tmp_path):
+    """An unresolvable RETAINED generation must abort the GC sweep
+    (LookupError), not silently contribute an empty keep-set — a
+    partial keep-set would let GC delete files that snapshot still
+    references (data loss instead of the read path's loud error)."""
+    root = str(tmp_path / "fl")
+    cat = Catalog(spark, root, commit_mode="filelist", time_travel=2)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i, t in enumerate(["A", "B", "C"]):
+        cat.insert("m", _rows(spark, [(t, D1, float(i))]))
+    data_before = sorted(
+        os.path.relpath(p, root)
+        for p in _glob.glob(os.path.join(root, "m.data", "*", "*.parquet"))
+    )
+    # destroy the replay base: gens 1.. are deltas over checkpoint 0
+    os.remove(os.path.join(root, "m._manifest", "0.json"))
+    cat._fl_cache.clear()
+    with pytest.raises(LookupError, match="retained generation"):
+        cat._fl_gc("m", cat._current_gen("m"))
+    # the aborted sweep deleted nothing
+    data_after = sorted(
+        os.path.relpath(p, root)
+        for p in _glob.glob(os.path.join(root, "m.data", "*", "*.parquet"))
+    )
+    assert data_after == data_before
