@@ -23,10 +23,43 @@ a standard trick that needs no engine-specific hash function.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nt_data_pipelines_spark.operators.text import words
+
+DEFAULT_BUCKET_CAP = 64
+
+
+class _DefaultCap(int):
+    """Marks a bucket cap that came from the module default, not the caller."""
+
+
+_DEFAULT_CAP = _DefaultCap(DEFAULT_BUCKET_CAP)
+
+
+def _resolve_bucket_cap(cap: int | None, fn_name: str) -> int | None:
+    """Surface the bounded-recall default instead of applying it silently.
+
+    The hot-bucket cap trades recall for a linear candidate bound (a
+    pair ranked past the cap in EVERY band's bucket is dropped), which
+    flips results versus the uncapped form — callers relying on the
+    default get a one-time warning so the trade is knowing, not silent.
+    Pass ``bucket_cap=DEFAULT_BUCKET_CAP`` (or any explicit int/None)
+    to opt in quietly.
+    """
+    if isinstance(cap, _DefaultCap):
+        warnings.warn(
+            f"{fn_name}: bucket_cap defaults to {int(cap)} (bounded recall: "
+            "hot LSH buckets emit a hub-star instead of all pairs). Pass "
+            "bucket_cap explicitly (int, or None for the uncapped "
+            "quadratic form) to silence this warning.",
+            stacklevel=3,
+        )
+        return int(cap)
+    return cap
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -158,7 +191,7 @@ def banded_minhash(
 def _bounded_band_candidates(
     long: DataFrame,
     id_col: str,
-    bucket_cap: int,
+    bucket_cap: int | None,
     hub_order: list[Column] | None = None,
 ) -> DataFrame:
     """Long-form band relation -> candidate pairs with LINEAR edge count.
@@ -171,7 +204,20 @@ def _bounded_band_candidates(
     lose this bucket's edge but collide with their own cluster again
     in the other bands (see minhash_verified_dup_edges's recall
     argument). Output (id_a, id_b) distinct with id_a < id_b.
+
+    ``bucket_cap=None`` is the explicit uncapped opt-out: the plain
+    all-pairs bucket self-join (full recall, O(bucket^2) — diagnostic
+    scale only).
     """
+    if bucket_cap is None:
+        a = long.select("band", "band_hash", F.col(id_col).alias("id_a"))
+        b = long.select("band", "band_hash", F.col(id_col).alias("id_b"))
+        return (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     w = Window.partitionBy("band", "band_hash")
     order = hub_order if hub_order is not None else [F.col(id_col)]
     wo = w.orderBy(*order).rowsBetween(
@@ -427,7 +473,7 @@ def minhash_jaccard_estimate(
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Estimated Jaccard for LSH candidate pairs from signature
     agreement alone: est = (matching MinHash components) / num_hashes.
@@ -450,6 +496,7 @@ def minhash_jaccard_estimate(
     corpora where triage matters. Signatures are computed ONCE and
     banded from that frame — no second shingle-aggregation shuffle.
     """
+    bucket_cap = _resolve_bucket_cap(bucket_cap, "minhash_jaccard_estimate")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     band_long = band_signatures(sigs, id_col, num_hashes, bands)
     cand = _bounded_band_candidates(band_long, id_col, bucket_cap)
@@ -484,7 +531,7 @@ def containment_pairs(
     threshold: float = 0.9,
     num_hashes: int = 16,
     bands: int = 4,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Asymmetric near-dup: pairs where the SMALLER word set is mostly
     contained in the larger (|A∩B| / min(|A|, |B|) >= ``threshold``).
@@ -510,6 +557,7 @@ def containment_pairs(
     member, so hub spokes are the pairs the corpus containment stage
     acts on anyway.
     """
+    bucket_cap = _resolve_bucket_cap(bucket_cap, "containment_pairs")
     shingles = word_set(df, id_col, text_col)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     long = banded_minhash(df, id_col, text_col, num_hashes, bands).join(
@@ -576,7 +624,7 @@ def dedup_new_against_corpus(
     bands: int = 4,
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
-    corpus_bucket_cap: int | None = 64,
+    corpus_bucket_cap: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Incremental-ingestion dedup: keep the NEW batch's docs that are
     not near-dups (exact word-set Jaccard >= ``threshold``) of any
@@ -610,6 +658,9 @@ def dedup_new_against_corpus(
     collisions, and a genuine near-dup of a new doc still collides in
     the other ``bands - 1`` bands. None disables the cap.
     """
+    corpus_bucket_cap = _resolve_bucket_cap(
+        corpus_bucket_cap, "dedup_new_against_corpus"
+    )
     if corpus_bands is None or corpus_shingles is None:
         if corpus is None:
             raise ValueError(

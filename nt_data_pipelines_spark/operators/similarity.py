@@ -542,14 +542,20 @@ def reciprocal_rank_fusion(
     union + one groupBy over at most N*k rows — negligible at any
     corpus scale; the cost lives in the retrievers. The fused score is
     rounded to 6 decimals (engine-parity rule 2) with id tie-break.
+
+    RRF is defined over ONE rank per document per list; a frame that
+    carries a document twice (an un-deduped candidate list) is
+    defensively collapsed to its best (minimum) rank before fusing, so
+    duplicate rows cannot inflate rrf_score beyond the definition.
     """
     if not rankings:
         raise ValueError("rankings must contain at least one ranked frame")
     tagged = None
     for r in rankings:
-        part = r.select(
+        best = r.groupBy(id_col).agg(F.min(rank_col).alias("__rank"))
+        part = best.select(
             F.col(id_col),
-            (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("double"))).alias("__rr"),
+            (F.lit(1.0) / (F.lit(k) + F.col("__rank").cast("double"))).alias("__rr"),
         )
         tagged = part if tagged is None else tagged.unionByName(part)
     # decimal sum: order-independent addition, bit-stable across engines

@@ -288,6 +288,7 @@ def curate_corpus(
             threshold=config.containment_threshold,
             num_hashes=config.minhash_num_hashes,
             bands=config.containment_bands,
+            bucket_cap=config.dup_bucket_cap,
         )
         losers = cp.select(
             F.when(F.col("size_a") < F.col("size_b"), F.col("id_a"))

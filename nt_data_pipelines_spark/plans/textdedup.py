@@ -122,7 +122,9 @@ _SIG_MATCHES = " + ".join(
 )
 def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_jaccard_estimate(docs, "doc_id", "text")
+    return D.minhash_jaccard_estimate(
+        docs, "doc_id", "text", bucket_cap=D.DEFAULT_BUCKET_CAP
+    )
 
 
 @register(
@@ -173,7 +175,9 @@ def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.containment_pairs(docs, "doc_id", "text", threshold=0.9)
+    return D.containment_pairs(
+        docs, "doc_id", "text", threshold=0.9, bucket_cap=D.DEFAULT_BUCKET_CAP
+    )
 
 
 # per-side minhash fragments for oracles joining TWO banded relations
@@ -248,6 +252,7 @@ def d_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = D.dedup_new_against_corpus(
         new_docs, None, "doc_id", "text", threshold=0.7,
         corpus_bands=cb, corpus_shingles=csh,
+        corpus_bucket_cap=D.DEFAULT_BUCKET_CAP,
     )
     return kept.select("doc_id", "text")
 

@@ -267,6 +267,25 @@ def test_reciprocal_rank_fusion_math(spark):
     assert order == [10, 11, 12, 99]
 
 
+def test_reciprocal_rank_fusion_dedupes_within_a_list(spark):
+    """A doc appearing twice in ONE ranking frame (un-deduped candidate
+    list) must contribute its best rank once — not sum both rows."""
+    from nt_data_pipelines_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    dup_list = spark.createDataFrame(
+        [(10, 1), (10, 3), (11, 2)], ["doc_id", "rank"]
+    )
+    other = spark.createDataFrame([(10, 2)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in reciprocal_rank_fusion([dup_list, other], k=60).collect()
+    }
+    assert got[10] == pytest.approx(round(1 / 61 + 1 / 62, 6))  # not + 1/63
+    assert got[11] == pytest.approx(round(1 / 62, 6))
+
+
 def test_quality_logit_score_orders_quality(spark):
     from nt_data_pipelines_spark.operators.text import quality_logit_score
 

@@ -863,3 +863,33 @@ def test_streaming_state_feeds_batch_incremental_dedup(spark, tmp_path):
         corpus_shingles=cat.table("words"),
     )
     assert {r["doc_id"] for r in kept.collect()} == {12}
+
+
+def test_default_bucket_cap_warns_once_explicit_is_quiet(spark, docs):
+    """The bounded-recall hot-bucket cap must not apply silently: the
+    module default warns; an explicit cap (int or None) is quiet."""
+    import warnings as W
+
+    import nt_data_pipelines_spark.operators.dedup as D
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        D.minhash_jaccard_estimate(docs, "doc_id")
+        assert any("bucket_cap defaults" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        D.minhash_jaccard_estimate(
+            docs, "doc_id", bucket_cap=D.DEFAULT_BUCKET_CAP
+        )
+        D.containment_pairs(docs, "doc_id", bucket_cap=None)
+        assert not rec
+
+
+def test_bucket_cap_none_is_uncapped_all_pairs(spark, docs):
+    """bucket_cap=None must reproduce the plain all-pairs bucket
+    self-join (the pre-cap semantics, as an explicit opt-out)."""
+    import nt_data_pipelines_spark.operators.dedup as D
+
+    unc = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=None)
+    big = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=10**9)
+    assert sorted(map(tuple, unc.collect())) == sorted(map(tuple, big.collect()))
