@@ -355,6 +355,25 @@ def pseudonymize(
     return out
 
 
+def gram_key(gram: Column | str) -> Column:
+    """60-bit integer shuffle key for an n-gram string.
+
+    The corpus-wide gram-frequency shuffles (duplicated_ngram_fraction,
+    remove_duplicate_spans) hash their n-gram to a fixed-width BIGINT —
+    first 15 md5 hex chars, base-16 — instead of shuffling the raw
+    ~50-byte 8-word string: ~6x fewer key bytes on the dominant
+    exchange, and long comparisons instead of string ones in the
+    aggregate. md5 keeps the key engine-reproducible (DuckDB mirror:
+    ``CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)``). 60-bit
+    collisions conflate two grams' counts — immaterial for a
+    repetition *signal*, and for span removal a false extra removal
+    needs a colliding gram pair inside one corpus at rate n_grams^2 /
+    2^61.
+    """
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
 def _word_ngrams(text_col: str, n: int):
     """Array of word n-grams (space-joined); empty for short docs."""
     ws = words(text_col)
@@ -644,9 +663,15 @@ def duplicated_ngram_fraction(
     shuffles on the doc key — two linear shuffles, never a pairwise
     join. Short docs (< n words) have no shingles and score 0.
     """
+    # hash each gram to a fixed-width long BEFORE the distinct and the
+    # corpus-wide frequency shuffle (see gram_key: ~6x fewer key bytes)
     grams = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("gram"),
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(text_col, n), lambda g: gram_key(g))
+            )
+        ).alias("gram"),
     )
     # grams are per-doc distinct, so COUNT(*) per gram == doc frequency
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -1077,11 +1102,14 @@ def remove_duplicate_spans(
     starts = F.when(
         F.col("__nw") >= n, F.sequence(F.lit(0), F.col("__nw") - n)
     ).otherwise(F.array().cast("array<int>"))
+    # hashed to a fixed-width long before the corpus-wide count shuffle
+    # and the join back (see gram_key)
     grams = base.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                starts, lambda i: F.array_join(F.slice("__ws", i + 1, n), " ")
+                starts,
+                lambda i: gram_key(F.array_join(F.slice("__ws", i + 1, n), " ")),
             )
         ).alias("__p", "__g"),
     )

@@ -211,7 +211,11 @@ _SPAN_N = 8
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
     sh AS (
-      SELECT doc_id, p, array_to_string(ws[p+1:p+{_SPAN_N}], ' ') AS g
+      -- gram hashed to a 60-bit BIGINT key, mirroring operators/text.gram_key
+      SELECT doc_id, p,
+             CAST(concat('0x', substr(md5(
+                 array_to_string(ws[p+1:p+{_SPAN_N}], ' ')
+             ), 1, 15)) AS BIGINT) AS g
       FROM d, UNNEST(generate_series(0, len(ws)-{_SPAN_N})) AS t(p)
       WHERE len(ws) >= {_SPAN_N}
     ),

@@ -155,9 +155,12 @@ NGRAM_N = 8
     oracle=f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     grams AS (
+      -- gram hashed to a 60-bit BIGINT key, mirroring operators/text.gram_key
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(range(1, LEN(ws) - {NGRAM_N} + 2),
-                                   i -> array_to_string(ws[i:i + {NGRAM_N} - 1], ' '))) AS gram
+                                   i -> CAST(concat('0x', substr(md5(
+                                       array_to_string(ws[i:i + {NGRAM_N} - 1], ' ')
+                                   ), 1, 15)) AS BIGINT))) AS gram
       FROM w WHERE LEN(ws) >= {NGRAM_N}
     ),
     dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
