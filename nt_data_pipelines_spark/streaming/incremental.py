@@ -274,6 +274,29 @@ WORD_STATE_SCHEMA = T.StructType(
 )
 
 
+def _bounded_new_edges(
+    pairs: DataFrame, batch_ids: DataFrame, edges_per_doc: int | None
+) -> DataFrame:
+    """Bound a batch's new dup edges to ``edges_per_doc`` min-id
+    partners per batch doc (a pair survives if EITHER endpoint keeps
+    it) — the linear-state twin of the batch tier's bounded spanning
+    edges. ``batch_ids`` carries one column ``doc_id``."""
+    if edges_per_doc is None:
+        return pairs
+    da = pairs.select(F.col("id_a").alias("__d"), F.col("id_b").alias("__p"), "id_a", "id_b")
+    db = pairs.select(F.col("id_b").alias("__d"), F.col("id_a").alias("__p"), "id_a", "id_b")
+    long = da.unionByName(db).join(
+        batch_ids.withColumnRenamed("doc_id", "__d"), "__d", "left_semi"
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    return (
+        long.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= edges_per_doc)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_foreach_batch(
     catalog,
     sig_table: str,
@@ -284,6 +307,8 @@ def minhash_foreach_batch(
     bands: int = 4,
     words_table: str | None = None,
     verify_threshold: float | None = None,
+    state_bucket_cap: int | None = 64,
+    edges_per_doc: int | None = 4,
 ):
     """foreachBatch sink: incremental NEAR-dup candidates over a
     document stream — the streaming tier of MinHash-LSH.
@@ -340,6 +365,30 @@ def minhash_foreach_batch(
     extra state table as::
 
         catalog.create(words_table, WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+
+    **Bounded state** (the 100-TB shape, same trades as the batch
+    tier's ``_bounded_band_candidates`` / bounded spanning edges —
+    both bounds are ON by default and documented here because they
+    change results vs the unbounded forms; pass ``None`` to disable):
+
+    - ``state_bucket_cap``: the batch-vs-state band join reads only
+      the ``cap`` min-id STATE members per (band, band_hash) bucket
+      the batch touches (buckets are selected by a broadcast semi-join
+      on the batch's keys, so the corpus-sized state is never windowed
+      wholesale). A hot boilerplate bucket therefore contributes
+      O(batch x cap) candidates, not O(batch x bucket); a true
+      near-dup ranked past the cap in one band still collides in the
+      other ``bands - 1`` bands.
+    - ``edges_per_doc``: each batch doc persists at most this many
+      min-id verified partners (a pair survives if either endpoint
+      keeps it), so a k-copy dup cluster stores O(k x edges_per_doc)
+      pair rows over its lifetime, never the k^2/2 full closure —
+      group resolution over spanning edges is CC-equivalent for the
+      clique-shaped clusters dedup targets. Trade: min-id anchors
+      concentrate connectivity, so if ALL of a doc's kept partners
+      mutate in the same interval a group can split until a later
+      arrival (or a batch rebuild) re-links it; raise ``edges_per_doc``
+      for more mutation robustness, or None for the full closure.
     """
     if (words_table is None) != (verify_threshold is None):
         raise ValueError(
@@ -438,6 +487,20 @@ def minhash_foreach_batch(
         state = catalog.table(sig_table)
         a = bands_long.select(F.col("doc_id").alias("__a"), "band", "band_hash")
         b = state.select(F.col("doc_id").alias("__b"), "band", "band_hash")
+        if state_bucket_cap is not None:
+            # hot-bucket cap on the STATE side: restrict to buckets the
+            # batch touches (broadcast semi-join — the corpus-sized
+            # state is never shuffled wholesale), then keep the cap
+            # min-id members per bucket. Per-batch candidate cost is
+            # O(batch x cap x bands) regardless of bucket heat.
+            touched_keys = a.select("band", "band_hash").distinct()
+            wb = Window.partitionBy("band", "band_hash").orderBy("__b")
+            b = (
+                b.join(F.broadcast(touched_keys), ["band", "band_hash"], "left_semi")
+                .withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") <= state_bucket_cap)
+                .drop("__r")
+            )
         new_pairs = (
             a.join(b, ["band", "band_hash"])
             .filter(F.col("__a") != F.col("__b"))
@@ -447,6 +510,7 @@ def minhash_foreach_batch(
             )
             .distinct()
         )
+        batch_ids = bands_long.select("doc_id").distinct()
         if words_table is not None:
             # verify the batch's candidates against the (now updated)
             # word state: only exact Jaccard >= threshold pairs persist
@@ -479,9 +543,13 @@ def minhash_foreach_batch(
                 )
                 .select("id_a", "id_b")
             )
-            catalog.upsert(pairs_table, verified)
+            catalog.upsert(
+                pairs_table, _bounded_new_edges(verified, batch_ids, edges_per_doc)
+            )
         else:
-            catalog.upsert(pairs_table, new_pairs)
+            catalog.upsert(
+                pairs_table, _bounded_new_edges(new_pairs, batch_ids, edges_per_doc)
+            )
 
     return write_batch
 

@@ -613,3 +613,185 @@ def test_streaming_minhash_verified_tier_matches_batch(spark, tmp_path):
     # replay of the mutation batch: state unchanged (idempotent)
     sink(spark.createDataFrame(b3, doc_schema), epoch_id=51)
     assert {(r["id_a"], r["id_b"]) for r in cat.table("v_pairs").collect()} == want2
+
+
+def test_streaming_pairs_state_is_linear_in_cluster_size(spark, tmp_path):
+    """A k-copy dup cluster arriving over several batches must persist
+    O(k x edges_per_doc) pair rows, not the k^2/2 full closure — and
+    group resolution over the bounded edges still yields ONE group."""
+    from nt_data_pipelines_spark.streaming import (
+        minhash_foreach_batch,
+        streaming_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+        WORD_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    k, e = 12, 2
+    cat = Catalog(spark, str(tmp_path / "lin_lake"))
+    cat.create("l_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("l_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    cat.create("l_words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+    sink = minhash_foreach_batch(
+        cat, "l_sigs", "l_pairs", words_table="l_words", verify_threshold=0.7,
+        edges_per_doc=e,
+    )
+    for batch_start in range(1, k + 1, 3):
+        rows = [(d, text) for d in range(batch_start, min(batch_start + 3, k + 1))]
+        sink(spark.createDataFrame(rows, doc_schema), epoch_id=batch_start)
+    n_pairs = cat.table("l_pairs").count()
+    assert n_pairs <= k * e, f"pairs state quadratic? {n_pairs} rows for k={k}"
+    assert n_pairs < k * (k - 1) // 2
+    groups = {
+        (r["doc_id"], r["canonical_id"])
+        for r in streaming_dup_groups(cat, "l_pairs").collect()
+    }
+    assert groups >= {(d, 1) for d in range(2, k + 1)}  # one cluster, canonical 1
+    assert {g for _, g in groups} == {1}
+
+
+def test_streaming_state_band_join_is_bucket_capped(spark, tmp_path):
+    """With a hot state bucket (one giant dup cluster), a new batch
+    doc's candidate join must touch only state_bucket_cap min-id state
+    members per bucket — pinned by counting the pairs a single new doc
+    can produce with edges_per_doc=None (cap is then the only bound)."""
+    from nt_data_pipelines_spark.streaming import minhash_foreach_batch
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cap = 5
+    cat = Catalog(spark, str(tmp_path / "cap_lake"))
+    cat.create("c_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("c_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    sink = minhash_foreach_batch(
+        cat, "c_sigs", "c_pairs", state_bucket_cap=cap, edges_per_doc=None
+    )
+    # seed a hot bucket: 20 identical docs = one bucket of 20 per band
+    seed = [(d, text) for d in range(1, 21)]
+    sink(spark.createDataFrame(seed, doc_schema), epoch_id=0)
+    before = cat.table("c_pairs").count()
+    # one new member of the cluster: uncapped it would add 20 pairs;
+    # capped it can reach only the cap min-id members
+    sink(spark.createDataFrame([(99, text)], doc_schema), epoch_id=1)
+    new99 = cat.table("c_pairs").filter(F.col("id_b") == 99).count()
+    assert 0 < new99 <= cap
+    assert cat.table("c_pairs").count() == before + new99
+    # the uncapped opt-out reproduces the full join
+    cat2 = Catalog(spark, str(tmp_path / "cap_lake2"))
+    cat2.create("c_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat2.create("c_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    sink2 = minhash_foreach_batch(
+        cat2, "c_sigs", "c_pairs", state_bucket_cap=None, edges_per_doc=None
+    )
+    sink2(spark.createDataFrame(seed, doc_schema), epoch_id=0)
+    sink2(spark.createDataFrame([(99, text)], doc_schema), epoch_id=1)
+    assert cat2.table("c_pairs").filter(F.col("id_b") == 99).count() == 20
+
+
+@pytest.mark.slow
+def test_streaming_bounded_groups_converge_sf01(spark, tmp_path):
+    """Convergence at bench scale (VERDICT r8 #8): streaming verified
+    near-dup with the BOUNDED state (capped state band join + per-doc
+    edge bound) on the sf0.1 corpus streamed over 3 batches:
+
+    - pairs state is linear in corpus size (the r8 quadratic-state fix);
+    - SOUND: every streaming cluster is a subset of a full-recall
+      verified cluster (bounded recall can only split, never falsely
+      merge — each persisted edge passed the exact-Jaccard verify);
+    - recall: >= 97% of the full-recall batch memberships, and at
+      least as many as the batch BOUNDED path recovers (the capped
+      state join sees up to cap min-id members per hot bucket, vs the
+      batch hub-star's single hub).
+
+    All quantities are deterministic (md5 hashing, fixed batches), so
+    the asserted floors are exact facts about this corpus, not flaky
+    statistics.
+    """
+    from collections import defaultdict
+
+    from nt_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_verified_dup_edges,
+        ngram_jaccard_pairs,
+        resolve_dup_groups,
+    )
+    from nt_data_pipelines_spark.sources.testdata import load_table
+    from nt_data_pipelines_spark.streaming import (
+        minhash_foreach_batch,
+        streaming_dup_groups,
+    )
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+        WORD_STATE_SCHEMA,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+        .filter(F.col("doc_id") % 5 == 0)  # the bench block's subsample
+        .select("doc_id", "text")
+    )
+    cat = Catalog(spark, str(tmp_path / "conv_lake"), commit_mode="filelist")
+    cat.create("sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+    cat.create("words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
+    sink = minhash_foreach_batch(
+        cat, "sigs", "pairs", words_table="words", verify_threshold=0.7
+    )
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), epoch_id=i)
+
+    # 1. linear state (r8: 1.77M pair rows for 40k docs at sf1)
+    n_docs = docs.count()
+    n_pairs = cat.table("pairs").count()
+    assert n_pairs <= 4 * n_docs, (n_pairs, n_docs)  # edges_per_doc default
+
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in streaming_dup_groups(cat, "pairs").collect()
+    }
+    full_cand = minhash_lsh_candidates(docs, "doc_id")
+    true = ngram_jaccard_pairs(docs, "doc_id", threshold=0.7).select("id_a", "id_b")
+    full = full_cand.join(true, ["id_a", "id_b"], "left_semi")
+    want = {
+        (r["doc_id"], r["canonical_id"])
+        for r in resolve_dup_groups(full).collect()
+    }
+
+    def clusters(memberships):
+        d = defaultdict(set)
+        for doc, c in memberships:
+            d[c].add(doc)
+        return [v for v in d.values()]
+
+    # 2. soundness: no streaming cluster spans two full-recall clusters
+    full_of = {}
+    for cl in clusters(want):
+        for doc in cl:
+            full_of[doc] = min(cl)
+    for cl in clusters(got):
+        owners = {full_of.get(doc) for doc in cl}
+        assert len(owners) == 1 and None not in owners, (
+            f"false merge: streaming cluster {sorted(cl)[:5]}... spans {owners}"
+        )
+
+    # 3. recall floors (deterministic on this corpus)
+    assert len(got) >= 0.97 * len(want), (len(got), len(want))
+    bounded_edges = minhash_verified_dup_edges(docs, "doc_id", threshold=0.7)
+    batch_bounded = {
+        (r["doc_id"], r["canonical_id"])
+        for r in resolve_dup_groups(bounded_edges.select("id_a", "id_b")).collect()
+    }
+    assert len(got) >= len(batch_bounded), (len(got), len(batch_bounded))
