@@ -49,13 +49,28 @@ def materialize(df) -> int:
     return df.toArrow().num_rows
 
 
+_JOB_GROUP_SEQ = [0]  # unique job-group ids across all blocks
+
+
 def _time_queries(
-    run_one, warmup: int, timed: int, names: dict[str, str] | None = None
+    run_one,
+    warmup: int,
+    timed: int,
+    names: dict[str, str] | None = None,
+    sc=None,
 ) -> tuple[dict[str, float], dict[str, dict[str, float]]]:
     """Per query: (median, spread). Spread carries min/median/max/stdev
     of the timed runs so round-over-round artifact comparisons can tell
     scheduling noise from real regression (a single-run outlier shows
-    as max >> median with a stable min)."""
+    as max >> median with a stable min).
+
+    With ``sc`` (a SparkContext), one extra post-timing run executes
+    under a unique job group and records ``n_jobs`` in the spread
+    (VERDICT r8 #7): the sub-50 ms queries sit on local-mode's
+    ~25 ms-per-job scheduling floor, so a round-over-round latency
+    move WITHOUT a job-count move is box noise, while a job-count
+    change is a real plan regression and must fail loudly in review.
+    """
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for label, qname in (names or HEADLINE).items():
@@ -74,6 +89,17 @@ def _time_queries(
             "max": round(max(runs), 4),
             "stdev": round(statistics.stdev(runs), 4) if len(runs) > 1 else 0.0,
         }
+        if sc is not None:
+            _JOB_GROUP_SEQ[0] += 1
+            group = f"bench_njobs_{_JOB_GROUP_SEQ[0]}"
+            sc.setJobGroup(group, group)
+            try:
+                prepared()
+                spread[label]["n_jobs"] = len(
+                    sc.statusTracker().getJobIdsForGroup(group)
+                )
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
     return timings, spread
 
 
@@ -99,7 +125,22 @@ def _production_block(spark, data_dir: str) -> dict:
         df = plans.REGISTRY[qname].fn(spark, data_dir)
         return lambda: materialize(df)
 
-    spark_t, spark_spread = _time_queries(spark_one, warmup=1, timed=3)
+    spark_t, spark_spread = _time_queries(
+        spark_one, warmup=1, timed=3, sc=spark.sparkContext
+    )
+    # grouped-map hot paths (VERDICT r8 #5): the only applyInPandas
+    # kernels in the headline tier — tracked Spark-side at sf1+ so a
+    # kernel regression is a bench diff, not "timing informational"
+    gm_t, gm_spread = _time_queries(
+        spark_one,
+        warmup=1,
+        timed=3,
+        names={
+            "g1_ewma_halflife": "w4_ewma_halflife",
+            "g2_rolling_ols": "w6_rolling_regression",
+        },
+        sc=spark.sparkContext,
+    )
 
     import duckdb
 
@@ -130,6 +171,9 @@ def _production_block(spark, data_dir: str) -> dict:
         "value": spark_total,
         "queries": spark_t,
         "queries_spread": spark_spread,
+        "grouped_map_queries": gm_t,
+        "grouped_map_spread": gm_spread,
+        "grouped_map_value": round(sum(gm_t.values()), 4),
         "duckdb_value": duck_total,
         "duckdb_queries": duck_t,
         "ratio_vs_duckdb": round(spark_total / duck_total, 4) if duck_total else None,
@@ -175,6 +219,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     from nt_data_pipelines_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_lsh_spanning_edges,
+        minhash_verified_dup_edges,
         resolve_dup_groups_auto,
     )
     from nt_data_pipelines_spark.pipelines.corpus import (
@@ -230,7 +275,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     spark_spread: dict[str, dict[str, float]] = {}
 
     thunks = {"c2_dup_groups": run_groups}
-    t, s = _time_queries(spark_composed, 1, 3, {k: k for k in thunks})
+    t, s = _time_queries(spark_composed, 1, 3, {k: k for k in thunks}, sc=spark.sparkContext)
     spark_t.update(t)
     spark_spread.update(s)
     if heavy:
@@ -238,24 +283,53 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
             "c1_minhash_candidates": run_candidates,
             "c3_curate_full": run_curate,
         }
-        t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks})
+        t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
         spark_t.update(t)
         spark_spread.update(s)
     else:
+        # sf5 flagship signal (VERDICT r8 #4): the two long compositions
+        # stay skipped (below), but their SCALE-PATH twins run — the
+        # bounded verified-edge candidate generation that curation
+        # actually uses, and a linear-stage curate profile (rules +
+        # bounded near-dup + source mixing + packing; the optional
+        # span/perplexity/classifier/semantic stages stay sf1-only).
+        def run_bounded_edges():
+            return materialize(minhash_verified_dup_edges(fresh_docs(), "doc_id"))
+
+        def run_curate_linear():
+            packed, accounting = curate_corpus(
+                fresh_docs(),
+                config=CurationConfig(token_budget_per_source=2000),
+            )
+            n = materialize(packed) + materialize(accounting)
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            return n
+
+        thunks = {
+            "c1_bounded_edges": run_bounded_edges,
+            "c3_curate_linear": run_curate_linear,
+        }
+        t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
+        spark_t.update(t)
+        spark_spread.update(s)
         skipped["c1_minhash_candidates"] = (
             "all-pairs candidate output is O(copies x base pairs) "
-            "(~320M rows here); single run >5 min — tracked at sf1"
+            "(~320M rows here); single run >5 min — tracked at sf1; "
+            "the bounded scale path runs here as c1_bounded_edges"
         )
         skipped["c3_curate_full"] = (
             "full pipeline is ~30 sequential jobs; >5 min here — "
-            "tracked at sf1"
+            "tracked at sf1; the linear-stage profile runs here as "
+            "c3_curate_linear"
         )
 
     def spark_oracle_row(qname):
         df = plans.REGISTRY[qname].fn(spark, data_dir)
         return lambda: materialize(df)
 
-    st2, sp2 = _time_queries(spark_oracle_row, 1, 3, CORPUS_ORACLE)
+    st2, sp2 = _time_queries(spark_oracle_row, 1, 3, CORPUS_ORACLE, sc=spark.sparkContext)
     spark_t.update(st2)
     spark_spread.update(sp2)
 
@@ -432,7 +506,9 @@ def main() -> None:
         df = plans.REGISTRY[qname].fn(spark, sf_dir)
         return lambda: materialize(df)
 
-    timings, spread = _time_queries(spark_one, WARMUP_RUNS, TIMED_RUNS)
+    timings, spread = _time_queries(
+        spark_one, WARMUP_RUNS, TIMED_RUNS, sc=spark.sparkContext
+    )
 
     out = {
         "metric": "headline_median_total",
