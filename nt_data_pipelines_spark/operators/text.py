@@ -1151,3 +1151,133 @@ def remove_duplicate_spans(
             .alias("n_removed_words"),
         )
     )
+
+
+def source_unigram_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    out_col: str = "kl_bits",
+) -> DataFrame:
+    """Per-source KL divergence (bits/token) of the source's unigram
+    distribution from the whole corpus's.
+
+    The corpus-QA drift signal for source mixing: a source whose token
+    distribution diverges sharply from the pool (KL >> 0) is
+    over-contributing vocabulary the rest of the corpus never uses —
+    the quantity DoReMi-style reweighting and mixture audits monitor.
+    KL(P_s || Q) = (1/N_s) * sum_w c_sw * log2((c_sw * N) / (N_s * c_w))
+    over the source's observed words; every observed word has corpus
+    count >= its source count >= 1, so no smoothing is needed.
+
+    Scale shape: one (word, source) count shuffle and one word-level
+    count shuffle, joined on the word key (linear — the per-word join
+    fans out by number of sources carrying the word, bounded by the
+    source count); corpus totals broadcast as scalars. No pairwise
+    source-x-source work.
+
+    Engine parity: each word's term is rounded to 6 decimals before an
+    exact decimal sum (registry rules 1+2 — log2 may differ in the
+    last ulp across engines).
+
+    Returns (source, n_tokens, kl_bits) — one row per source.
+    """
+    toks = df.select(F.col(source_col).alias("source"), F.explode(words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    sw = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("__csw"))
+    w = sw.groupBy("word").agg(F.sum("__csw").alias("__cw"))
+    ns = sw.groupBy("source").agg(F.sum("__csw").alias("__ns"))
+    total = w.agg(F.sum("__cw").alias("__N"))
+    # ratio built in doubles (a long*long numerator could overflow at
+    # corpus scale); the division order is pinned so both engines
+    # evaluate bit-identically before the round
+    term = F.round(
+        F.col("__csw")
+        * F.log2(
+            (F.col("__csw").cast("double") * F.col("__N"))
+            / (F.col("__ns").cast("double") * F.col("__cw"))
+        ),
+        6,
+    )
+    return (
+        sw.join(w, "word")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(total))
+        .select("source", F.col("__ns").alias("n_tokens"), term.alias("__t"))
+        .groupBy("source", "n_tokens")
+        .agg(
+            F.round(
+                F.sum(F.col("__t").cast("decimal(28,6)")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias(out_col)
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at word granularity: a word whose
+    :func:`gram_key` hash is 0 mod ``boundary_mod`` CLOSES the current
+    chunk, so expected chunk length is ``boundary_mod`` words and
+    boundaries depend only on content — an insertion or edit moves
+    boundaries locally instead of re-shifting every downstream chunk
+    the way fixed-width windows do (the property that makes chunk-hash
+    dedup stable across crawl snapshots; Gear/FastCDC's rationale at
+    word level).
+
+    Output per chunk: (id, chunk_id, n_words, chunk_text, chunk_hash,
+    n_occurrences) where n_occurrences counts byte-identical chunks
+    corpus-wide (via md5 of the chunk text) — >1 marks shared
+    boilerplate/quotation blocks for chunk-level dedup. Scale shape:
+    one per-doc window (position cumsum) on the doc-id shuffle, one
+    groupBy per (doc, chunk), one chunk-hash count shuffle — all
+    linear; no pairwise comparisons.
+
+    Docs with no tokens yield no chunks.
+    """
+    if boundary_mod < 2:
+        raise ValueError("boundary_mod must be >= 2")
+    pos = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("__p", "__w")
+    ).filter(F.col("__w") != "")
+    wdoc = Window.partitionBy(id_col).orderBy("__p")
+    # boundary word closes its chunk: chunk_id = boundaries seen BEFORE
+    # this position
+    is_boundary = (gram_key(F.col("__w")) % boundary_mod == 0).cast("long")
+    chunked = pos.select(
+        F.col(id_col),
+        "__p",
+        "__w",
+        (
+            F.sum(is_boundary).over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("__chunk"),
+    ).fillna({"__chunk": 0})
+    chunks = chunked.groupBy(id_col, "__chunk").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    wh = Window.partitionBy("chunk_hash")
+    return (
+        chunks.withColumn("chunk_hash", F.md5("chunk_text"))
+        .withColumn("n_occurrences", F.count(F.lit(1)).over(wh))
+        .select(
+            F.col(id_col),
+            F.col("__chunk").cast("long").alias("chunk_id"),
+            "n_words",
+            "chunk_text",
+            "chunk_hash",
+            "n_occurrences",
+        )
+    )

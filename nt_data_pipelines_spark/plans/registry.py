@@ -80,7 +80,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
-    # NEW in round 9 — never driver-verified (insert above this line):
+    # NEW in round 9 — never driver-verified:
+    "t_source_divergence",
+    "t_cdc_chunks",
     # semantics changed in round 9 (hashed gram shuffle keys, oracle
     # mirrored) — re-verify first:
     "t_remove_dup_spans",
@@ -134,7 +136,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_value_histogram",
     "t_bm25_topk",
     "t_boilerplate_lines",
-    "p_temperature_mix",
 ]
 
 

@@ -358,3 +358,71 @@ def test_remove_duplicate_spans(spark):
     import pytest
     with pytest.raises(ValueError, match="n must be"):
         remove_duplicate_spans(docs, n=1)
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC property: an insertion near the front changes only the
+    chunk containing the edit — chunk hashes AFTER the next boundary
+    are identical, unlike fixed-width windows where every downstream
+    chunk shifts."""
+    from nt_data_pipelines_spark.operators.text import cdc_chunks
+
+    base = ("w%02d " % 0) + " ".join(f"w{i:02d}" for i in range(1, 60))
+    edited = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(docs, "doc_id", "text", boundary_mod=4).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    shared = h1 & h2
+    # all chunks after the first boundary are untouched by the edit
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+    # and the shared chunks are counted as corpus-wide duplicates
+    dup_hashes = {r["chunk_hash"] for r in out if r["n_occurrences"] >= 2}
+    assert shared <= dup_hashes
+
+
+def test_cdc_chunks_cover_and_sizes(spark):
+    """Chunks partition the word sequence: sizes sum to the word count
+    and mean size tracks boundary_mod."""
+    from nt_data_pipelines_spark.operators.text import cdc_chunks
+
+    text = " ".join(f"tok{i}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = cdc_chunks(docs, "doc_id", "text", boundary_mod=8).collect()
+    assert sum(r["n_words"] for r in rows) == 200
+    rebuilt = " ".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+    )
+    assert rebuilt == text
+    assert 2 <= (200 / len(rows)) <= 40  # mean near boundary_mod=8
+
+
+def test_source_divergence_zero_for_identical_distribution(spark):
+    """A source whose token distribution equals the pool's has KL == 0;
+    a skewed source scores strictly positive."""
+    from nt_data_pipelines_spark.operators.text import source_unigram_divergence
+
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "a b c d", "s2"),          # s1 == s2 == pool halves
+        (3, "a b c d", "s1"),
+        (4, "a b c d", "s2"),
+    ]
+    out = {
+        r["source"]: r["kl_bits"]
+        for r in source_unigram_divergence(
+            spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    assert out["s1"] == 0.0 and out["s2"] == 0.0
+    rows2 = rows + [(5, "zz zz zz zz zz zz zz zz", "s3")]
+    out2 = {
+        r["source"]: r["kl_bits"]
+        for r in source_unigram_divergence(
+            spark.createDataFrame(rows2, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    assert out2["s3"] > 0.5          # exclusive vocabulary diverges hard
+    assert out2["s1"] > 0.0          # pool moved, so s1 now diverges a bit
