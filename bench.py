@@ -294,7 +294,9 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
         # bounded near-dup + source mixing + packing; the optional
         # span/perplexity/classifier/semantic stages stay sf1-only).
         def run_bounded_edges():
-            return materialize(minhash_verified_dup_edges(fresh_docs(), "doc_id"))
+            return materialize(
+                minhash_verified_dup_edges(fresh_docs(), "doc_id", bucket_cap=64)
+            )
 
         def run_curate_linear():
             packed, accounting = curate_corpus(
@@ -418,7 +420,8 @@ def _streaming_block(spark, data_dir: str, n_batches: int = 3) -> dict:
         cat.create("pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
         cat.create("words", WORD_STATE_SCHEMA, None, ["doc_id", "word"])
         sink = minhash_foreach_batch(
-            cat, "sigs", "pairs", words_table="words", verify_threshold=0.7
+            cat, "sigs", "pairs", words_table="words", verify_threshold=0.7,
+            state_bucket_cap=64, edges_per_doc=4,
         )
         docs_mod = 5
         out["docs_mod"] = docs_mod

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -605,14 +606,16 @@ class Catalog:
         the retention window), and treating it as an empty contribution
         would let GC delete files that snapshot still references —
         turning a loud read-path LookupError into silent data loss on
-        the most destructive path. Raise instead, mirroring _fl_read.
+        the most destructive path. Raise instead, mirroring _fl_read;
+        _fl_gc converts the raise into a warned sweep abort (it runs
+        AFTER a successful commit, which must not look failed).
         """
         files = self._fl_manifest_files(name, gen)
         if files is None:
             raise LookupError(
                 f"retained generation {gen} of {name!r} cannot be "
-                "resolved (torn or missing replay base?) — aborting "
-                "the sweep rather than risking deletion of its files"
+                "resolved (torn or missing replay base?) — refusing a "
+                "partial keep-set that could doom its files"
             )
         return files
 
@@ -878,6 +881,15 @@ class Catalog:
         manifest-log entries older than KEEP_MANIFESTS drop — their
         unique files are provably gone by then since every commit runs
         this GC with the narrower time_travel window.
+
+        An unresolvable RETAINED generation aborts the whole sweep
+        (deletions AND log trimming) with a warning instead of
+        raising: a partial keep-set could doom files that snapshot
+        still references, but this method runs AFTER a successful
+        commit — raising here would make the committed insert look
+        failed and invite a duplicating retry. The corruption stays
+        loud on the read path (_fl_read raises for it), and garbage
+        merely accumulates until resolved (garbage over loss).
         """
         fs, mdir = self._hfs(self._manifest_dir(name))
         if not fs.exists(mdir):
@@ -889,9 +901,15 @@ class Catalog:
         for g in gens:
             if g >= cutoff:
                 # retained snapshot: protect its RESOLVED file set
-                # (delta manifests alone don't list carried-over files);
-                # raises if unresolvable — never sweep on a partial keep-set
-                keep.update(self._fl_keep_files(name, g))
+                # (delta manifests alone don't list carried-over files)
+                try:
+                    keep.update(self._fl_keep_files(name, g))
+                except LookupError as e:
+                    warnings.warn(
+                        f"filelist GC of {name!r} aborted, nothing deleted: {e}",
+                        stacklevel=2,
+                    )
+                    return
             else:
                 # superseded: every file it merely MENTIONS is a
                 # candidate (checkpoint sets, delta adds AND removes)
@@ -985,10 +1003,11 @@ class Catalog:
             keep: set[str] = set()
             for g in self._manifest_gens(name):
                 if g >= cur - self.time_travel:
-                    # raises if a retained gen is unresolvable — a
-                    # partial keep-set here could misclassify protected
-                    # files as GC-doomed probes
-                    keep.update(self._fl_keep_files(name, g))
+                    # a partial keep-set is SAFE here (unlike in
+                    # _fl_gc): it only widens the probe set, so an
+                    # unresolvable retained gen can at worst make this
+                    # read fail conservatively loud, never delete data
+                    keep.update(self._fl_manifest_files(name, g) or [])
             doomed = [f for f in files if f not in keep] or files[:1]
         fs, p = self._hfs(self._fl_abs(doomed[0]))
         return bool(fs.exists(p))

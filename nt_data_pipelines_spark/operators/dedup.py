@@ -312,7 +312,7 @@ def minhash_verified_dup_edges(
     threshold: float = 0.7,
     num_hashes: int = 16,
     bands: int = 4,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = _DEFAULT_CAP,
 ) -> DataFrame:
     """Verified near-dup edges: LSH buckets -> BOUNDED candidate edges ->
     exact word-set Jaccard >= ``threshold``. Feed the result to
@@ -341,6 +341,7 @@ def minhash_verified_dup_edges(
     Verification then runs on this linear-size edge set only — the
     shingle join fans each edge out by its word count, never all pairs.
     """
+    bucket_cap = _resolve_bucket_cap(bucket_cap, "minhash_verified_dup_edges")
     long = banded_minhash(df, id_col, text_col, num_hashes, bands)
     cand = _bounded_band_candidates(long, id_col, bucket_cap)
 

@@ -75,8 +75,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # t_dedup_paragraphs t_vocab_topk s_quantize_embeddings
 # p_quantile_transform a_null_profile w_xsec_rank w_forward_returns
 # w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
-# w_robust_zscore t_unigram_logprob s_knn_graph p_temperature_mix
-# p_split_assign a_corpus_report — plus whatever r9 displaces).
+# w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
+# p_temperature_mix p_split_assign a_corpus_report — 19 names, all
+# r7-verified, displaced by round 9's fronting).
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
@@ -135,7 +136,6 @@ DRIVER_PRIORITY: list[str] = [
     "s_near_dup_pairs",
     "a_value_histogram",
     "t_bm25_topk",
-    "t_boilerplate_lines",
 ]
 
 

@@ -302,7 +302,9 @@ def d_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d_verified_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_verified_dup_edges(docs, "doc_id", "text", threshold=0.7)
+    return D.minhash_verified_dup_edges(
+        docs, "doc_id", "text", threshold=0.7, bucket_cap=D.DEFAULT_BUCKET_CAP
+    )
 
 
 @register(

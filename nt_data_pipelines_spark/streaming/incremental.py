@@ -18,6 +18,8 @@ Spark equivalents so the engine covers both modes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -274,6 +276,14 @@ WORD_STATE_SCHEMA = T.StructType(
 )
 
 
+class _Defaulted(int):
+    """Marks a bound that came from the module default, not the caller."""
+
+
+_DEFAULT_STATE_CAP = _Defaulted(64)
+_DEFAULT_EDGES = _Defaulted(4)
+
+
 def _bounded_new_edges(
     pairs: DataFrame, batch_ids: DataFrame, edges_per_doc: int | None
 ) -> DataFrame:
@@ -307,8 +317,8 @@ def minhash_foreach_batch(
     bands: int = 4,
     words_table: str | None = None,
     verify_threshold: float | None = None,
-    state_bucket_cap: int | None = 64,
-    edges_per_doc: int | None = 4,
+    state_bucket_cap: int | None = _DEFAULT_STATE_CAP,
+    edges_per_doc: int | None = _DEFAULT_EDGES,
 ):
     """foreachBatch sink: incremental NEAR-dup candidates over a
     document stream — the streaming tier of MinHash-LSH.
@@ -368,8 +378,10 @@ def minhash_foreach_batch(
 
     **Bounded state** (the 100-TB shape, same trades as the batch
     tier's ``_bounded_band_candidates`` / bounded spanning edges —
-    both bounds are ON by default and documented here because they
-    change results vs the unbounded forms; pass ``None`` to disable):
+    both bounds are ON by default, and a one-time warning fires at
+    sink construction when either comes from the default, because
+    they change results vs the unbounded forms; pass explicit ints,
+    or ``None`` to disable):
 
     - ``state_bucket_cap``: the batch-vs-state band join reads only
       the ``cap`` min-id STATE members per (band, band_hash) bucket
@@ -395,6 +407,20 @@ def minhash_foreach_batch(
             "words_table and verify_threshold enable the verified tier "
             "together — set both or neither"
         )
+    if isinstance(state_bucket_cap, _Defaulted) or isinstance(edges_per_doc, _Defaulted):
+        # one warning at sink construction, mirroring the batch tier's
+        # _resolve_bucket_cap: bounded recall must be knowing, not silent
+        warnings.warn(
+            "minhash_foreach_batch: bounded-recall defaults in effect "
+            f"(state_bucket_cap={int(state_bucket_cap)}, "
+            f"edges_per_doc={int(edges_per_doc)}): hot state buckets are "
+            "capped to min-id members and each batch doc persists at most "
+            "edges_per_doc spanning edges. Pass explicit ints (or None for "
+            "the unbounded forms) to silence this warning.",
+            stacklevel=2,
+        )
+        state_bucket_cap = int(state_bucket_cap)
+        edges_per_doc = int(edges_per_doc)
     from nt_data_pipelines_spark.operators.dedup import banded_minhash, word_set
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -494,10 +520,10 @@ def minhash_foreach_batch(
             # min-id members per bucket. Per-batch candidate cost is
             # O(batch x cap x bands) regardless of bucket heat.
             touched_keys = a.select("band", "band_hash").distinct()
-            wb = Window.partitionBy("band", "band_hash").orderBy("__b")
+            w_bucket = Window.partitionBy("band", "band_hash").orderBy("__b")
             b = (
                 b.join(F.broadcast(touched_keys), ["band", "band_hash"], "left_semi")
-                .withColumn("__r", F.row_number().over(wb))
+                .withColumn("__r", F.row_number().over(w_bucket))
                 .filter(F.col("__r") <= state_bucket_cap)
                 .drop("__r")
             )

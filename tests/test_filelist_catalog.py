@@ -817,9 +817,13 @@ def test_drop_invalidates_filelist_cache(spark, tmp_path):
 
 def test_gc_aborts_when_retained_generation_unresolvable(spark, tmp_path):
     """An unresolvable RETAINED generation must abort the GC sweep
-    (LookupError), not silently contribute an empty keep-set — a
+    with a warning, not silently contribute an empty keep-set — a
     partial keep-set would let GC delete files that snapshot still
-    references (data loss instead of the read path's loud error)."""
+    references. No exception escapes: GC runs AFTER a successful
+    commit, and a raise would make the committed write look failed
+    (inviting a duplicating retry)."""
+    import warnings as W
+
     root = str(tmp_path / "fl")
     cat = Catalog(spark, root, commit_mode="filelist", time_travel=2)
     cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
@@ -832,11 +836,16 @@ def test_gc_aborts_when_retained_generation_unresolvable(spark, tmp_path):
     # destroy the replay base: gens 1.. are deltas over checkpoint 0
     os.remove(os.path.join(root, "m._manifest", "0.json"))
     cat._fl_cache.clear()
-    with pytest.raises(LookupError, match="retained generation"):
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
         cat._fl_gc("m", cat._current_gen("m"))
-    # the aborted sweep deleted nothing
+    assert any("GC" in str(w.message) and "aborted" in str(w.message) for w in rec)
+    # the aborted sweep deleted nothing — data files AND manifest log
     data_after = sorted(
         os.path.relpath(p, root)
         for p in _glob.glob(os.path.join(root, "m.data", "*", "*.parquet"))
     )
     assert data_after == data_before
+    # the corruption stays loud where it belongs: on the read path
+    with pytest.raises(LookupError):
+        cat.table("m").collect()

@@ -66,3 +66,9 @@ def test_driver_priority_names_exist():
     unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
     assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicates"
+    # entries past the driver's 50-slot window silently never get a
+    # row — a 51-entry list once shipped believing it "filled to 50"
+    assert len(DRIVER_PRIORITY) <= DRIVER_SLOTS, (
+        f"{len(DRIVER_PRIORITY)} entries for {DRIVER_SLOTS} driver slots: "
+        f"overflow {DRIVER_PRIORITY[DRIVER_SLOTS:]}"
+    )
