@@ -565,3 +565,52 @@ def reciprocal_rank_fusion(
         .agg((F.round(fused, 6) + 0.0).alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )
+
+
+def source_centroid_outliers(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    source_col: str = "source",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-document cosine to its OWN source's embedding centroid —
+    the outlier-pruning signal for embedding-based curation
+    (SemDeDup-adjacent: SemDeDup removes near-identical points,
+    centroid distance removes points that belong to no cluster at all
+    — mislabeled, off-topic, or garbage-embedded documents score low).
+
+    Scale shape: one posexplode of the joined vectors for the centroid
+    aggregate (linear, map-side partial per (source, dim)); centroids
+    collapse to one ~sources x dim frame that BROADCASTS back, so the
+    scoring pass is a single codegen stage over the corpus — no
+    per-pair work, no second shuffle of the vectors.
+
+    Engine parity: centroid components are exact decimal means; the
+    cosine is a sequential fold rounded to 6 decimals (the module's
+    standard). Returns (id, source, centroid_cosine).
+    """
+    v = embeddings.select(
+        F.col(vec_id_col).alias(id_col), as_double_array(vec_col).alias("__v")
+    )
+    joined = docs.select(id_col, F.col(source_col).alias("source")).join(v, id_col)
+    longf = joined.select("source", F.posexplode("__v").alias("__i", "__x"))
+    cent = longf.groupBy("source", "__i").agg(
+        (
+            F.sum(F.col("__x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    carr = cent.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__c"))), lambda s: s["__c"]
+        ).alias("__cv")
+    )
+    return joined.join(F.broadcast(carr), "source").select(
+        id_col,
+        "source",
+        (F.round(cosine(F.col("__v"), F.col("__cv")), 6) + 0.0).alias(
+            "centroid_cosine"
+        ),
+    )

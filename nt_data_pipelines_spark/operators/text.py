@@ -1281,3 +1281,79 @@ def cdc_chunks(
             "n_occurrences",
         )
     )
+
+
+def cdc_dedup_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+    min_chunk_words: int = 2,
+) -> DataFrame:
+    """Chunk-level dedup: rewrite each document keeping only the FIRST
+    corpus-wide occurrence of every repeated content-defined chunk.
+
+    The snapshot-stable middle ground between document dedup (misses
+    partial duplication) and exact-substring span removal (cuts every
+    occurrence including the first): repeated boilerplate blocks
+    survive exactly once — in the earliest (min id, min chunk_id)
+    document — and disappear from every later copy. Because chunk
+    boundaries come from :func:`cdc_chunks`' content-defined rule, a
+    re-crawled page with one edited paragraph re-chunks only around
+    the edit, so the unchanged blocks still hash identically and still
+    dedup against the previous snapshot.
+
+    Chunks shorter than ``min_chunk_words`` are never removed (a 1-2
+    word chunk hash carries too little content to call two occurrences
+    "the same block" — removing them would eat common short phrases).
+
+    Scale shape: :func:`cdc_chunks`' linear shuffles, plus one
+    min-over-(chunk_hash) aggregate joined back, one per-doc regroup.
+    Returns (id, clean_text, n_removed_chunks, n_removed_words);
+    every input doc keeps a row (empty string if everything was a
+    later duplicate).
+    """
+    chunks = cdc_chunks(df, id_col, text_col, boundary_mod)
+    first = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("__first")
+    )
+    tagged = chunks.join(first, "chunk_hash").withColumn(
+        "__keep",
+        (F.col("n_words") < min_chunk_words)
+        | (
+            (F.col("__first")[id_col] == F.col(id_col))
+            & (F.col("__first")["chunk_id"] == F.col("chunk_id"))
+        ),
+    )
+    rebuilt = (
+        tagged.filter(F.col("__keep"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    removed = (
+        tagged.filter(~F.col("__keep"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_removed_chunks"),
+            F.sum("n_words").alias("n_removed_words"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed_chunks", F.lit(0)).cast("long").alias("n_removed_chunks"),
+            F.coalesce("n_removed_words", F.lit(0)).cast("long").alias("n_removed_words"),
+        )
+    )

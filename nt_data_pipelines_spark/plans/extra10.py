@@ -92,3 +92,102 @@ def t_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, "doc_id", "text", boundary_mod=_CDC_MOD)
+
+
+@register(
+    "t_cdc_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, p, ws[p+1] AS w
+      FROM d, UNNEST(generate_series(0, len(ws)-1)) AS t(p)
+      WHERE ws[p+1] <> ''
+    ),
+    marked AS (
+      SELECT doc_id, p, w,
+             CASE WHEN {_WKEY} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    chunked AS (
+      SELECT doc_id, p, w,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM marked
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, COUNT(*) AS n_words,
+             string_agg(w, ' ' ORDER BY p) AS chunk_text
+      FROM chunked GROUP BY 1, 2
+    ),
+    hashed AS (SELECT *, md5(chunk_text) AS h FROM chunks),
+    first AS (
+      SELECT h, MIN(struct_pack(d := doc_id, c := chunk_id)) AS fst
+      FROM hashed GROUP BY h
+    ),
+    tagged AS (
+      SELECT hashed.*,
+             (n_words < 2 OR (fst.d = hashed.doc_id
+                              AND fst.c = hashed.chunk_id)) AS keep
+      FROM hashed JOIN first USING (h)
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+      FROM tagged WHERE keep GROUP BY doc_id
+    ),
+    rem AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_chunks,
+             CAST(SUM(n_words) AS BIGINT) AS n_removed_words
+      FROM tagged WHERE NOT keep GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(rem.n_removed_chunks, 0) AS n_removed_chunks,
+           COALESCE(rem.n_removed_words, 0) AS n_removed_words
+    FROM documents d LEFT JOIN reb USING (doc_id) LEFT JOIN rem USING (doc_id)
+    """,
+    doc="Chunk-level dedup over content-defined chunks: every repeated "
+    "chunk survives only in its first (min doc, min position) "
+    "occurrence — the snapshot-stable middle ground between document "
+    "dedup and span removal. Linear: CDC shuffles + one min-per-hash "
+    "aggregate + per-doc regroup.",
+)
+def t_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import cdc_dedup_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_documents(docs, "doc_id", "text", boundary_mod=_CDC_MOD)
+
+
+@register(
+    "s_centroid_outlier",
+    oracle="""
+    WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    j AS (SELECT d.doc_id, d.source, e.v
+          FROM documents d JOIN e USING (doc_id)),
+    long AS (
+      SELECT source, i, v[i+1] AS x
+      FROM j, UNNEST(generate_series(0, len(v)-1)) AS t(i)
+    ),
+    cent AS (
+      SELECT source, i,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM long GROUP BY 1, 2
+    ),
+    carr AS (SELECT source, list(c ORDER BY i) AS cv FROM cent GROUP BY 1)
+    SELECT j.doc_id, j.source,
+           (ROUND(list_dot_product(v, cv) /
+                  (SQRT(list_dot_product(v, v)) * SQRT(list_dot_product(cv, cv))),
+                  6) + 0.0) AS centroid_cosine
+    FROM j JOIN carr USING (source)
+    """,
+    doc="Per-doc cosine to its source's embedding centroid — the "
+    "outlier-pruning curation signal (low score = off-topic or "
+    "garbage-embedded doc). Centroids are exact decimal means, "
+    "broadcast back; scoring is one codegen pass, no pairwise work.",
+)
+def s_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.similarity import source_centroid_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return source_centroid_outliers(docs, emb)

@@ -76,14 +76,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # p_quantile_transform a_null_profile w_xsec_rank w_forward_returns
 # w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
 # w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
-# p_temperature_mix p_split_assign a_corpus_report — 19 names, all
-# r7-verified, displaced by round 9's fronting).
+# p_temperature_mix p_split_assign a_corpus_report a_value_histogram
+# t_bm25_topk — 21 names, all r7-verified, displaced by round 9's
+# fronting).
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 9 — never driver-verified:
     "t_source_divergence",
     "t_cdc_chunks",
+    "t_cdc_dedup",
+    "s_centroid_outlier",
     # semantics changed in round 9 (hashed gram shuffle keys, oracle
     # mirrored) — re-verify first:
     "t_remove_dup_spans",
@@ -134,8 +137,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_normalize",
     "t_token_totals",
     "s_near_dup_pairs",
-    "a_value_histogram",
-    "t_bm25_topk",
 ]
 
 

@@ -426,3 +426,73 @@ def test_source_divergence_zero_for_identical_distribution(spark):
     }
     assert out2["s3"] > 0.5          # exclusive vocabulary diverges hard
     assert out2["s1"] > 0.0          # pool moved, so s1 now diverges a bit
+
+
+def test_cdc_dedup_keeps_first_occurrence_only(spark):
+    """A block repeated across docs survives once, in the earliest
+    (min doc, min position) occurrence; unique content is untouched;
+    sub-min_chunk_words chunks are never removed."""
+    from nt_data_pipelines_spark.operators.text import cdc_dedup_documents
+
+    block = " ".join(f"w{i:02d}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " unique alpha tail content here"),
+            (2, "unique beta head content " + block),
+            (3, block),                                  # pure duplicate
+            (4, "completely separate document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cdc_dedup_documents(docs, "doc_id").collect()}
+    # doc 1 keeps everything (it owns the first occurrence)
+    assert out[1]["n_removed_words"] == 0
+    assert out[1]["clean_text"] == docs.collect()[0]["text"]
+    # docs 2 and 3 lose the repeated block's full chunks
+    assert out[2]["n_removed_words"] > 0
+    assert out[3]["n_removed_words"] > 0
+    # CDC semantics: chunks fully inside the shared block dedup; the
+    # block's trailing PARTIAL chunk differs between docs (in doc 1 it
+    # merges with the following words), so a boundary-straddling tail
+    # may survive — most of the block must be gone, not every word
+    assert out[3]["n_removed_words"] >= 16
+    survivors = set(out[3]["clean_text"].split()) & set(block.split())
+    assert len(survivors) <= 8
+    # doc 4 untouched
+    assert out[4]["clean_text"] == "completely separate document body"
+    assert out[4]["n_removed_words"] == 0
+    # idempotence: dedup of the output changes nothing
+    again = cdc_dedup_documents(
+        spark.createDataFrame(
+            [(k, v["clean_text"]) for k, v in out.items()], ["doc_id", "text"]
+        ),
+        "doc_id",
+    )
+    assert all(r["n_removed_words"] == 0 for r in again.collect())
+
+
+def test_source_centroid_outliers_orders_by_typicality(spark):
+    """A vector equal to its source's centroid scores 1.0; an
+    orthogonal outlier scores lower."""
+    from nt_data_pipelines_spark.operators.similarity import (
+        source_centroid_outliers,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s1")], ["doc_id", "source"]
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),   # the outlier
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["doc_id"]: r["centroid_cosine"]
+        for r in source_centroid_outliers(docs, emb).collect()
+    }
+    # centroid of {e1, e1, e4} is (2/3, 0, 0, 1/3): cos(e1) = 2/sqrt(5)
+    assert out[1] == out[2] == pytest.approx(0.894427, abs=1e-6)
+    assert out[3] == pytest.approx(0.447214, abs=1e-6)  # the outlier
