@@ -103,6 +103,15 @@ class CurationConfig:
     # (requires an `embeddings` frame passed to curate_corpus);
     # None disables the stage
     semantic_threshold: float | None = None
+    # embedding outlier pruning: drop docs whose cosine to their OWN
+    # source's centroid falls below this floor (off-topic / garbage-
+    # embedded docs; requires `embeddings`); None disables the stage
+    centroid_floor: float | None = None
+    # chunk-level dedup rewrite (content-defined chunking): repeated
+    # chunks survive only in their first corpus-wide occurrence;
+    # the value is the CDC boundary modulus (expected chunk length in
+    # words); None disables the stage
+    cdc_dedup_mod: int | None = None
     semantic_planes: int = 8      # planes per band
     semantic_bands: int = 4       # OR-amplified bands (recall 1-(1-p^k)^L)
     semantic_dim: int = 64
@@ -277,6 +286,31 @@ def curate_corpus(
         )
         near = stage("semantic_dedup", near)
 
+    if config.centroid_floor is not None:
+        if embeddings is None:
+            raise ValueError("centroid_floor set but no embeddings frame was passed")
+        from nt_data_pipelines_spark.operators.similarity import (
+            source_centroid_outliers,
+        )
+
+        # outlier tier: semantic dedup removes near-IDENTICAL points;
+        # this removes points that belong to no cluster at all —
+        # off-topic or garbage-embedded docs score far from their own
+        # source's centroid. Centroids are computed over the CURRENT
+        # survivors so earlier dedup stages don't skew the mean.
+        emb_o = embeddings.withColumnRenamed(embeddings.columns[0], id_col)
+        scores = source_centroid_outliers(
+            near.select(id_col, config.source_col),
+            emb_o,
+            id_col=id_col,
+            source_col=config.source_col,
+            vec_id_col=id_col,
+        )
+        keep_ids = scores.filter(
+            F.col("centroid_cosine") >= config.centroid_floor
+        ).select(id_col)
+        near = stage("centroid_outlier", near.join(keep_ids, id_col, "left_semi"))
+
     if config.containment_threshold is not None:
         # doc-inside-doc tier: drop the contained (smaller-set) doc,
         # keep the superset; ties keep the min id. Not transitive by
@@ -298,6 +332,19 @@ def curate_corpus(
         near = stage(
             "containment_dedup", near.join(losers, id_col, "left_anti")
         )
+
+    if config.cdc_dedup_mod is not None:
+        # chunk-level rewrite: repeated content-defined chunks keep
+        # their FIRST corpus-wide occurrence only (span removal below
+        # cuts every occurrence; this preserves one canonical copy)
+        rewritten = TX.cdc_dedup_documents(
+            near, id_col, text_col, boundary_mod=config.cdc_dedup_mod
+        )
+        near = near.drop(text_col).join(
+            rewritten.select(id_col, F.col("clean_text").alias(text_col)),
+            id_col,
+        )
+        near = stage("chunk_rewrite", near)
 
     if config.remove_dup_spans_n is not None:
         rewritten = TX.remove_duplicate_spans(

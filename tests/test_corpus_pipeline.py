@@ -238,3 +238,56 @@ def test_curate_corpus_span_rewrite_stage(spark):
     tokens_on = packed.agg(F.sum("n_tokens")).first()[0]
     tokens_off = packed_off.agg(F.sum("n_tokens")).first()[0]
     assert tokens_on < tokens_off
+
+
+def test_curate_corpus_centroid_outlier_stage(spark):
+    """centroid_floor drops embedding outliers: the synthetic corpus's
+    centroid cosines span roughly [-0.22, 0.53] (median ~0.19), so a
+    0.1 floor bites without emptying the stage; the row lands in the
+    accounting and the count is monotone."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=0.95, centroid_floor=0.1
+        ),
+        embeddings=emb,
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert "centroid_outlier" in acct
+    assert 0 < acct["centroid_outlier"] <= acct["near_dedup"]
+    # floor=-1 keeps everything that has an embedding (cosine >= -1)
+    _, acct_all = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=0.95, centroid_floor=-1.0
+        ),
+        embeddings=emb,
+    )
+    acct2 = {r["stage"]: r["docs"] for r in acct_all.collect()}
+    assert acct2["centroid_outlier"] >= acct["centroid_outlier"]
+    with pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(
+            docs, config=CurationConfig(centroid_floor=0.5), embeddings=None
+        )
+
+
+def test_curate_corpus_chunk_rewrite_stage(spark):
+    """cdc_dedup_mod rewrites repeated chunks out of later docs: the
+    stage row lands in the accounting, survivors' total words shrink,
+    and the row count is unchanged (a rewrite, not a filter)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    _, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=5, max_dup_ngram_frac=0.95, cdc_dedup_mod=8
+        ),
+    )
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert "chunk_rewrite" in acct
+    assert acct["chunk_rewrite"] == acct["near_dedup"]  # rewrite keeps rows
+    assert acct["span_dedup"] > 0
