@@ -1,5 +1,6 @@
-"""Round-9 additions: per-source distribution drift + content-defined
-chunking (chunk-level dedup primitive)."""
+"""Round-9 additions: per-source distribution drift, content-defined
+chunking (+ chunk-level dedup), source-centroid outlier scoring, and
+corpus-learned BPE tokenization."""
 
 from __future__ import annotations
 
@@ -191,3 +192,22 @@ def s_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return source_centroid_outliers(docs, emb)
+
+
+@register(
+    "t_bpe_tokenize",
+    oracle=None,  # iterative merge learning is not SQL-expressible;
+    # correctness is pinned by tests/test_bpe.py against a pure-Python
+    # reference implementation (exact merge-table and token equality)
+    doc="BPE subword tokenization learned FROM the corpus (Sennrich "
+    "2016): 16 merges trained on the word-frequency relation (one "
+    "corpus shuffle total; per-merge work is vocab-sized), then "
+    "encoded with chained codegen folds. Rows-only driver check; "
+    "reference-exact tests carry the semantics.",
+)
+def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=16, checkpoint_every=8)
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")

@@ -77,8 +77,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
 # w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
 # p_temperature_mix p_split_assign a_corpus_report a_value_histogram
-# t_bm25_topk — 21 names, all r7-verified, displaced by round 9's
-# fronting).
+# t_bm25_topk s_near_dup_pairs — 22 names, all r7-verified, displaced
+# by round 9's fronting).
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
@@ -87,6 +87,7 @@ DRIVER_PRIORITY: list[str] = [
     "t_cdc_chunks",
     "t_cdc_dedup",
     "s_centroid_outlier",
+    "t_bpe_tokenize",
     # semantics changed in round 9 (hashed gram shuffle keys, oracle
     # mirrored) — re-verify first:
     "t_remove_dup_spans",
@@ -136,7 +137,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_fingerprint",
     "t_normalize",
     "t_token_totals",
-    "s_near_dup_pairs",
 ]
 
 
