@@ -108,3 +108,23 @@ def test_bpe_train_stops_when_no_pair_repeats(spark):
     docs = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
     merges = bpe_train(docs, num_merges=50)
     assert len(merges) < 50  # every pair unique -> early stop
+
+
+def test_bpe_encode_arrow_matches_fold_encoder(spark):
+    """The Arrow-batched rank-priority encoder must produce EXACTLY the
+    fold encoder's tokens (GPT-2-style lowest-rank-first merging is
+    equivalent to applying merges in learned order) — including on
+    unseen words, empty and null texts."""
+    from nt_data_pipelines_spark.operators.bpe import bpe_encode_arrow
+
+    train = spark.createDataFrame(list(enumerate(CORPUS)), ["doc_id", "text"])
+    merges = bpe_train(train, num_merges=10)
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)) + [(90, "lowly zzz unseen"), (91, ""), (92, None)],
+        ["doc_id", "text"],
+    )
+    a = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+         for r in bpe_encode(docs, merges).collect()}
+    b = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+         for r in bpe_encode_arrow(docs, merges).collect()}
+    assert a == b

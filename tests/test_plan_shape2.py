@@ -249,3 +249,30 @@ def test_curate_stage_boundaries_truncate_lineage(spark):
         accounting._jdf.queryExecution(), "formatted"
     )
     assert len(acct_plan.splitlines()) < 400, len(acct_plan.splitlines())
+
+
+def test_centroid_outlier_broadcasts_centroids(spark):
+    """The scoring pass must get centroids via broadcast — a shuffle
+    of the corpus vectors onto the (tiny) centroid frame would move
+    the whole embedding column twice."""
+    plan = _explain(spark, "s_centroid_outlier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert _op_count(plan, "BroadcastHashJoin") >= 1
+
+
+def test_cdc_dedup_is_linear_no_pairwise_join(spark):
+    """Chunk-level dedup must stay linear: CDC window + min-per-hash
+    aggregate + per-doc regroup — never a pairwise chunk join."""
+    plan = _explain(spark, "t_cdc_dedup")
+    assert "CartesianProduct" not in plan
+    # per-doc position window exists, but no partitionless window
+    assert "No Partition Defined" not in plan
+
+
+def test_source_divergence_totals_broadcast(spark):
+    """The corpus-total scalar joins via broadcast; the word-level
+    join is a real equi-join (shuffle or broadcast), never a loop."""
+    plan = _explain(spark, "t_source_divergence")
+    assert "CartesianProduct" not in plan
+    assert _op_count(plan, "BroadcastNestedLoopJoin") <= 1  # scalar total only
