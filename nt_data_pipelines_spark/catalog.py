@@ -1003,11 +1003,26 @@ class Catalog:
             keep: set[str] = set()
             for g in self._manifest_gens(name):
                 if g >= cur - self.time_travel:
-                    # a partial keep-set is SAFE here (unlike in
-                    # _fl_gc): it only widens the probe set, so an
-                    # unresolvable retained gen can at worst make this
-                    # read fail conservatively loud, never delete data
-                    keep.update(self._fl_manifest_files(name, g) or [])
+                    # a partial keep-set is NOT safe here: dropping an
+                    # unresolvable retained gen's files from `keep`
+                    # WIDENS `doomed` with files GC actually protects,
+                    # so the single probe can hit a file that exists
+                    # while the generation's genuinely-collected files
+                    # go unprobed — a false "readable" that fails
+                    # mid-scan with a raw path-not-found. Readability
+                    # is unverifiable without the full keep-set; raise
+                    # (read-worded — this is a read, not a sweep).
+                    kf = self._fl_manifest_files(name, g)
+                    if kf is None:
+                        raise LookupError(
+                            f"cannot verify that generation {gen} of "
+                            f"{name!r} is readable: retained generation "
+                            f"{g} is unresolvable (torn or missing "
+                            "replay base?), so the GC keep-set — the "
+                            "set of files a pre-retention snapshot may "
+                            "still share — cannot be computed"
+                        )
+                    keep.update(kf)
             doomed = [f for f in files if f not in keep] or files[:1]
         fs, p = self._hfs(self._fl_abs(doomed[0]))
         return bool(fs.exists(p))

@@ -306,10 +306,15 @@ def curate_corpus(
             source_col=config.source_col,
             vec_id_col=id_col,
         )
-        keep_ids = scores.filter(
-            F.col("centroid_cosine") >= config.centroid_floor
+        # drop only docs whose score EXISTS and falls below the floor:
+        # a doc with no embedding row (or a zero-norm vector, which
+        # scores as NULL) has no evidence of being off-topic, and the
+        # semantic_dedup stage above tolerates missing embeddings the
+        # same way — a left_semi on keepers would silently drop them.
+        drop_ids = scores.filter(
+            F.col("centroid_cosine") < config.centroid_floor
         ).select(id_col)
-        near = stage("centroid_outlier", near.join(keep_ids, id_col, "left_semi"))
+        near = stage("centroid_outlier", near.join(drop_ids, id_col, "left_anti"))
 
     if config.containment_threshold is not None:
         # doc-inside-doc tier: drop the contained (smaller-set) doc,

@@ -407,19 +407,31 @@ def minhash_foreach_batch(
             "words_table and verify_threshold enable the verified tier "
             "together — set both or neither"
         )
-    if isinstance(state_bucket_cap, _Defaulted) or isinstance(edges_per_doc, _Defaulted):
-        # one warning at sink construction, mirroring the batch tier's
-        # _resolve_bucket_cap: bounded recall must be knowing, not silent
+    # one warning at sink construction, mirroring the batch tier's
+    # _resolve_bucket_cap: bounded recall must be knowing, not silent.
+    # Each bound resolves independently — an explicit None on one must
+    # not crash or silence the other's default.
+    defaulted = {
+        name: val
+        for name, val in (
+            ("state_bucket_cap", state_bucket_cap),
+            ("edges_per_doc", edges_per_doc),
+        )
+        if isinstance(val, _Defaulted)
+    }
+    if defaulted:
+        in_effect = ", ".join(f"{n}={int(v)}" for n, v in defaulted.items())
         warnings.warn(
-            "minhash_foreach_batch: bounded-recall defaults in effect "
-            f"(state_bucket_cap={int(state_bucket_cap)}, "
-            f"edges_per_doc={int(edges_per_doc)}): hot state buckets are "
-            "capped to min-id members and each batch doc persists at most "
-            "edges_per_doc spanning edges. Pass explicit ints (or None for "
-            "the unbounded forms) to silence this warning.",
+            f"minhash_foreach_batch: bounded-recall default(s) in effect "
+            f"({in_effect}): hot state buckets are capped to min-id "
+            "members and each batch doc persists at most edges_per_doc "
+            "spanning edges. Pass explicit ints (or None for the "
+            "unbounded forms) to silence this warning.",
             stacklevel=2,
         )
+    if isinstance(state_bucket_cap, _Defaulted):
         state_bucket_cap = int(state_bucket_cap)
+    if isinstance(edges_per_doc, _Defaulted):
         edges_per_doc = int(edges_per_doc)
     from nt_data_pipelines_spark.operators.dedup import banded_minhash, word_set
 

@@ -291,3 +291,64 @@ def test_curate_corpus_chunk_rewrite_stage(spark):
     assert "chunk_rewrite" in acct
     assert acct["chunk_rewrite"] == acct["near_dedup"]  # rewrite keeps rows
     assert acct["span_dedup"] > 0
+
+
+def test_centroid_stage_keeps_docs_without_embeddings(spark):
+    """Regression (review, r9): the centroid_outlier stage must drop
+    only docs whose score EXISTS and falls below the floor — a doc
+    with no embedding row has no evidence of being off-topic and must
+    survive (the semantic_dedup stage tolerates missing embeddings the
+    same way; the old left_semi on keepers silently dropped it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy with the warm day", "web"),
+            (2, "a dog ran in the park and then it went back to the house", "web"),
+            (3, "this bird flew over the lake and it saw all the little fish", "web"),
+            (4, "we walked to the store and bought some bread for the morning", "web"),
+        ],
+        doc_schema,
+    )  # doc 4 has no embedding row
+    emb_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [-1.0, 0.0]),  # outlier: negative cosine to centroid
+        ],
+        emb_schema,
+    )
+    packed, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=1, max_dup_ngram_frac=1.0, near_dup_jaccard=None,
+            centroid_floor=0.0,
+        ),
+        embeddings=emb,
+    )
+    # the packed corpus is chunk-level; chunk_uid is "doc_id#chunk_start"
+    kept = {
+        r["d"]
+        for r in packed.select(
+            F.split("chunk_uid", "#")[0].cast("long").alias("d")
+        ).collect()
+    }
+    assert 3 not in kept, "scored outlier must be dropped"
+    assert 4 in kept, "doc with no embedding row must survive the stage"
+    assert {1, 2} <= kept
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert acct["centroid_outlier"] == 3

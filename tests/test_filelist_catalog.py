@@ -849,3 +849,27 @@ def test_gc_aborts_when_retained_generation_unresolvable(spark, tmp_path):
     # the corruption stays loud where it belongs: on the read path
     with pytest.raises(LookupError):
         cat.table("m").collect()
+
+
+def test_unverifiable_readability_raises_read_worded(spark, tmp_path):
+    """Regression (review, r9): when a RETAINED generation is
+    unresolvable, the GC keep-set — the files a pre-retention snapshot
+    may still share — cannot be computed, so dropping its contribution
+    WIDENS the doomed-probe set with files GC actually protects: the
+    single probe can hit an existing file and declare the snapshot
+    readable while its genuinely-collected files go unprobed (a false
+    positive that fails mid-scan). Reading a pre-retention generation
+    must instead raise a READ-worded LookupError."""
+    root = str(tmp_path / "uv")
+    cat = Catalog(spark, root, commit_mode="filelist", time_travel=1)
+    cat.create("m", SCHEMA, None, ["ticker", "date"], mode="replace")
+    for i, t in enumerate(["A", "B", "C"]):
+        cat.insert("m", _rows(spark, [(t, D1, float(i))]))
+    assert cat._current_gen("m") == 3  # retention window: gens >= 2
+    # tear gen 2's manifest: a retained generation that no longer
+    # resolves (read_manifest -> None -> resolve -> None)
+    with open(os.path.join(root, "m._manifest", "2.json"), "w") as f:
+        f.write('{"generation": ')
+    cat._fl_cache.clear()
+    with pytest.raises(LookupError, match="cannot verify"):
+        cat.table_at("m", 1).collect()

@@ -795,3 +795,59 @@ def test_streaming_bounded_groups_converge_sf01(spark, tmp_path):
         for r in resolve_dup_groups(bounded_edges.select("id_a", "id_b")).collect()
     }
     assert len(got) >= len(batch_bounded), (len(got), len(batch_bounded))
+
+
+def test_minhash_sink_mixed_explicit_none_and_default_bounds(spark, tmp_path):
+    """Regression (review, r9): an explicit ``None`` on ONE bound must
+    not crash sink construction (the old warning formatted both params
+    with int(), so edges_per_doc=None raised TypeError) nor silence
+    the OTHER bound's default warning — each resolves independently."""
+    import warnings as W
+
+    from nt_data_pipelines_spark.streaming import minhash_foreach_batch
+    from nt_data_pipelines_spark.streaming.incremental import (
+        DUP_PAIR_SCHEMA,
+        MINHASH_STATE_SCHEMA,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "mx_lake"))
+    cat.create("mx_sigs", MINHASH_STATE_SCHEMA, None, ["doc_id", "band"])
+    cat.create("mx_pairs", DUP_PAIR_SCHEMA, None, ["id_a", "id_b"])
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        sink = minhash_foreach_batch(cat, "mx_sigs", "mx_pairs", edges_per_doc=None)
+    msgs = [str(w.message) for w in rec if "bounded-recall" in str(w.message)]
+    assert len(msgs) == 1
+    assert "state_bucket_cap" in msgs[0] and "edges_per_doc=" not in msgs[0]
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        minhash_foreach_batch(cat, "mx_sigs", "mx_pairs", state_bucket_cap=None)
+    msgs = [str(w.message) for w in rec if "bounded-recall" in str(w.message)]
+    assert len(msgs) == 1
+    assert "edges_per_doc" in msgs[0] and "state_bucket_cap=" not in msgs[0]
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        minhash_foreach_batch(
+            cat, "mx_sigs", "mx_pairs", state_bucket_cap=None, edges_per_doc=None
+        )
+    assert not [w for w in rec if "bounded-recall" in str(w.message)]
+
+    # the unbounded-edges sink actually runs (None reaches the write path)
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    sink(
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "lazy dog the quick brown fox jumps over"),
+            ],
+            doc_schema,
+        ),
+        epoch_id=0,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cat.table("mx_pairs").collect()}
+    assert got == {(1, 2)}
