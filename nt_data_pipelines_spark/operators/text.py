@@ -420,6 +420,11 @@ def benchmark_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+    return _contamination_result(totals, hits, id_col)
+
+
+def _contamination_result(totals: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
+    """(doc, n_grams) x (doc, n_contaminated) -> the contamination report."""
     return totals.join(hits, id_col, "left").select(
         id_col,
         "n_grams",
@@ -435,6 +440,134 @@ def benchmark_contamination(
             + 0.0
         ).alias("overlap_ratio"),
     )
+
+
+def _bloom_bit_positions(gram: Column, num_bits: int, num_hashes: int, h) -> Column:
+    """Bit position of hash ``h`` (a Column or int) for one gram:
+    pmod(xxhash64(gram # h), m). Build and probe share this so the
+    two sides cannot drift."""
+    hc = F.lit(str(h)) if isinstance(h, int) else h.cast("string")
+    return F.pmod(F.xxhash64(F.concat_ws("#", gram, hc)), F.lit(num_bits))
+
+
+def bloom_bitset(
+    df: DataFrame, gram_col: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Bloom filter over a gram column as a driver-held list of
+    ``num_bits / 64`` longs. The bitset aggregates DISTRIBUTEDLY
+    (explode hash seeds -> per-64-bit-word bit_or), so the collect is
+    bounded by num_bits/64 words regardless of how many grams went in
+    — never by the input's row count."""
+    nwords = (num_bits + 63) // 64
+    pos = _bloom_bit_positions(F.col(gram_col), num_bits, num_hashes, F.col("__h"))
+    rows = (
+        df.select(
+            F.col(gram_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),
+        )
+        .select(
+            F.shiftright(pos, 6).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    bits = [0] * nwords
+    for r in rows:
+        bits[r["__w"]] = r["__bits"]
+    return bits
+
+
+def bloom_might_contain(
+    bits: list[int], gram: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """Codegen membership probe against a :func:`bloom_bitset`: the
+    bitset rides along as an array<long> literal; each of the
+    num_hashes probes is an element_at + shift + mask — no UDF, no
+    join. (w >> b) & 1 reads bit b correctly under Spark's arithmetic
+    shift: sign extension only touches bits above b."""
+    bf = F.lit(bits).cast("array<long>")
+    cond = F.lit(True)
+    for h in range(num_hashes):
+        p = _bloom_bit_positions(gram, num_bits, num_hashes, h)
+        w = F.element_at(bf, F.shiftright(p, 6).cast("int") + 1)
+        cond = cond & (
+            F.call_function(
+                "shiftright", w, F.pmod(p, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    return cond
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int | None = None,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """:func:`benchmark_contamination` with a Bloom prefilter — the
+    SAME exact result (gram-identical output), built for benchmarks
+    too large to broadcast.
+
+    The plain check broadcasts the benchmark's gram set, which works
+    while that set fits in every executor (a single eval set). A full
+    eval-SUITE union can reach 10^8+ distinct grams — too big to
+    broadcast, so the exact join degenerates into shuffling the
+    corpus's entire gram explosion (trillions of rows at 100 TB)
+    against it. Here the benchmark side instead collapses into a
+    fixed-size Bloom bitset (16 bits/gram, capped at 2 MB; FPR ~0.2%
+    at 4 hashes) that prefilters corpus grams MAP-SIDE — Bloom
+    filters have no false negatives, so every truly contaminated gram
+    survives, and the exact verify join afterwards discards the false
+    positives. Only hits + FP noise ever shuffle; the verify join is
+    left to AQE (no forced broadcast) because this variant exists
+    precisely for the non-broadcastable benchmark.
+
+    (Spark's own ``bloom_filter_agg``/``might_contain`` are internal
+    to the runtime-filter rule, not registered SQL functions, so the
+    bitset is built from public primitives: xxhash64 positions,
+    per-64-bit-word bit_or, an array<long> literal probe — all
+    codegen, no UDF. Sizing + building runs actions over the
+    BENCHMARK side only, never the corpus.)
+
+    Exactness is by construction, so the differential oracle is the
+    same SQL as the plain check's.
+    """
+    grams = _word_ngrams(text_col, n)
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    totals = corpus.select(
+        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("n_grams")
+    )
+    if num_bits is None:
+        n_bench = bench_grams.count()
+        num_bits = min(max(1024, 16 * n_bench), 16 * 1024 * 1024)
+    if num_bits <= 0:
+        raise ValueError("num_bits must be positive")
+    bits = bloom_bitset(bench_grams, "gram", num_bits, num_hashes)
+    if not any(bits):  # empty benchmark: nothing can be contaminated
+        hits = totals.select(id_col).limit(0).withColumn(
+            "n_contaminated", F.lit(0).cast("long")
+        )
+        return _contamination_result(totals, hits, id_col)
+    candidates = corpus_grams.where(
+        bloom_might_contain(bits, F.col("gram"), num_bits, num_hashes)
+    )
+    hits = (
+        candidates.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return _contamination_result(totals, hits, id_col)
 
 
 def tfidf_top_terms(
@@ -1212,6 +1345,57 @@ def source_unigram_divergence(
                 / F.col("n_tokens"),
                 6,
             ).alias(out_col)
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 25,
+) -> DataFrame:
+    """Per-source Zipf slope: OLS slope of ln(count) on ln(rank) over
+    the source's top-``k`` tokens.
+
+    Natural language follows rank^-s with s near 1, so the fitted
+    slope sits near -1; machine-generated or template-heavy sources
+    flatten (slope toward 0, counts near-uniform) or steepen (a few
+    boilerplate tokens dominate). The audit complement to
+    :func:`source_unigram_divergence`: KL says a source's vocabulary
+    DIFFERS from the pool, the slope says its internal frequency
+    structure stopped looking like text at all.
+
+    Scale shape: one (source, word) count shuffle (map-side partial);
+    the rank window runs over the VOCAB-sized counts frame, never the
+    corpus; the fit is a k-row-per-source aggregate. Ranks tie-break
+    on the token so both engines rank identically; the slope is an
+    algorithmic stat, rounded to 6 (registry rule 2).
+
+    Returns (source, n_terms, zipf_slope) — one row per source.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("__cnt"))
+    rw = Window.partitionBy("source").orderBy(F.desc("__cnt"), F.asc("word"))
+    ranked = counts.withColumn("__rnk", F.row_number().over(rw)).filter(
+        F.col("__rnk") <= k
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            (
+                F.round(
+                    F.regr_slope(
+                        F.log(F.col("__cnt").cast("double")),
+                        F.log(F.col("__rnk").cast("double")),
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("zipf_slope"),
         )
     )
 

@@ -211,3 +211,89 @@ def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=16, checkpoint_every=8)
     return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "t_bloom_decontaminate",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE source <> 'src1'),
+    bench AS (SELECT * FROM documents WHERE source = 'src1'),
+    cg AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, len(string_split(text,' '))),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+      )) AS gram FROM corpus
+    ),
+    bg AS (
+      SELECT DISTINCT UNNEST(
+        list_transform(range(1, len(string_split(text,' '))),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+      ) AS gram FROM bench
+    ),
+    totals AS (
+      SELECT doc_id, CAST(len(list_distinct(
+        list_transform(range(1, len(string_split(text,' '))),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+      )) AS BIGINT) AS n_grams FROM corpus
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_grams,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CASE WHEN n_grams > 0
+                 THEN COALESCE(n_contaminated, 0) / CAST(n_grams AS DOUBLE) END, 6) + 0.0
+             AS overlap_ratio
+    FROM totals t LEFT JOIN hits USING (doc_id)
+    """,
+    doc="Decontamination for benchmarks too large to broadcast: the "
+    "benchmark's gram set collapses into a fixed-size Bloom filter "
+    "(bloom_filter_agg, no false negatives) that prefilters corpus "
+    "grams map-side; an exact verify join discards false positives, "
+    "so the result — and therefore the oracle — is identical to the "
+    "exact check's. Word-2-grams vs the source='src1' slice.",
+)
+def t_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.text import bloom_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src1")
+    bench = docs.filter(F.col("source") == "src1")
+    return bloom_contamination(corpus, bench, "doc_id", n=2)
+
+
+@register(
+    "t_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM toks WHERE word <> '' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word ASC) AS rnk
+      FROM c
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) + 0.0 AS zipf_slope
+    FROM r WHERE rnk <= 25 GROUP BY source
+    """,
+    doc="Per-source Zipf slope: OLS fit of ln(count) on ln(rank) over "
+    "the top-25 tokens — natural text sits near -1; template or "
+    "machine-generated sources flatten or steepen. One (source, word) "
+    "count shuffle; the rank window runs over the vocab-sized counts "
+    "frame, never the corpus. Slope rounded to 6 (registry rule 2).",
+)
+def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import zipf_slope
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_slope(docs)

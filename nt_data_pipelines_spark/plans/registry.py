@@ -77,12 +77,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
 # w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
 # p_temperature_mix p_split_assign a_corpus_report a_value_histogram
-# t_bm25_topk s_near_dup_pairs — 22 names, all r7-verified, displaced
-# by round 9's fronting).
+# t_bm25_topk s_near_dup_pairs t_normalize t_token_totals — 24 names,
+# all r7-verified; the last two displaced by the late round-9
+# additions below).
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 9 — never driver-verified:
+    "t_bloom_decontaminate",
+    "t_zipf_slope",
     "t_source_divergence",
     "t_cdc_chunks",
     "t_cdc_dedup",
@@ -135,8 +138,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_quality_features",
     "t_language_id",
     "t_fingerprint",
-    "t_normalize",
-    "t_token_totals",
 ]
 
 

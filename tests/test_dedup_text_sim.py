@@ -893,3 +893,79 @@ def test_bucket_cap_none_is_uncapped_all_pairs(spark, docs):
     unc = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=None)
     big = D.minhash_jaccard_estimate(docs, "doc_id", bucket_cap=10**9)
     assert sorted(map(tuple, unc.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_bloom_contamination_equals_exact(spark, docs):
+    """The Bloom-prefiltered check must be gram-exact: Bloom has no
+    false negatives and the verify join discards false positives, so
+    the result equals benchmark_contamination row for row."""
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    exact = sorted(
+        map(tuple, TX.benchmark_contamination(corpus, bench, "doc_id", n=2).collect())
+    )
+    bloom = sorted(
+        map(tuple, TX.bloom_contamination(corpus, bench, "doc_id", n=2).collect())
+    )
+    assert bloom == exact
+    # a deliberately tiny, saturated filter still verifies exactly —
+    # false positives only cost work, never correctness
+    tiny = sorted(
+        map(
+            tuple,
+            TX.bloom_contamination(
+                corpus, bench, "doc_id", n=2, num_bits=64, num_hashes=2
+            ).collect(),
+        )
+    )
+    assert tiny == exact
+
+
+def test_bloom_bitset_prefilter_rates(spark):
+    """Membership: every inserted gram probes true (no false
+    negatives, the property exactness rests on); novel grams probe
+    true at a bounded false-positive rate given 16 bits/gram."""
+    inserted = [(f"gram number {i}",) for i in range(500)]
+    novel = [(f"unseen token {i}",) for i in range(2000)]
+    ins = spark.createDataFrame(inserted, "gram string")
+    nov = spark.createDataFrame(novel, "gram string")
+    num_bits, num_hashes = 16 * 500, 4
+    bits = TX.bloom_bitset(ins, "gram", num_bits, num_hashes)
+    probe = TX.bloom_might_contain(bits, F.col("gram"), num_bits, num_hashes)
+    assert ins.filter(probe).count() == 500  # zero false negatives
+    fp = nov.filter(probe).count()
+    assert fp / 2000 < 0.02, f"false-positive rate {fp / 2000} (expected ~0.002)"
+
+
+def test_bloom_contamination_empty_benchmark(spark, docs):
+    out = TX.bloom_contamination(docs, docs.limit(0), "doc_id", n=2)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_contaminated"] == 0 for r in rows)
+
+
+def test_zipf_slope_shapes(spark):
+    """A geometric (Zipfian s=1) frequency profile fits slope ~-1; a
+    uniform profile fits slope 0. Golden slope via numpy lstsq."""
+    import numpy as np
+
+    # source zipf: word w_r appears floor(120/r) times, r = 1..8
+    zipf_words = []
+    counts = [120 // r for r in range(1, 9)]
+    for r, c in enumerate(counts, start=1):
+        zipf_words += [f"w{r:02d}"] * c
+    # source flat: 8 words, 15 occurrences each
+    flat_words = [f"u{r}" for r in range(8) for _ in range(15)]
+    df = spark.createDataFrame(
+        [(1, " ".join(zipf_words), "zipf"), (2, " ".join(flat_words), "flat")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in TX.zipf_slope(df, k=8).collect()}
+    assert got["zipf"]["n_terms"] == 8 and got["flat"]["n_terms"] == 8
+    assert got["flat"]["zipf_slope"] == pytest.approx(0.0, abs=1e-9)
+    x = np.log(np.arange(1, 9, dtype=float))
+    y = np.log(np.array(sorted(counts, reverse=True), dtype=float))
+    a = np.vstack([x, np.ones_like(x)]).T
+    want = float(np.linalg.lstsq(a, y, rcond=None)[0][0])
+    assert got["zipf"]["zipf_slope"] == pytest.approx(round(want, 6), abs=2e-6)
+    assert got["zipf"]["zipf_slope"] < -0.8

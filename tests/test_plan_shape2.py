@@ -276,3 +276,26 @@ def test_source_divergence_totals_broadcast(spark):
     plan = _explain(spark, "t_source_divergence")
     assert "CartesianProduct" not in plan
     assert _op_count(plan, "BroadcastNestedLoopJoin") <= 1  # scalar total only
+
+
+def test_bloom_decontaminate_prefilters_before_join(spark):
+    """The Bloom probe must run as a plain Filter over the corpus gram
+    explosion BEFORE any join (map-side pruning is the whole point),
+    and the bitset rides as a literal — no extra join or UDF to fetch
+    it."""
+    plan = _explain(spark, "t_bloom_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe compiles to shiftright/element_at inside a Filter node
+    assert "shiftright" in plan and "element_at" in plan
+
+
+def test_zipf_slope_windows_vocab_not_corpus(spark):
+    """The rank window must partition by source over the vocab-sized
+    counts frame — a partitionless window (global sort of the corpus)
+    would serialize the whole explosion through one task."""
+    plan = _explain(spark, "t_zipf_slope")
+    assert "CartesianProduct" not in plan
+    assert "No Partition Defined" not in plan
+    # counts aggregate (with partial) feeds the window: two-level agg
+    assert _op_count(plan, "HashAggregate") >= 2
