@@ -98,6 +98,13 @@ class CurationConfig:
     # this threshold — the classifier tier after the rule-based gate;
     # None disables the stage
     quality_model_threshold: float | None = None
+    # eval-set decontamination: drop docs whose word-n-gram overlap
+    # with the `benchmark` frame passed to curate_corpus EXCEEDS this
+    # ratio (Bloom-prefiltered exact check, operators/
+    # text.bloom_contamination — the non-broadcastable-eval-suite
+    # scale path); None disables the stage
+    decontaminate_overlap: float | None = None
+    decontaminate_ngram: int = 3
     # embedding-cosine semantic dedup: docs whose embeddings exceed
     # this cosine threshold collapse to one canonical survivor
     # (requires an `embeddings` frame passed to curate_corpus);
@@ -157,6 +164,7 @@ def curate_corpus(
     text_col: str = "text",
     config: CurationConfig = CurationConfig(),
     embeddings: DataFrame | None = None,
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; returns (packed, accounting).
 
@@ -390,6 +398,28 @@ def curate_corpus(
             scored.filter(F.col("keep") == 1).select(id_col), id_col, "left_semi"
         )
         gated = stage("quality_model_gate", gated)
+
+    if config.decontaminate_overlap is not None:
+        if benchmark is None:
+            raise ValueError(
+                "decontaminate_overlap set but no benchmark frame was passed"
+            )
+        # the benchmark gets the same normalization the corpus got at
+        # the input stage, so grams compare like-for-like. Building
+        # the Bloom bitset runs benchmark-sized actions here (never
+        # corpus-sized); overlap_ratio is NULL for gram-less docs,
+        # which the > comparison keeps (no evidence of leakage).
+        rep = TX.bloom_contamination(
+            gated.select(id_col, text_col),
+            benchmark.withColumn(text_col, TX.normalize_text(text_col)),
+            id_col,
+            text_col=text_col,
+            n=config.decontaminate_ngram,
+        )
+        dirty = rep.filter(
+            F.col("overlap_ratio") > config.decontaminate_overlap
+        ).select(id_col)
+        gated = stage("decontaminate", gated.join(dirty, id_col, "left_anti"))
 
     if config.perplexity_band is not None:
         from nt_data_pipelines_spark.operators.lm import perplexity_band_filter

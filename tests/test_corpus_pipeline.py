@@ -352,3 +352,42 @@ def test_centroid_stage_keeps_docs_without_embeddings(spark):
     assert {1, 2} <= kept
     acct = {r["stage"]: r["docs"] for r in accounting.collect()}
     assert acct["centroid_outlier"] == 3
+
+
+def test_curate_corpus_decontaminate_stage(spark):
+    """The decontamination stage drops docs whose n-gram overlap with
+    the benchmark exceeds the threshold; clean docs and gram-less docs
+    survive; the stage requires a benchmark frame."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    leak = "the model answers the held out question about the blue whale"
+    docs = spark.createDataFrame(
+        [
+            (1, leak + " plus some training context around it", "web"),
+            (2, "a perfectly ordinary document about the weather today", "web"),
+            (3, "another clean document that talks about cooking dinner", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    packed, accounting = curate_corpus(
+        docs,
+        config=CurationConfig(
+            min_words=1, max_dup_ngram_frac=1.0, near_dup_jaccard=None,
+            decontaminate_overlap=0.3,
+        ),
+        benchmark=bench,
+    )
+    kept = {
+        r["d"]
+        for r in packed.select(
+            F.split("chunk_uid", "#")[0].cast("long").alias("d")
+        ).collect()
+    }
+    assert 1 not in kept, "leaked doc must be dropped"
+    assert {2, 3} <= kept
+    acct = {r["stage"]: r["docs"] for r in accounting.collect()}
+    assert acct["decontaminate"] == 2
+    with pytest.raises(ValueError, match="benchmark"):
+        curate_corpus(docs, config=CurationConfig(decontaminate_overlap=0.5))
