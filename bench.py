@@ -279,9 +279,45 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     spark_t.update(t)
     spark_spread.update(s)
     if heavy:
+        from pyspark.sql import functions as F
+
+        from nt_data_pipelines_spark.operators.text import (
+            benchmark_contamination,
+            bloom_contamination,
+        )
+
+        # decontamination pair: the broadcast-exact check vs the
+        # Bloom-prefiltered form (same exact output) — the bloom row's
+        # value at scale is the map-side gram pruning; tracking both
+        # keeps the overhead of building/probing the bitset honest
+        # against what it saves on the verify join
+        def run_decon_exact():
+            docs = fresh_docs()
+            return materialize(
+                benchmark_contamination(
+                    docs.filter(F.col("source") != "src0"),
+                    docs.filter(F.col("source") == "src0"),
+                    "doc_id",
+                    n=3,
+                )
+            )
+
+        def run_decon_bloom():
+            docs = fresh_docs()
+            return materialize(
+                bloom_contamination(
+                    docs.filter(F.col("source") != "src0"),
+                    docs.filter(F.col("source") == "src0"),
+                    "doc_id",
+                    n=3,
+                )
+            )
+
         thunks = {
             "c1_minhash_candidates": run_candidates,
             "c3_curate_full": run_curate,
+            "c6_decontaminate_exact": run_decon_exact,
+            "c6_decontaminate_bloom": run_decon_bloom,
         }
         t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
         spark_t.update(t)

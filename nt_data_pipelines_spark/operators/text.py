@@ -452,13 +452,17 @@ def _bloom_bit_positions(gram: Column, num_bits: int, num_hashes: int, h) -> Col
 
 def bloom_bitset(
     df: DataFrame, gram_col: str, num_bits: int, num_hashes: int
-) -> list[int]:
-    """Bloom filter over a gram column as a driver-held list of
-    ``num_bits / 64`` longs. The bitset aggregates DISTRIBUTEDLY
-    (explode hash seeds -> per-64-bit-word bit_or), so the collect is
-    bounded by num_bits/64 words regardless of how many grams went in
-    — never by the input's row count."""
-    nwords = (num_bits + 63) // 64
+) -> bytes:
+    """Bloom filter over a gram column as driver-held ``bytes``
+    (``num_bits / 8`` long, byte i holds bits 8i..8i+7). The bitset
+    aggregates DISTRIBUTEDLY (explode hash seeds -> per-byte bit_or),
+    so the collect is bounded by num_bits/8 bytes regardless of how
+    many grams went in — never by the input's row count. Bytes — not
+    an array<long> — because the probe side ships the bitset as ONE
+    BinaryType literal: a list literal of the same size costs a py4j
+    round-trip per element (measured ~60 s for 131k longs) and a
+    131k-node expression tree."""
+    nbytes = (num_bits + 7) // 8
     pos = _bloom_bit_positions(F.col(gram_col), num_bits, num_hashes, F.col("__h"))
     rows = (
         df.select(
@@ -466,37 +470,42 @@ def bloom_bitset(
             F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__h"),
         )
         .select(
-            F.shiftright(pos, 6).cast("int").alias("__w"),
+            F.shiftright(pos, 3).cast("int").alias("__byte"),
             F.call_function(
-                "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+                "shiftleft", F.lit(1), F.pmod(pos, F.lit(8)).cast("int")
             ).alias("__b"),
         )
-        .groupBy("__w")
+        .groupBy("__byte")
         .agg(F.bit_or("__b").alias("__bits"))
         .collect()
     )
-    bits = [0] * nwords
+    buf = bytearray(nbytes)
     for r in rows:
-        bits[r["__w"]] = r["__bits"]
-    return bits
+        buf[r["__byte"]] = r["__bits"]
+    return bytes(buf)
 
 
 def bloom_might_contain(
-    bits: list[int], gram: Column, num_bits: int, num_hashes: int
+    bits: bytes, gram: Column, num_bits: int, num_hashes: int
 ) -> Column:
     """Codegen membership probe against a :func:`bloom_bitset`: the
-    bitset rides along as an array<long> literal; each of the
-    num_hashes probes is an element_at + shift + mask — no UDF, no
-    join. (w >> b) & 1 reads bit b correctly under Spark's arithmetic
-    shift: sign extension only touches bits above b."""
-    bf = F.lit(bits).cast("array<long>")
+    bitset rides along as a single binary literal; each of the
+    num_hashes probes reads its byte via substring + hex decode, then
+    shift + mask — no UDF, no join. (b >> k) & 1 reads bit k correctly
+    under Spark's arithmetic shift: sign extension only touches bits
+    above k."""
+    bf = F.lit(bits)
     cond = F.lit(True)
     for h in range(num_hashes):
         p = _bloom_bit_positions(gram, num_bits, num_hashes, h)
-        w = F.element_at(bf, F.shiftright(p, 6).cast("int") + 1)
+        byte = F.conv(
+            F.hex(F.substring(bf, F.shiftright(p, 3).cast("int") + 1, F.lit(1))),
+            16,
+            10,
+        ).cast("int")
         cond = cond & (
             F.call_function(
-                "shiftright", w, F.pmod(p, F.lit(64)).cast("int")
+                "shiftright", byte, F.pmod(p, F.lit(8)).cast("int")
             ).bitwiseAND(F.lit(1))
             == 1
         )
@@ -533,7 +542,7 @@ def bloom_contamination(
     (Spark's own ``bloom_filter_agg``/``might_contain`` are internal
     to the runtime-filter rule, not registered SQL functions, so the
     bitset is built from public primitives: xxhash64 positions,
-    per-64-bit-word bit_or, an array<long> literal probe — all
+    per-byte bit_or, a single binary-literal probe — all
     codegen, no UDF. Sizing + building runs actions over the
     BENCHMARK side only, never the corpus.)
 

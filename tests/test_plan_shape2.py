@@ -286,8 +286,8 @@ def test_bloom_decontaminate_prefilters_before_join(spark):
     plan = _explain(spark, "t_bloom_decontaminate")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the probe compiles to shiftright/element_at inside a Filter node
-    assert "shiftright" in plan and "element_at" in plan
+    # the probe compiles to shiftright/substring-hex inside a Filter node
+    assert "shiftright" in plan and "substring" in plan
 
 
 def test_zipf_slope_windows_vocab_not_corpus(spark):
