@@ -2103,7 +2103,15 @@ class Catalog:
                 if resolved is None:
                     continue  # delta with no surviving checkpoint base
                 files = resolved[0]
-                if not files or self._fl_snapshot_readable(name, g, files):
+                try:
+                    readable = not files or self._fl_snapshot_readable(name, g, files)
+                except LookupError:
+                    # readability unverifiable (a torn RETAINED gen
+                    # blocks the keep-set): a LISTING skips the row —
+                    # same treatment as a torn gen itself — while
+                    # table_at/_fl_read keep the loud raise
+                    readable = False
+                if readable:
                     out.append({"generation": g, "n_files": len(files)})
                 continue
             dir_name = (

@@ -873,3 +873,7 @@ def test_unverifiable_readability_raises_read_worded(spark, tmp_path):
     cat._fl_cache.clear()
     with pytest.raises(LookupError, match="cannot verify"):
         cat.table_at("m", 1).collect()
+    # a LISTING skips unverifiable generations instead of raising
+    # (same treatment history gives the torn generation itself)
+    gens = [h["generation"] for h in cat.history("m")]
+    assert 1 not in gens and 2 not in gens
