@@ -851,3 +851,57 @@ def test_minhash_sink_mixed_explicit_none_and_default_bounds(spark, tmp_path):
     )
     got = {(r["id_a"], r["id_b"]) for r in cat.table("mx_pairs").collect()}
     assert got == {(1, 2)}
+
+
+def test_bloom_probe_filters_a_stream(spark, tmp_path):
+    """Streaming decontamination: the Bloom probe is a stateless
+    codegen filter, so it applies to a readStream unchanged — flagged
+    docs divert in-flight without any state store."""
+    from nt_data_pipelines_spark.operators.text import (
+        bloom_bitset,
+        bloom_might_contain,
+    )
+
+    bench = spark.createDataFrame(
+        [("the held out benchmark question",)], "text string"
+    )
+    bench_grams = bench.select(
+        F.explode(F.split("text", " ")).alias("gram")
+    ).distinct()
+    num_bits, num_hashes = 1024, 4
+    bits = bloom_bitset(bench_grams, "gram", num_bits, num_hashes)
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "bl_docs")
+    spark.createDataFrame(
+        [
+            (1, "this repeats the held out benchmark question verbatim"),
+            (2, "totally clean words nobody benchmarked ever"),
+        ],
+        doc_schema,
+    ).coalesce(1).write.parquet(src)
+
+    flagged = (
+        spark.readStream.schema(doc_schema)
+        .parquet(src)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("gram"))
+        .where(bloom_might_contain(bits, F.col("gram"), num_bits, num_hashes))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bl_flagged")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_flagged_grams"] for r in spark.sql(
+        "SELECT * FROM bl_flagged"
+    ).collect()}
+    # doc 1 carries the benchmark's words; doc 2 may only FP-collide
+    assert got.get(1, 0) >= 4
+    assert got.get(2, 0) <= 1
