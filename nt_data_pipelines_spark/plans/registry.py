@@ -77,13 +77,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
 # w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
 # p_temperature_mix p_split_assign a_corpus_report a_value_histogram
-# t_bm25_topk s_near_dup_pairs t_normalize t_token_totals — 24 names,
-# all r7-verified; the last two displaced by the late round-9
-# additions below).
+# t_bm25_topk s_near_dup_pairs t_normalize t_token_totals
+# t_fingerprint — 25 names, all r7-verified; the last three displaced
+# by the late round-9 additions below).
 # Any NEW round-9 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 9 — never driver-verified:
+    "j_fuzzy_name_match",
     "t_bloom_decontaminate",
     "t_zipf_slope",
     "t_source_divergence",
@@ -137,7 +138,6 @@ DRIVER_PRIORITY: list[str] = [
     "d_simhash_pairs",
     "t_quality_features",
     "t_language_id",
-    "t_fingerprint",
 ]
 
 

@@ -969,3 +969,32 @@ def test_zipf_slope_shapes(spark):
     want = float(np.linalg.lstsq(a, y, rcond=None)[0][0])
     assert got["zipf"]["zipf_slope"] == pytest.approx(round(want, 6), abs=2e-6)
     assert got["zipf"]["zipf_slope"] < -0.8
+
+
+def test_fuzzy_string_pairs_crafted(spark):
+    """Trigram-Jaccard linkage on crafted strings: near-identical
+    names match, unrelated ones never meet (no shared gram), and the
+    Jaccard value is the exact set ratio."""
+    from nt_data_pipelines_spark.operators.linkage import fuzzy_string_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgets"),   # superstring: grams(1) subset of grams(2)
+            (3, "blue bolt"),
+            (4, "xy"),            # shorter than a trigram: whole-string gram
+            (5, "xy"),            # exact short dup -> jaccard 1.0
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["name_jaccard"]
+        for r in fuzzy_string_pairs(df, "id", "name", threshold=0.4).collect()
+    }
+    # "red widget" has 8 grams, all shared with "red widgets" (9 grams)
+    assert got[(1, 2)] == pytest.approx(round(8 / 9, 6))
+    assert got[(4, 5)] == 1.0
+    assert not any(3 in k for k in got), "blue bolt shares no trigram"
+    # threshold gates: at 0.95 only the exact short dup survives
+    high = fuzzy_string_pairs(df, "id", "name", threshold=0.95)
+    assert {(r["id_a"], r["id_b"]) for r in high.collect()} == {(4, 5)}

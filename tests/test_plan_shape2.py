@@ -299,3 +299,12 @@ def test_zipf_slope_windows_vocab_not_corpus(spark):
     assert "No Partition Defined" not in plan
     # counts aggregate (with partial) feeds the window: two-level agg
     assert _op_count(plan, "HashAggregate") >= 2
+
+
+def test_fuzzy_match_blocks_on_grams_no_cartesian(spark):
+    """The linkage join must be a gram-keyed equi-join (the blocking
+    is the whole point) — a cartesian/nested-loop all-pairs compare
+    would be the O(n^2) shape blocking exists to avoid."""
+    plan = _explain(spark, "j_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
