@@ -43,6 +43,7 @@ def fuzzy_string_pairs(
     text_col: str,
     threshold: float,
     ngram: int = 3,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """All id pairs whose strings' character-``ngram`` Jaccard meets
     ``threshold``; returns (id_a, id_b, name_jaccard) with id_a < id_b.
@@ -53,20 +54,61 @@ def fuzzy_string_pairs(
     entities should first collapse exact duplicates (groupBy the
     string, min id) — matching distinct strings shrinks the join
     quadratically and is the realistic linkage shape.
+
+    ``max_gram_df`` is the opt-in scale path for hot-gram skew: grams
+    whose document frequency exceeds the cap are dropped from
+    CANDIDATE GENERATION only (an "ing" shared by half the catalog
+    contributes O(df^2) candidate rows and almost no signal), and the
+    Jaccard is then recomputed EXACTLY per candidate via
+    array_intersect over the full gram arrays — so reported values
+    never change, only recall can: a pair sharing nothing but
+    stop-grams is missed, and a true match at ``threshold`` shares
+    ~threshold/(1+threshold) of its grams, so it survives unless ALL
+    of those are hot. Default None keeps the single-join exact form
+    (where the match count IS the intersection size).
     """
     t = F.col(text_col)
     base = df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
     sz = base.select("id", F.size("__g").cast("long").alias("n_g"))
     g = base.select("id", F.explode("__g").alias("gram"))
-    pairs = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+    if max_gram_df is None:
+        pairs = (
+            g.alias("a")
+            .join(
+                g.alias("b"),
+                (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    else:
+        rare = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        gr = g.join(rare, "gram")
+        cand = (
+            gr.alias("a")
+            .join(
+                gr.alias("b"),
+                (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        # pair-level exact verify over the FULL gram arrays — the
+        # cap bounds candidate count, never the metric
+        pairs = (
+            cand.join(base.select(F.col("id").alias("id_a"), F.col("__g").alias("__ga")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"), F.col("__g").alias("__gb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__ga", "__gb")).cast("long").alias("__inter"),
+            )
+        )
     jac = F.col("__inter") / (
         F.col("__na") + F.col("__nb") - F.col("__inter")
     ).cast("double")

@@ -998,3 +998,36 @@ def test_fuzzy_string_pairs_crafted(spark):
     # threshold gates: at 0.95 only the exact short dup survives
     high = fuzzy_string_pairs(df, "id", "name", threshold=0.95)
     assert {(r["id_a"], r["id_b"]) for r in high.collect()} == {(4, 5)}
+
+
+def test_fuzzy_string_pairs_stop_gram_cap(spark):
+    """max_gram_df bounds candidate generation without changing any
+    reported Jaccard: when no gram exceeds the cap the result equals
+    the exact form; a pair sharing ONLY hot grams is knowingly missed
+    (the documented recall trade)."""
+    from nt_data_pipelines_spark.operators.linkage import fuzzy_string_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"shared prefix item {i:03d}") for i in range(6)]
+        + [(10, "zq variant one"), (11, "zq variant two")],
+        "id long, name string",
+    )
+    exact = sorted(map(tuple, fuzzy_string_pairs(df, "id", "name", 0.4).collect()))
+    capped_loose = sorted(
+        map(tuple, fuzzy_string_pairs(df, "id", "name", 0.4, max_gram_df=100).collect())
+    )
+    assert capped_loose == exact  # cap above every df: identical
+    # cap=1 stop-lists every shared gram -> zero candidates, but any
+    # pair that DOES surface would carry its exact Jaccard
+    none_left = fuzzy_string_pairs(df, "id", "name", 0.4, max_gram_df=1).collect()
+    assert none_left == []
+    # intermediate cap: the 6-way "shared prefix item 0" grams (df=6)
+    # are stop-listed; the 2-way "zq variant" grams (df=2) survive, so
+    # the variant pair keeps its EXACT value from the uncapped run
+    capped = {
+        (r["id_a"], r["id_b"]): r["name_jaccard"]
+        for r in fuzzy_string_pairs(df, "id", "name", 0.4, max_gram_df=2).collect()
+    }
+    exact_map = {(a, b): j for a, b, j in exact}
+    assert (10, 11) in capped and capped[(10, 11)] == exact_map[(10, 11)]
+    assert all(k[0] >= 10 for k in capped), "hot-prefix pairs are knowingly missed"
