@@ -531,37 +531,66 @@ def bloom_contamination(
     broadcast, so the exact join degenerates into shuffling the
     corpus's entire gram explosion (trillions of rows at 100 TB)
     against it. Here the benchmark side instead collapses into a
-    fixed-size Bloom bitset (16 bits/gram, capped at 2 MB; FPR ~0.2%
-    at 4 hashes) that prefilters corpus grams MAP-SIDE — Bloom
-    filters have no false negatives, so every truly contaminated gram
-    survives, and the exact verify join afterwards discards the false
-    positives. Only hits + FP noise ever shuffle; the verify join is
-    left to AQE (no forced broadcast) because this variant exists
-    precisely for the non-broadcastable benchmark.
+    fixed-size Bloom bitset that prefilters corpus grams MAP-SIDE —
+    Bloom filters have no false negatives, so every truly contaminated
+    gram survives, and the exact verify join afterwards discards the
+    false positives. Only hits + FP noise ever shuffle; the verify
+    join is left to AQE (no forced broadcast) because this variant
+    exists precisely for the non-broadcastable benchmark.
+
+    Sizing: the default is 16 bits/gram (FPR ~0.2% at 4 hashes),
+    CAPPED at 16M bits (a 2 MB literal — the bitset ships inside the
+    task binary, so an unbounded literal would tax every task launch).
+    Above ~1M benchmark grams the capped default dilutes; below ~4
+    bits/gram the filter is saturated and the prefilter stops pruning
+    (results stay exact — the verify join carries correctness), so
+    that condition WARNS: pass a larger explicit ``num_bits``, ship
+    the bitset some other way, or fall back to the shuffle join.
 
     (Spark's own ``bloom_filter_agg``/``might_contain`` are internal
     to the runtime-filter rule, not registered SQL functions, so the
     bitset is built from public primitives: xxhash64 positions,
     per-byte bit_or, a single binary-literal probe — all
     codegen, no UDF. Sizing + building runs actions over the
-    BENCHMARK side only, never the corpus.)
+    BENCHMARK side only, never the corpus; the gram set is pinned
+    once (localCheckpoint) and reused by the sizing count, the bitset
+    build, and the verify join.)
 
     Exactness is by construction, so the differential oracle is the
     same SQL as the plain check's.
     """
+    import warnings
+
     grams = _word_ngrams(text_col, n)
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
-    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    # pinned once: the benchmark gram explosion feeds THREE consumers
+    # (sizing count, bitset build, verify join) — unpinned, each would
+    # re-run the scan + explode + distinct
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     totals = corpus.select(
         F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("n_grams")
     )
+    n_bench = bench_grams.count()
     if num_bits is None:
-        n_bench = bench_grams.count()
         num_bits = min(max(1024, 16 * n_bench), 16 * 1024 * 1024)
     if num_bits <= 0:
         raise ValueError("num_bits must be positive")
+    if n_bench > 0 and num_bits < 4 * n_bench:
+        warnings.warn(
+            f"bloom_contamination: {num_bits} bits for {n_bench} benchmark "
+            f"grams ({num_bits / n_bench:.1f} bits/gram) saturates the "
+            "filter — the prefilter passes most corpus grams and the "
+            "verify join degenerates toward the full shuffle (results "
+            "stay exact). Pass a larger num_bits or use "
+            "benchmark_contamination.",
+            stacklevel=2,
+        )
     bits = bloom_bitset(bench_grams, "gram", num_bits, num_hashes)
     if not any(bits):  # empty benchmark: nothing can be contaminated
         hits = totals.select(id_col).limit(0).withColumn(

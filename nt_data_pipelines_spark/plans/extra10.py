@@ -248,11 +248,14 @@ def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN hits USING (doc_id)
     """,
     doc="Decontamination for benchmarks too large to broadcast: the "
-    "benchmark's gram set collapses into a fixed-size Bloom filter "
-    "(bloom_filter_agg, no false negatives) that prefilters corpus "
-    "grams map-side; an exact verify join discards false positives, "
-    "so the result — and therefore the oracle — is identical to the "
-    "exact check's. Word-2-grams vs the source='src1' slice.",
+    "benchmark's gram set collapses into a fixed-size Bloom bitset "
+    "built from public primitives (xxhash64 bit positions, per-byte "
+    "bit_or, one binary-literal codegen probe; Spark's own "
+    "bloom_filter_agg is internal-only) that prefilters corpus grams "
+    "map-side; Bloom has no false negatives and an exact verify join "
+    "discards false positives, so the result — and therefore the "
+    "oracle — is identical to the exact check's. Word-2-grams vs the "
+    "source='src1' slice.",
 )
 def t_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

@@ -420,13 +420,23 @@ def minhash_foreach_batch(
         if isinstance(val, _Defaulted)
     }
     if defaulted:
+        # describe only the bounds actually in effect — with one bound
+        # explicitly None (unbounded), a blanket "state is capped"
+        # sentence would be factually wrong for this configuration
+        clause = {
+            "state_bucket_cap": (
+                "hot state buckets are capped to min-id members"
+            ),
+            "edges_per_doc": (
+                "each batch doc persists at most edges_per_doc spanning edges"
+            ),
+        }
         in_effect = ", ".join(f"{n}={int(v)}" for n, v in defaulted.items())
+        effects = "; ".join(clause[n] for n in defaulted)
         warnings.warn(
             f"minhash_foreach_batch: bounded-recall default(s) in effect "
-            f"({in_effect}): hot state buckets are capped to min-id "
-            "members and each batch doc persists at most edges_per_doc "
-            "spanning edges. Pass explicit ints (or None for the "
-            "unbounded forms) to silence this warning.",
+            f"({in_effect}): {effects}. Pass explicit ints (or None for "
+            "the unbounded forms) to silence this warning.",
             stacklevel=2,
         )
     if isinstance(state_bucket_cap, _Defaulted):

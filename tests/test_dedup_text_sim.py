@@ -909,16 +909,26 @@ def test_bloom_contamination_equals_exact(spark, docs):
     )
     assert bloom == exact
     # a deliberately tiny, saturated filter still verifies exactly —
-    # false positives only cost work, never correctness
-    tiny = sorted(
-        map(
-            tuple,
-            TX.bloom_contamination(
-                corpus, bench, "doc_id", n=2, num_bits=64, num_hashes=2
-            ).collect(),
+    # false positives only cost work, never correctness — and the
+    # saturation is LOUD (sub-4-bits/gram warning)
+    import warnings as W
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        tiny = sorted(
+            map(
+                tuple,
+                TX.bloom_contamination(
+                    corpus, bench, "doc_id", n=2, num_bits=8, num_hashes=2
+                ).collect(),
+            )
         )
-    )
     assert tiny == exact
+    assert any("saturates" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        TX.bloom_contamination(corpus, bench, "doc_id", n=2).collect()
+    assert not [w for w in rec if "saturates" in str(w.message)]
 
 
 def test_bloom_bitset_prefilter_rates(spark):

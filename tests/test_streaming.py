@@ -820,6 +820,9 @@ def test_minhash_sink_mixed_explicit_none_and_default_bounds(spark, tmp_path):
     msgs = [str(w.message) for w in rec if "bounded-recall" in str(w.message)]
     assert len(msgs) == 1
     assert "state_bucket_cap" in msgs[0] and "edges_per_doc=" not in msgs[0]
+    # the prose describes ONLY the bound in effect: edges are unbounded
+    # here, so the edges clause must be absent
+    assert "buckets are capped" in msgs[0] and "spanning edges" not in msgs[0]
 
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
@@ -827,6 +830,7 @@ def test_minhash_sink_mixed_explicit_none_and_default_bounds(spark, tmp_path):
     msgs = [str(w.message) for w in rec if "bounded-recall" in str(w.message)]
     assert len(msgs) == 1
     assert "edges_per_doc" in msgs[0] and "state_bucket_cap=" not in msgs[0]
+    assert "spanning edges" in msgs[0] and "buckets are capped" not in msgs[0]
 
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
