@@ -16,7 +16,16 @@ of a web corpus is far too large to broadcast safely).
 
 Engine parity: per-token surprisal is rounded to 6 decimals, then
 summed through DECIMAL so the per-document total is exact and
-independent of shuffle order (registry rule 1/2).
+independent of shuffle order (registry rule 1/2). The per-document
+MEAN divides that exact total by the token count — and an exact
+6-decimal sum over an integer count lands EXACTLY on a round-6
+midpoint whenever micro_sum ≡ n/2 (mod n), where Spark (half-up on
+the nearest double) and DuckDB disagree by one ulp (hit in practice:
+two docs at sf0.1). So the mean's rounding runs in INTEGER space:
+micro = sum x 10^6 as a long (exact through decimal), and
+round-half-up(micro / n) = (2*micro + n) DIV (2*n) — pure integer
+ops both engines evaluate identically; the result divides by 10^6 in
+double (exact, six decimals).
 """
 
 from __future__ import annotations
@@ -58,10 +67,9 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (
-                F.sum(F.col("__s").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("__sum_bits"),
+            F.sum(
+                (F.col("__s").cast("decimal(28,6)") * 1000000).cast("long")
+            ).alias("__micro"),
         )
     )
     return (
@@ -70,7 +78,12 @@ def unigram_logprob(
         .select(
             id_col,
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.round(F.col("__sum_bits"), 6).alias(out_col),
+            (
+                F.expr(
+                    "CAST((2 * __micro + n_tokens) DIV (2 * n_tokens) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias(out_col),
         )
     )
 
@@ -111,10 +124,9 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.sum(F.col("__s").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("__m"),
+            F.sum(
+                (F.col("__s").cast("decimal(28,6)") * 1000000).cast("long")
+            ).alias("__micro"),
         )
     )
     return (
@@ -123,7 +135,12 @@ def bigram_logprob(
         .select(
             id_col,
             F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
-            F.round(F.col("__m"), 6).alias(out_col),
+            (
+                F.expr(
+                    "CAST((2 * __micro + n_bigrams) DIV (2 * n_bigrams) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias(out_col),
         )
     )
 

@@ -32,15 +32,19 @@ from nt_data_pipelines_spark.sources.testdata import load_table
     counts AS (SELECT word, COUNT(*) AS cw FROM toks GROUP BY word),
     total AS (SELECT SUM(cw) AS T FROM counts),
     per_doc AS (
+      -- integer-exact half-up mean: rounding the double mean hits
+      -- engine-divergent midpoints (micro_sum == n/2 mod n); see
+      -- operators/lm.py
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(ROUND(-log2(CAST(cw AS DOUBLE) / T), 6)
-                           AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS s
+             SUM(CAST(CAST(ROUND(-log2(CAST(cw AS DOUBLE) / T), 6)
+                           AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS micro
       FROM toks JOIN counts USING (word) CROSS JOIN total
       GROUP BY doc_id
     )
     SELECT d.doc_id,
            COALESCE(n_tokens, 0) AS n_tokens,
-           ROUND(s, 6) AS bits_per_token
+           CAST((2 * micro + n_tokens) // (2 * n_tokens) AS DOUBLE)
+             / 1000000.0 AS bits_per_token
     FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     """,
     doc="CCNet-style perplexity proxy: per-doc mean unigram surprisal "

@@ -217,14 +217,16 @@ def t_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cg AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
     cp AS (SELECT prefix, COUNT(*) AS cp FROM g GROUP BY prefix),
     per_doc AS (
+      -- integer-exact half-up mean (midpoint-safe; operators/lm.py)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(SUM(CAST(ROUND(-log2(CAST(c AS DOUBLE) / cp), 6)
-                           AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+             SUM(CAST(CAST(ROUND(-log2(CAST(c AS DOUBLE) / cp), 6)
+                           AS DECIMAL(28,6)) * 1000000 AS BIGINT)) AS micro
       FROM g JOIN cg USING (gram) JOIN cp USING (prefix)
       GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-           ROUND(m, 6) AS bigram_bits_per_token
+           CAST((2 * micro + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+             / 1000000.0 AS bigram_bits_per_token
     FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     """,
     doc="Context-sensitive quality score: mean bigram surprisal under "

@@ -101,3 +101,50 @@ def test_perplexity_band_filter_keeps_middle(spark):
     assert "bits_per_token" in kept.columns
     with pytest.raises(ValueError):
         perplexity_band_filter(df, lo_quantile=0.9, hi_quantile=0.1)
+
+
+def test_logprob_mean_is_integer_half_up(spark):
+    """Regression (parity, sf0.1): the per-doc mean's rounding must run
+    in integer space — rounding the DOUBLE mean lands on engine-
+    divergent midpoints whenever micro_sum == n/2 (mod n) (two real
+    docs at sf0.1 flipped between 4.904413 and 4.904414). Pin the
+    Spark result against a Python reference doing the identical
+    half-up-on-binary term round and integer half-up mean."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from nt_data_pipelines_spark.operators.lm import unigram_logprob
+
+    rows = [
+        (1, "a a b c"),
+        (2, "a b b d d d"),
+        (3, "c c a"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {d: [w for w in t.split(" ") if w] for d, t in rows}
+    counts: dict[str, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    q = Decimal("0.000001")
+    want = {}
+    for d, ws in toks.items():
+        if not ws:
+            want[d] = (0, None)
+            continue
+        micro = sum(
+            int(
+                Decimal(-math.log2(counts[w] / total)).quantize(q, ROUND_HALF_UP)
+                * 1_000_000
+            )
+            for w in ws
+        )
+        n = len(ws)
+        want[d] = (n, ((2 * micro + n) // (2 * n)) / 1_000_000)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got == want
