@@ -20,6 +20,19 @@ value hash. Two engine-parity rules keep float results bit-stable:
 
 Row-level arithmetic (a/b, a*b, lag ratios) is IEEE-deterministic and
 needs no rounding.
+
+3. **RATIONAL values must not be ROUNDed at a reachable midpoint.**
+   ROUND-6 of an exact rational x/n (a decimal-sum mean, an int/int
+   ratio) lands EXACTLY on a .xxxxxx5 midpoint whenever the reduced
+   denominator is 2^7 * 5^b — and there Spark (HALF_UP on the nearest
+   double) and DuckDB disagree by one ulp. Caught live at sf0.1 in
+   the logprob means (round 9). The safe form is integer half-up:
+   micro = x * 10^6 exact (via decimal), result =
+   (2*micro + n) DIV (2*n) / 1e6 — see operators/lm.py. Rule 2's
+   algorithmic stats are exempt in practice (irrational inputs make
+   an exact midpoint measure-zero); rule 3 bites only rational
+   outputs, so audit any new ROUND(sum_decimal/count) or
+   ROUND(int/int) against it.
 """
 
 from __future__ import annotations
