@@ -115,8 +115,13 @@ def ngram_jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
         )
     )
+    # int/int rational: integer half-up round-6 (registry rule 3)
+    j6 = F.expr(
+        "CAST((2 * n_common * 1000000 + (size_a + size_b - n_common)) "
+        "DIV (2 * (size_a + size_b - n_common)) AS DOUBLE)"
+    ) / 1000000.0
     return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "n_common", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", "n_common", "size_a", "size_b", j6.alias("jaccard")
     )
 
 
@@ -366,8 +371,12 @@ def minhash_verified_dup_edges(
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
         )
     )
+    j6 = F.expr(
+        "CAST((2 * n_common * 1000000 + (size_a + size_b - n_common)) "
+        "DIV (2 * (size_a + size_b - n_common)) AS DOUBLE)"
+    ) / 1000000.0  # integer half-up round-6 (registry rule 3)
     return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", j6.alias("jaccard")
     )
 
 
@@ -586,9 +595,13 @@ def containment_pairs(
             F.col("n_common") / F.least("size_a", "size_b").cast("double"),
         )
     )
+    c6 = F.expr(
+        "CAST((2 * n_common * 1000000 + LEAST(size_a, size_b)) "
+        "DIV (2 * LEAST(size_a, size_b)) AS DOUBLE)"
+    ) / 1000000.0  # integer half-up round-6 (registry rule 3)
     return out.filter(F.col("containment") >= threshold).select(
         "id_a", "id_b", "n_common", "size_a", "size_b",
-        F.round("containment", 6).alias("containment"),
+        c6.alias("containment"),
     )
 
 

@@ -62,15 +62,21 @@ def funnel_conversion(
         )
         counted = c if counted is None else counted.unionByName(c)
     w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
-    return counted.withColumn(
-        "conversion",
-        F.round(
-            F.try_divide(
-                F.col("n_users").cast("double"),
-                F.first("n_users").over(w).cast("double"),
+    # int/int rational: integer half-up round-6 (registry rule 3)
+    return (
+        counted.withColumn("__first", F.first("n_users").over(w))
+        .withColumn(
+            "conversion",
+            F.when(
+                F.col("__first") > 0,
+                F.expr(
+                    "CAST((2 * n_users * 1000000 + __first) "
+                    "DIV (2 * __first) AS DOUBLE)"
+                )
+                / 1000000.0,
             ),
-            6,
-        ),
+        )
+        .drop("__first")
     )
 
 

@@ -112,9 +112,14 @@ def fuzzy_string_pairs(
     jac = F.col("__inter") / (
         F.col("__na") + F.col("__nb") - F.col("__inter")
     ).cast("double")
+    # int/int rational: integer half-up round-6 (registry rule 3)
+    j6 = F.expr(
+        "CAST((2 * __inter * 1000000 + (__na + __nb - __inter)) "
+        "DIV (2 * (__na + __nb - __inter)) AS DOUBLE)"
+    ) / 1000000.0
     return (
         pairs.join(sz.select(F.col("id").alias("id_a"), F.col("n_g").alias("__na")), "id_a")
         .join(sz.select(F.col("id").alias("id_b"), F.col("n_g").alias("__nb")), "id_b")
         .filter(jac >= threshold)
-        .select("id_a", "id_b", (F.round(jac, 6) + 0.0).alias("name_jaccard"))
+        .select("id_a", "id_b", (j6 + 0.0).alias("name_jaccard"))
     )

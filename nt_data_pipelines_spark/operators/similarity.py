@@ -558,11 +558,25 @@ def reciprocal_rank_fusion(
             (F.lit(1.0) / (F.lit(k) + F.col("__rank").cast("double"))).alias("__rr"),
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    # decimal sum: order-independent addition, bit-stable across engines
-    fused = F.sum(F.col("__rr").cast("decimal(38,12)")).cast("double")
+    # decimal sum: order-independent addition, bit-stable across
+    # engines; the round-6 of the (12-decimal rational) sum runs in
+    # integer half-up form (registry rule 3)
+    pico = F.sum(
+        (F.col("__rr").cast("decimal(38,12)") * 1000000000000).cast("decimal(38,0)")
+    )
     return (
         tagged.groupBy(id_col)
-        .agg((F.round(fused, 6) + 0.0).alias("rrf_score"))
+        .agg(pico.alias("__pico"))
+        .select(
+            id_col,
+            (
+                F.expr(
+                    "CAST((2 * __pico + 1000000) DIV 2000000 AS DOUBLE)"
+                )
+                / 1000000.0
+                + 0.0
+            ).alias("rrf_score"),
+        )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )
 

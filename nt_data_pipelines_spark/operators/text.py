@@ -171,14 +171,23 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> Data
         .groupBy(id_col)
         .agg(F.max("__c").alias("top_word_count"))
     )
-    r6 = lambda c: F.round(c, 6) + 0.0  # noqa: E731 (parity rounding)
+    # int/int rationals: round-6 in integer half-up form (registry
+    # rule 3 — ROUND of a rational can land on an exact midpoint
+    # where the engines split by one ulp)
+    def ratio6(num: str, den: str) -> Column:
+        return (
+            F.expr(f"CAST((2 * ({num}) * 1000000 + ({den})) DIV (2 * ({den})) AS DOUBLE)")
+            / 1000000.0
+            + 0.0
+        )
+
     return base.join(top, id_col).select(
         id_col,
         "n_words",
-        r6(1 - F.col("__dw") / F.col("n_words").cast("double")).alias("dup_word_ratio"),
-        r6(F.col("top_word_count") / F.col("n_words").cast("double")).alias("top_word_ratio"),
-        r6(
-            F.when(F.col("__tb") > 0, 1 - F.col("__db") / F.col("__tb").cast("double"))
+        ratio6("n_words - __dw", "n_words").alias("dup_word_ratio"),
+        ratio6("top_word_count", "n_words").alias("top_word_ratio"),
+        (
+            F.when(F.col("__tb") > 0, ratio6("__tb - __db", "__tb")) + 0.0
         ).alias("dup_bigram_ratio"),
     )
 
@@ -424,21 +433,29 @@ def benchmark_contamination(
 
 
 def _contamination_result(totals: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
-    """(doc, n_grams) x (doc, n_contaminated) -> the contamination report."""
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
-        (
-            F.round(
-                F.when(
-                    F.col("n_grams") > 0,
-                    F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams").cast("double"),
-                ),
-                6,
-            )
-            + 0.0
-        ).alias("overlap_ratio"),
+    """(doc, n_grams) x (doc, n_contaminated) -> the contamination report.
+
+    overlap_ratio is an int/int rational, so its round-6 runs in
+    integer half-up form (registry rule 3 — ROUND of a rational can
+    land on an exact midpoint where the engines split by one ulp).
+    """
+    ratio = F.expr(
+        "CAST((2 * n_contaminated * 1000000 + n_grams) "
+        "DIV (2 * n_grams) AS DOUBLE)"
+    ) / 1000000.0
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.when(F.col("n_grams") > 0, ratio) + 0.0).alias("overlap_ratio"),
+        )
     )
 
 
@@ -1015,23 +1032,25 @@ def corpus_stats(
     keys = [by] if isinstance(by, str) else list(by)
     toks = token_count(text_col)
     n_words = F.size(words(text_col))
+    # int/int rationals: integer half-up round-6 (registry rule 3)
+    def r6(num, den):
+        return (
+            F.call_function(
+                "div", 2 * num.cast("long") * 1000000 + den, 2 * den
+            ).cast("double")
+            / 1000000.0
+            + 0.0
+        )
+
+    n = F.count(F.lit(1))
+    n_short = F.sum(F.when(n_words < short_doc_words, 1).otherwise(0))
     return (
         df.groupBy(*keys)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            n.alias("n_docs"),
             dsum(toks, 0).cast("long").alias("n_tokens"),
-            (
-                F.round(
-                    dsum(toks, 0) / F.count(F.lit(1)), 6
-                ) + F.lit(0.0)
-            ).alias("mean_tokens"),
-            (
-                F.round(
-                    F.sum(F.when(n_words < short_doc_words, 1).otherwise(0))
-                    / F.count(F.lit(1)).cast("double"),
-                    6,
-                ) + F.lit(0.0)
-            ).alias("short_doc_frac"),
+            r6(dsum(toks, 0), n).alias("mean_tokens"),
+            r6(n_short, n).alias("short_doc_frac"),
         )
     )
 
@@ -1125,35 +1144,35 @@ def gopher_rules(
     n_words = F.size(ws)
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
-    r = lambda c: F.round(c, 6) + 0.0  # noqa: E731 (parity rounding)
+
+    # int/int rationals: integer half-up round-6 (registry rule 3)
+    def r(num: Column, den: Column) -> Column:
+        num, den = num.cast("long"), den.cast("long")
+        return (
+            F.when(
+                den > 0,
+                F.call_function("div", 2 * num * 1000000 + den, 2 * den).cast(
+                    "double"
+                )
+                / 1000000.0,
+            )
+            + 0.0
+        )
 
     mean_wl = r(
-        F.try_divide(
-            F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
-                "double"
-            ),
-            n_words,
-        )
+        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)),
+        n_words,
     )
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-    symbol_ratio = r(F.try_divide((n_hash + n_ellipsis).cast("double"), n_words))
-    bullet_frac = r(
-        F.try_divide(
-            F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast("double"), n_lines
-        )
-    )
+    ell_chars = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    # (hashes + ellipsis_chars/3) / words == (3*hashes + ellipsis_chars)
+    # / (3*words) — kept as exact integers for the midpoint-safe round
+    symbol_ratio = r(3 * n_hash + ell_chars, 3 * n_words)
+    bullet_frac = r(F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))), n_lines)
     ellipsis_frac = r(
-        F.try_divide(
-            F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))).cast("double"),
-            n_lines,
-        )
+        F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))), n_lines
     )
-    alpha_frac = r(
-        F.try_divide(
-            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double"), n_words
-        )
-    )
+    alpha_frac = r(F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))), n_words)
     # explicit per-word contains-sum (not array_intersect) so the SQL
     # oracle can mirror it with list_contains without relying on either
     # engine's set-dedup semantics
@@ -1371,6 +1390,12 @@ def source_unigram_divergence(
         ),
         6,
     )
+    # integer-exact half-up mean (registry rule 3): rounding the
+    # DOUBLE mean hits engine-divergent midpoints. micro rides as
+    # decimal(38,0) (a 100-TB source's micro-bit sum can pass int64);
+    # the clamp covers the theoretical KL==0 all-terms-round-down
+    # edge, where the dividend could dip below zero and Spark's
+    # truncating div and DuckDB's flooring // would disagree.
     return (
         sw.join(w, "word")
         .join(ns, "source")
@@ -1378,11 +1403,20 @@ def source_unigram_divergence(
         .select("source", F.col("__ns").alias("n_tokens"), term.alias("__t"))
         .groupBy("source", "n_tokens")
         .agg(
-            F.round(
-                F.sum(F.col("__t").cast("decimal(28,6)")).cast("double")
-                / F.col("n_tokens"),
-                6,
-            ).alias(out_col)
+            F.sum(
+                (F.col("__t").cast("decimal(28,6)") * 1000000).cast("decimal(38,0)")
+            ).alias("__micro")
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.expr(
+                    "CAST(GREATEST(2 * __micro + n_tokens, 0) "
+                    "DIV (2 * n_tokens) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias(out_col),
         )
     )
 

@@ -116,7 +116,9 @@ def a_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.id_a, c.id_b
     )
     SELECT v.id_a, v.id_b,
-           ROUND(v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE), 6) AS jaccard
+           CAST((2 * v.n_common * 1000000 + (za.set_size + zb.set_size - v.n_common))
+                // (2 * (za.set_size + zb.set_size - v.n_common)) AS DOUBLE)
+             / 1000000.0 AS jaccard
     FROM verified v
     JOIN sizes za ON za.doc_id = v.id_a
     JOIN sizes zb ON zb.doc_id = v.id_b
@@ -149,8 +151,12 @@ def d_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
         )
     )
+    j6 = F.expr(
+        "CAST((2 * n_common * 1000000 + (size_a + size_b - n_common)) "
+        "DIV (2 * (size_a + size_b - n_common)) AS DOUBLE)"
+    ) / 1000000.0  # integer half-up round-6 (registry rule 3)
     return jac.filter(F.col("jaccard") >= 0.7).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", j6.alias("jaccard")
     )
 
 

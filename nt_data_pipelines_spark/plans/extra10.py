@@ -31,8 +31,10 @@ _WKEY = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
       FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
     )
     SELECT source, CAST(ns AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(CAST(trm AS DECIMAL(28,6))) AS DOUBLE) / ns, 6)
-             AS kl_bits
+           -- integer-exact half-up mean (registry rule 3)
+           CAST(GREATEST(2 * SUM(CAST(CAST(trm AS DECIMAL(28,6)) * 1000000
+                                      AS BIGINT)) + ns, 0)
+                // (2 * ns) AS DOUBLE) / 1000000.0 AS kl_bits
     FROM terms GROUP BY source, ns
     """,
     doc="Per-source KL divergence (bits/token) of the source's unigram "
@@ -242,8 +244,9 @@ def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id, n_grams,
            CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-           ROUND(CASE WHEN n_grams > 0
-                 THEN COALESCE(n_contaminated, 0) / CAST(n_grams AS DOUBLE) END, 6) + 0.0
+           CASE WHEN n_grams > 0
+                THEN CAST((2 * COALESCE(n_contaminated, 0) * 1000000 + n_grams)
+                          // (2 * n_grams) AS DOUBLE) / 1000000.0 END + 0.0
              AS overlap_ratio
     FROM totals t LEFT JOIN hits USING (doc_id)
     """,
@@ -321,7 +324,8 @@ def t_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(inter / CAST(sa.n_g + sb.n_g - inter AS DOUBLE), 6) + 0.0
+           CAST((2 * inter * 1000000 + (sa.n_g + sb.n_g - inter))
+                // (2 * (sa.n_g + sb.n_g - inter)) AS DOUBLE) / 1000000.0 + 0.0
              AS name_jaccard
     FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
     WHERE inter / CAST(sa.n_g + sb.n_g - inter AS DOUBLE) >= 0.4

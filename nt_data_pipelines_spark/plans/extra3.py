@@ -41,10 +41,15 @@ from nt_data_pipelines_spark.sources.testdata import load_table
       FROM w
     )
     SELECT b.doc_id, n_words,
-           ROUND(1 - dw / CAST(n_words AS DOUBLE), 6) + 0.0 AS dup_word_ratio,
-           ROUND(top_word_count / CAST(n_words AS DOUBLE), 6) + 0.0 AS top_word_ratio,
+           -- int/int rationals: integer half-up round-6 (registry rule 3)
+           CAST((2 * (n_words - dw) * 1000000 + n_words)
+                // (2 * n_words) AS DOUBLE) / 1000000.0 + 0.0 AS dup_word_ratio,
+           CAST((2 * top_word_count * 1000000 + n_words)
+                // (2 * n_words) AS DOUBLE) / 1000000.0 + 0.0 AS top_word_ratio,
            CASE WHEN tb > 0
-                THEN ROUND(1 - db / CAST(tb AS DOUBLE), 6) + 0.0 END AS dup_bigram_ratio
+                THEN CAST((2 * (tb - db) * 1000000 + tb)
+                          // (2 * tb) AS DOUBLE) / 1000000.0 + 0.0
+           END AS dup_bigram_ratio
     FROM base b JOIN top USING (doc_id)
     """,
     doc="Gopher-style repetition filters: duplicate-word, top-word and "
@@ -163,8 +168,9 @@ def t_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id, n_grams,
            CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-           ROUND(CASE WHEN n_grams > 0
-                 THEN COALESCE(n_contaminated, 0) / CAST(n_grams AS DOUBLE) END, 6) + 0.0
+           CASE WHEN n_grams > 0
+                THEN CAST((2 * COALESCE(n_contaminated, 0) * 1000000 + n_grams)
+                          // (2 * n_grams) AS DOUBLE) / 1000000.0 END + 0.0
              AS overlap_ratio
     FROM totals t LEFT JOIN hits USING (doc_id)
     """,

@@ -118,10 +118,13 @@ def p_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
              AS n_tokens,
-           ROUND({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)}
-                 / COUNT(*), 6) + 0.0 AS mean_tokens,
-           ROUND(SUM(CASE WHEN len(str_split(text, ' ')) < 50 THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS short_doc_frac
+           -- int/int rationals: integer half-up round-6 (registry rule 3)
+           CAST((2 * CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
+                 * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 + 0.0 AS mean_tokens,
+           CAST((2 * SUM(CASE WHEN len(str_split(text, ' ')) < 50 THEN 1 ELSE 0 END)
+                 * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 + 0.0 AS short_doc_frac
     FROM documents
     GROUP BY source, lang
     """,
@@ -233,9 +236,19 @@ def s_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_quantile_transform",
     oracle="""
     SELECT event_id, event_type,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
-                                      ORDER BY value, event_id), 6) + 0.0 AS q
-    FROM events
+           -- percent_rank = (rank-1)/(n-1), an int/int rational:
+           -- integer half-up round-6 (registry rule 3); n=1 -> 0.0
+           CASE WHEN n > 1
+                THEN CAST((2 * (rnk - 1) * 1000000 + (n - 1))
+                          // (2 * (n - 1)) AS DOUBLE) / 1000000.0
+                ELSE 0.0 END + 0.0 AS q
+    FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
     """,
     doc="Per-group quantile (percent-rank) feature transform — maps any "
     "distribution onto [0,1] for ML feature prep; deterministic event_id "
@@ -246,10 +259,18 @@ def p_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
-        "event_id", "event_type",
-        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("q"),
-    )
+    wn = Window.partitionBy("event_type")
+    rnk = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    # percent_rank = (rank-1)/(n-1): integer half-up round-6 (rule 3)
+    q = F.when(
+        n > 1,
+        F.call_function(
+            "div", 2 * (rnk - 1).cast("long") * 1000000 + (n - 1), 2 * (n - 1)
+        ).cast("double")
+        / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    return ev.select("event_id", "event_type", (q + 0.0).alias("q"))
 
 
 @register(

@@ -41,10 +41,12 @@ _FUNNEL = ["view", "click", "purchase"]
       UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
     )
     SELECT step, event_type, n_users,
-           ROUND(CAST(n_users AS DOUBLE) /
-                 NULLIF(FIRST_VALUE(n_users) OVER (ORDER BY step), 0), 6)
-             AS conversion
-    FROM c
+           -- int/int rational: integer half-up round-6 (registry rule 3)
+           CASE WHEN f > 0
+                THEN CAST((2 * n_users * 1000000 + f) // (2 * f) AS DOUBLE)
+                     / 1000000.0
+           END AS conversion
+    FROM (SELECT *, FIRST_VALUE(n_users) OVER (ORDER BY step) AS f FROM c)
     """,
     doc="Strictly-ordered funnel view -> click -> purchase: step-i "
     "reach time is the earliest step-i event AFTER the step-(i-1) "
@@ -169,8 +171,11 @@ def w_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            COALESCE(n_tokens, 0) AS n_tokens,
            COALESCE(n_types, 0) AS n_types,
-           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-           ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+           -- int/int rationals: integer half-up round-6 (registry rule 3)
+           CAST((2 * n_types * 1000000 + n_tokens)
+                // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS ttr,
+           CAST((2 * n_hapax * 1000000 + n_types)
+                // (2 * n_types) AS DOUBLE) / 1000000.0 AS hapax_frac
     FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     """,
     doc="Per-doc lexical diversity: type-token ratio and hapax "
@@ -200,8 +205,20 @@ def t_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
             F.coalesce("n_types", F.lit(0).cast("long")).alias("n_types"),
-            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
-            F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias("hapax_frac"),
+            (
+                F.expr(
+                    "CAST((2 * n_types * 1000000 + n_tokens) "
+                    "DIV (2 * n_tokens) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("ttr"),
+            (
+                F.expr(
+                    "CAST((2 * n_hapax * 1000000 + n_types) "
+                    "DIV (2 * n_types) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("hapax_frac"),
         )
     )
 
@@ -262,10 +279,12 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
               ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS click_id
       FROM p
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(COUNT(click_id) AS BIGINT) AS n_attributed,
-           ROUND(CAST(COUNT(click_id) AS DOUBLE) / COUNT(*), 6) AS attribution_rate
-    FROM matched
+    SELECT n_purchases, n_attributed,
+           CAST((2 * n_attributed * 1000000 + n_purchases)
+                // (2 * n_purchases) AS DOUBLE) / 1000000.0 AS attribution_rate
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                 CAST(COUNT(click_id) AS BIGINT) AS n_attributed
+          FROM matched)
     """,
     doc="Last-touch attribution: each purchase credits the user's most "
     "recent click within a 60-minute lookback, via the as-of join "
@@ -292,11 +311,19 @@ def a_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="ts", by="user_id",
         tolerance_seconds=3600, direction="backward",
     )
+    # int/int rational: integer half-up round-6 (registry rule 3)
     return m.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("right_click_id").alias("n_attributed"),
-        F.round(
-            F.count("right_click_id").cast("double") / F.count(F.lit(1)), 6
+    ).select(
+        "n_purchases",
+        "n_attributed",
+        (
+            F.expr(
+                "CAST((2 * n_attributed * 1000000 + n_purchases) "
+                "DIV (2 * n_purchases) AS DOUBLE)"
+            )
+            / 1000000.0
         ).alias("attribution_rate"),
     )
 

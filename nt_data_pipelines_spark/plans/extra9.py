@@ -31,17 +31,23 @@ _STOP_SQL = " + ".join(
     sig AS (
       SELECT doc_id,
         CAST(len(ws) AS BIGINT) AS n_words,
-        ROUND(list_sum(list_transform(ws, w -> len(w)))
-              / CAST(len(ws) AS DOUBLE), 6) + 0.0 AS mean_word_len,
-        ROUND(CAST((len(text) - len(replace(text, '#', '')))
-                   + (len(text) - len(replace(text, '...', ''))) / 3
-              AS DOUBLE) / len(ws), 6) + 0.0 AS symbol_word_ratio,
-        ROUND(CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))
-              AS DOUBLE) / len(ls), 6) + 0.0 AS bullet_line_frac,
-        ROUND(CAST(len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$')))
-              AS DOUBLE) / len(ls), 6) + 0.0 AS ellipsis_line_frac,
-        ROUND(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-              AS DOUBLE) / len(ws), 6) + 0.0 AS alpha_word_frac,
+        -- int/int rationals: integer half-up round-6 (registry rule 3)
+        CAST((2 * list_sum(list_transform(ws, w -> len(w))) * 1000000 + len(ws))
+             // (2 * len(ws)) AS DOUBLE) / 1000000.0 + 0.0 AS mean_word_len,
+        CAST((2 * (3 * (len(text) - len(replace(text, '#', '')))
+                   + (len(text) - len(replace(text, '...', '')))) * 1000000
+              + 3 * len(ws))
+             // (2 * 3 * len(ws)) AS DOUBLE) / 1000000.0 + 0.0
+          AS symbol_word_ratio,
+        CAST((2 * len(list_filter(ls, x -> regexp_matches(x, '^[-*•]'))) * 1000000
+              + len(ls))
+             // (2 * len(ls)) AS DOUBLE) / 1000000.0 + 0.0 AS bullet_line_frac,
+        CAST((2 * len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$'))) * 1000000
+              + len(ls))
+             // (2 * len(ls)) AS DOUBLE) / 1000000.0 + 0.0 AS ellipsis_line_frac,
+        CAST((2 * len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1000000
+              + len(ws))
+             // (2 * len(ws)) AS DOUBLE) / 1000000.0 + 0.0 AS alpha_word_frac,
         CAST({_STOP_SQL} AS BIGINT) AS stop_hits
       FROM d
     )
@@ -122,8 +128,10 @@ _RRF_TERMS = ["hash", "join", "filter"]
       SELECT doc_id, 1.0 / ({_RRF_K} + rank) AS rr FROM cos_rank
     )
     SELECT doc_id,
-           ROUND(CAST(SUM(CAST(rr AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0
-             AS rrf_score
+           -- 12-decimal rational sum: integer half-up round-6 (rule 3)
+           CAST((2 * CAST(SUM(CAST(rr AS DECIMAL(38,12)) * 1000000000000)
+                          AS HUGEINT) + 1000000)
+                // 2000000 AS DOUBLE) / 1000000.0 + 0.0 AS rrf_score
     FROM tagged GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id LIMIT 10
     """,

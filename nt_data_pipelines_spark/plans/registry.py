@@ -32,7 +32,15 @@ needs no rounding.
    algorithmic stats are exempt in practice (irrational inputs make
    an exact midpoint measure-zero); rule 3 bites only rational
    outputs, so audit any new ROUND(sum_decimal/count) or
-   ROUND(int/int) against it.
+   ROUND(int/int) against it. Converted (round 9): logprob means,
+   KL mean, contamination overlaps, repetition/gopher/lexical/corpus
+   ratios, jaccard/containment, funnel/attribution/percent_rank,
+   embedding sums and centroids, RRF. Audited exemptions (midpoint
+   needs a ~1e-8+ denominator of form 2^7*5^b — negligible): w_rsi14
+   (gain/loss sums are 8-decimal ints of continuous diffs) and
+   g_pagerank_knn (iterative rational chain; N and out-degrees would
+   all have to align — converting the iteration to integer micro-rank
+   arithmetic is the fix if it ever flakes).
 """
 
 from __future__ import annotations

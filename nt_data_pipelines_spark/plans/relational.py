@@ -345,12 +345,19 @@ def r3_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r4_explode_embeddings",
     oracle="""
-    SELECT g.dim AS dim,
-           COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(CAST(e.embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE), 6) + 0.0 AS total
-    FROM embeddings e
-    CROSS JOIN (SELECT UNNEST(range(64)) AS dim) g
-    GROUP BY g.dim
+    SELECT dim, n,
+           -- signed 9-decimal rational: integer half-away round-6
+           -- (registry rule 3; HALF_UP is away-from-zero on negatives)
+           CAST(SIGN(nano) * ((2 * ABS(nano) + 1000) // 2000) AS DOUBLE)
+             / 1000000.0 + 0.0 AS total
+    FROM (
+      SELECT g.dim AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(e.embedding[g.dim + 1] AS DOUBLE) AS DECIMAL(38,9))
+                      * 1000000000) AS HUGEINT) AS nano
+      FROM embeddings e
+      CROSS JOIN (SELECT UNNEST(range(64)) AS dim) g
+      GROUP BY g.dim
+    )
     """,
     doc="R4 explode array column + per-position aggregate (universe_flow.py:127-129).",
 )
@@ -359,9 +366,28 @@ def r4_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         F.posexplode("embedding").alias("dim", "val")
     ).withColumn("dim", F.col("dim").cast("long"))
-    return exploded.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(dsum(F.col("val").cast("double"), 9), 6) + 0.0).alias("total"),
+    # signed 9-decimal rational: integer half-away round-6 (rule 3)
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("val").cast("double").cast("decimal(38,9)") * 1000000000)
+                .cast("decimal(38,0)")
+            ).alias("__nano"),
+        )
+        .select(
+            "dim",
+            "n",
+            (
+                F.expr(
+                    "CAST(SIGN(__nano) * ((2 * ABS(__nano) + 1000) DIV 2000) "
+                    "AS DOUBLE)"
+                )
+                / 1000000.0
+                + 0.0
+            ).alias("total"),
+        )
     )
 
 

@@ -278,9 +278,18 @@ def s_ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings CROSS JOIN (SELECT UNNEST(range({DIM})) AS dim) g
     )
     SELECT label, dim,
-           ROUND(CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS centroid,
-           COUNT(*) AS n
-    FROM exploded GROUP BY label, dim
+           -- signed 9-decimal-sum / count: integer half-away round-6
+           -- (registry rule 3)
+           CAST(SIGN(nano) * ((2 * ABS(nano) + 1000 * n) // (2000 * n))
+                AS DOUBLE) / 1000000.0 + 0.0 AS centroid,
+           n
+    FROM (
+      SELECT label, dim,
+             CAST(SUM(CAST(val AS DECIMAL(38,9)) * 1000000000) AS HUGEINT)
+               AS nano,
+             COUNT(*) AS n
+      FROM exploded GROUP BY label, dim
+    )
     """,
     doc="Per-label centroids (the reduce step an IVF coarse quantizer needs).",
 )
@@ -289,9 +298,28 @@ def s_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode(S.as_double_array("embedding")).alias("dim", "val")
     ).withColumn("dim", F.col("dim").cast("long"))
-    return exploded.groupBy("label", "dim").agg(
-        (F.round(
-            F.sum(F.col("val").cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6
-        ) + 0.0).alias("centroid"),
-        F.count(F.lit(1)).alias("n"),
+    # signed 9-decimal-sum / count: integer half-away round-6 (rule 3)
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.sum(
+                (F.col("val").cast("decimal(38,9)") * 1000000000).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__nano"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.expr(
+                    "CAST(SIGN(__nano) * ((2 * ABS(__nano) + 1000 * n) "
+                    "DIV (2000 * n)) AS DOUBLE)"
+                )
+                / 1000000.0
+                + 0.0
+            ).alias("centroid"),
+            "n",
+        )
     )

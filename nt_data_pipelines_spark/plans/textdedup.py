@@ -161,7 +161,8 @@ def d_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.id_a, m.id_b, m.n_common,
            za.set_size AS size_a, zb.set_size AS size_b,
-           ROUND(m.n_common / CAST(LEAST(za.set_size, zb.set_size) AS DOUBLE), 6) AS containment
+           CAST((2 * m.n_common * 1000000 + LEAST(za.set_size, zb.set_size))
+                // (2 * LEAST(za.set_size, zb.set_size)) AS DOUBLE) / 1000000.0 AS containment
     FROM common m
     JOIN sizes za ON za.doc_id = m.id_a
     JOIN sizes zb ON zb.doc_id = m.id_b
@@ -286,7 +287,8 @@ def d_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT v.id_a, v.id_b,
-           ROUND(v.n_common / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE), 6) AS jaccard
+           CAST((2 * v.n_common * 1000000 + (za.set_size + zb.set_size - v.n_common))
+                // (2 * (za.set_size + zb.set_size - v.n_common)) AS DOUBLE) / 1000000.0 AS jaccard
     FROM verified v
     JOIN sizes za ON za.doc_id = v.id_a
     JOIN sizes zb ON zb.doc_id = v.id_b
@@ -333,7 +335,8 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
-           ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+           CAST((2 * n_common * 1000000 + (sa.set_size + sb.set_size - n_common))
+                // (2 * (sa.set_size + sb.set_size - n_common)) AS DOUBLE) / 1000000.0 AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
