@@ -1027,29 +1027,31 @@ def corpus_stats(
     One shuffle; token counts are codegen expressions, totals are
     decimal sums (order-independent, engine-parity safe).
     """
-    from nt_data_pipelines_spark.plans.registry import dsum
-
     keys = [by] if isinstance(by, str) else list(by)
     toks = token_count(text_col)
     n_words = F.size(words(text_col))
-    # int/int rationals: integer half-up round-6 (registry rule 3)
+    # int/int rationals: integer half-up round-6 (registry rule 3).
+    # The micro numerator rides as decimal(38,0): a group past ~4.6e12
+    # tokens (plausible at the 100-TB target) would silently wrap an
+    # int64 numerator in non-ANSI Spark while DuckDB's BIGINT errors —
+    # same treatment as source_unigram_divergence's micro-bit sum.
     def r6(num, den):
+        micro = num.cast("decimal(38,0)") * 1000000
         return (
-            F.call_function(
-                "div", 2 * num.cast("long") * 1000000 + den, 2 * den
-            ).cast("double")
+            F.call_function("div", 2 * micro + den, 2 * den).cast("double")
             / 1000000.0
             + 0.0
         )
 
     n = F.count(F.lit(1))
+    tok_sum = F.sum(toks.cast("decimal(38,0)"))
     n_short = F.sum(F.when(n_words < short_doc_words, 1).otherwise(0))
     return (
         df.groupBy(*keys)
         .agg(
             n.alias("n_docs"),
-            dsum(toks, 0).cast("long").alias("n_tokens"),
-            r6(dsum(toks, 0), n).alias("mean_tokens"),
+            tok_sum.cast("long").alias("n_tokens"),
+            r6(tok_sum, n).alias("mean_tokens"),
             r6(n_short, n).alias("short_doc_frac"),
         )
     )

@@ -116,10 +116,13 @@ def p_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_corpus_report",
     oracle=f"""
     SELECT source, lang, COUNT(*) AS n_docs,
-           CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_SQL}'))) AS BIGINT)
              AS n_tokens,
-           -- int/int rationals: integer half-up round-6 (registry rule 3)
-           CAST((2 * CAST({sql_dsum(f"len(regexp_extract_all(text, '{TOKEN_SQL}'))", 0)} AS BIGINT)
+           -- int/int rationals: integer half-up round-6 (registry rule 3);
+           -- micro numerators ride as HUGEINT (DuckDB's SUM(BIGINT)
+           -- default) mirroring the Spark side's decimal(38,0) — a
+           -- BIGINT cast here would error past ~4.6e12 group tokens
+           CAST((2 * SUM(len(regexp_extract_all(text, '{TOKEN_SQL}')))
                  * 1000000 + COUNT(*))
                 // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 + 0.0 AS mean_tokens,
            CAST((2 * SUM(CASE WHEN len(str_split(text, ' ')) < 50 THEN 1 ELSE 0 END)

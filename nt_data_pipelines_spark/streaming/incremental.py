@@ -288,9 +288,12 @@ def _bounded_new_edges(
     pairs: DataFrame, batch_ids: DataFrame, edges_per_doc: int | None
 ) -> DataFrame:
     """Bound a batch's new dup edges to ``edges_per_doc`` min-id
-    partners per batch doc (a pair survives if EITHER endpoint keeps
-    it) — the linear-state twin of the batch tier's bounded spanning
-    edges. ``batch_ids`` carries one column ``doc_id``."""
+    partners per batch doc (a pair survives if either BATCH endpoint
+    keeps it — batch-vs-state pairs are ranked under their batch
+    endpoint only, so the state partner never votes and such edges are
+    capped more aggressively than batch-vs-batch ones) — the
+    linear-state twin of the batch tier's bounded spanning edges.
+    ``batch_ids`` carries one column ``doc_id``."""
     if edges_per_doc is None:
         return pairs
     da = pairs.select(F.col("id_a").alias("__d"), F.col("id_b").alias("__p"), "id_a", "id_b")
