@@ -1441,8 +1441,12 @@ def zipf_slope(
     structure stopped looking like text at all.
 
     Scale shape: one (source, word) count shuffle (map-side partial);
-    the rank window runs over the VOCAB-sized counts frame, never the
-    corpus; the fit is a k-row-per-source aggregate. Ranks tie-break
+    the top-k is TWO-PHASE — a local rank per (source, input
+    partition) prunes to k rows per partition before the global
+    per-source rank window, so no task ever sorts a source's entire
+    vocab (a 10^8-distinct-word source would otherwise be one
+    straggler window task AQE can't split; the global window now sees
+    at most k * shuffle-partitions rows per source). Ranks tie-break
     on the token so both engines rank identically; the slope is an
     algorithmic stat, rounded to 6 (registry rule 2).
 
@@ -1452,8 +1456,21 @@ def zipf_slope(
         F.col(source_col).alias("source"), F.explode(words(text_col)).alias("word")
     ).filter(F.col("word") != "")
     counts = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("__cnt"))
+    # phase 1: local top-k per (source, physical partition) — every
+    # global top-k row is top-k within its own partition, so pruning
+    # to k rows per (source, pid) loses nothing
+    wl = Window.partitionBy("source", "__pid").orderBy(
+        F.desc("__cnt"), F.asc("word")
+    )
+    pruned = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__pid")
+    )
+    # phase 2: global rank over the pruned (≤ k·partitions)-row frame
     rw = Window.partitionBy("source").orderBy(F.desc("__cnt"), F.asc("word"))
-    ranked = counts.withColumn("__rnk", F.row_number().over(rw)).filter(
+    ranked = pruned.withColumn("__rnk", F.row_number().over(rw)).filter(
         F.col("__rnk") <= k
     )
     return (
@@ -1474,31 +1491,12 @@ def zipf_slope(
     )
 
 
-def cdc_chunks(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    boundary_mod: int = 8,
+def _cdc_chunk_frame(
+    df: DataFrame, id_col: str, text_col: str, boundary_mod: int
 ) -> DataFrame:
-    """Content-defined chunking at word granularity: a word whose
-    :func:`gram_key` hash is 0 mod ``boundary_mod`` CLOSES the current
-    chunk, so expected chunk length is ``boundary_mod`` words and
-    boundaries depend only on content — an insertion or edit moves
-    boundaries locally instead of re-shifting every downstream chunk
-    the way fixed-width windows do (the property that makes chunk-hash
-    dedup stable across crawl snapshots; Gear/FastCDC's rationale at
-    word level).
-
-    Output per chunk: (id, chunk_id, n_words, chunk_text, chunk_hash,
-    n_occurrences) where n_occurrences counts byte-identical chunks
-    corpus-wide (via md5 of the chunk text) — >1 marks shared
-    boilerplate/quotation blocks for chunk-level dedup. Scale shape:
-    one per-doc window (position cumsum) on the doc-id shuffle, one
-    groupBy per (doc, chunk), one chunk-hash count shuffle — all
-    linear; no pairwise comparisons.
-
-    Docs with no tokens yield no chunks.
-    """
+    """The shared CDC derivation: (id, __chunk, n_words, chunk_text,
+    chunk_hash) — no occurrence counts, so consumers that don't need
+    them (``cdc_dedup_documents``) don't pay the count's join."""
     if boundary_mod < 2:
         raise ValueError("boundary_mod must be >= 2")
     pos = df.select(
@@ -1526,10 +1524,47 @@ def cdc_chunks(
             " ",
         ).alias("chunk_text"),
     )
-    wh = Window.partitionBy("chunk_hash")
+    return chunks.withColumn("chunk_hash", F.md5("chunk_text"))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at word granularity: a word whose
+    :func:`gram_key` hash is 0 mod ``boundary_mod`` CLOSES the current
+    chunk, so expected chunk length is ``boundary_mod`` words and
+    boundaries depend only on content — an insertion or edit moves
+    boundaries locally instead of re-shifting every downstream chunk
+    the way fixed-width windows do (the property that makes chunk-hash
+    dedup stable across crawl snapshots; Gear/FastCDC's rationale at
+    word level).
+
+    Output per chunk: (id, chunk_id, n_words, chunk_text, chunk_hash,
+    n_occurrences) where n_occurrences counts byte-identical chunks
+    corpus-wide (via md5 of the chunk text) — >1 marks shared
+    boilerplate/quotation blocks for chunk-level dedup. Scale shape:
+    one per-doc window (position cumsum) on the doc-id shuffle, one
+    groupBy per (doc, chunk); occurrence counting is a map-side-partial
+    count joined back on chunk_hash rather than a chunk_hash window — a
+    corpus-wide boilerplate chunk would land every copy (full
+    chunk_text payload included) in ONE window partition, and AQE
+    cannot split skewed window partitions, whereas the join-back gets
+    AQE's skew-join splitting for free. All linear; no pairwise
+    comparisons. (Catalyst plans the count side as a recompute of the
+    chunk derivation — both sides are skew-free linear stages; callers
+    chaining further work should checkpoint if recompute matters.)
+
+    Docs with no tokens yield no chunks.
+    """
+    hashed = _cdc_chunk_frame(df, id_col, text_col, boundary_mod)
+    occ = hashed.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
     return (
-        chunks.withColumn("chunk_hash", F.md5("chunk_text"))
-        .withColumn("n_occurrences", F.count(F.lit(1)).over(wh))
+        hashed.join(occ, "chunk_hash")
         .select(
             F.col(id_col),
             F.col("__chunk").cast("long").alias("chunk_id"),
@@ -1571,7 +1606,9 @@ def cdc_dedup_documents(
     every input doc keeps a row (empty string if everything was a
     later duplicate).
     """
-    chunks = cdc_chunks(df, id_col, text_col, boundary_mod)
+    chunks = _cdc_chunk_frame(df, id_col, text_col, boundary_mod).withColumn(
+        "chunk_id", F.col("__chunk").cast("long")
+    )
     first = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("__first")
     )

@@ -132,6 +132,31 @@ def test_winsorize_broadcasts_bounds(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_zipf_slope_topk_is_two_phase(spark):
+    # the per-source rank must never sort a source's full vocab in one
+    # window task: a local top-k per (source, input partition) prunes
+    # first, then the global rank runs over <= k*partitions rows
+    plan = _explain(spark, "t_zipf_slope")
+    assert _op_count(plan, "Window") == 2
+    assert "SPARK_PARTITION_ID" in plan  # the local phase keys on pid
+
+
+def test_cdc_occurrence_count_is_join_not_window(spark):
+    # chunk-hash occurrence counting must be groupBy + join-back (AQE
+    # can split a skewed join, not a skewed window partition): a
+    # corpus-wide boilerplate chunk must never pin one window task
+    plan = _explain(spark, "t_cdc_chunks")
+    # every Window is the per-doc position cumsum (keyed on doc_id) —
+    # none may partition by chunk_hash (the join duplicates the linear
+    # chunk-derivation subtree; that recompute is skew-free, a
+    # chunk_hash window is not)
+    win_args = re.findall(
+        r"^\(\d+\) Window\n(?:(?!^\(\d+\) ).+\n)*", plan, flags=re.M
+    )
+    assert win_args and all("chunk_hash" not in w for w in win_args)
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_dup_ngram_fraction_is_linear(spark):
     # the span-dedup signal must stay two linear shuffles (gram df +
     # doc roll-up) plus the join back — never a pairwise doc join
