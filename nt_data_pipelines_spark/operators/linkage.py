@@ -11,16 +11,44 @@ the per-pair match count IS |A ∩ B|.
 Scale shape: one gram explode + one gram-keyed equi-join (shuffle is
 gram-bucketed, never string x string), two broadcast-or-shuffle joins
 against the per-string gram counts. Skew risk is a hot gram (an "ing"
-shared by half the catalog); the deployment answer is the same
-hot-bucket cap/stop-gram treatment the dedup tier's
-``_bounded_band_candidates`` documents — this operator keeps the
-exact form so the DuckDB oracle can mirror it verbatim.
+shared by half the catalog): like the dedup tier's hot-bucket caps,
+the stop-gram bound is DEFAULT-ON with a one-time warning
+(``_resolve_bucket_cap``, operators/dedup.py) — pass ``max_gram_df``
+explicitly (int, or None for the uncapped quadratic form) to opt in
+quietly.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+DEFAULT_GRAM_DF = 1000
+
+
+class _DefaultGramDf(int):
+    """Marks a cap that came from the module default, not the caller."""
+
+
+_DEFAULT_GRAM_DF = _DefaultGramDf(DEFAULT_GRAM_DF)
+
+
+def _resolve_gram_cap(cap: int | None, fn_name: str) -> int | None:
+    """Surface the bounded-recall default instead of applying it
+    silently — the dedup tier's ``_resolve_bucket_cap`` convention."""
+    if isinstance(cap, _DefaultGramDf):
+        warnings.warn(
+            f"{fn_name}: max_gram_df defaults to {int(cap)} (bounded recall: "
+            "grams shared by more strings are dropped from candidate "
+            "generation; reported Jaccards are still exact). Pass "
+            "max_gram_df explicitly (int, or None for the uncapped "
+            "quadratic form) to silence this warning.",
+            stacklevel=3,
+        )
+        return int(cap)
+    return cap
 
 
 def _char_ngrams(text: Column, n: int) -> Column:
@@ -43,7 +71,7 @@ def fuzzy_string_pairs(
     text_col: str,
     threshold: float,
     ngram: int = 3,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = _DEFAULT_GRAM_DF,
 ) -> DataFrame:
     """All id pairs whose strings' character-``ngram`` Jaccard meets
     ``threshold``; returns (id_a, id_b, name_jaccard) with id_a < id_b.
@@ -55,18 +83,21 @@ def fuzzy_string_pairs(
     string, min id) — matching distinct strings shrinks the join
     quadratically and is the realistic linkage shape.
 
-    ``max_gram_df`` is the opt-in scale path for hot-gram skew: grams
-    whose document frequency exceeds the cap are dropped from
-    CANDIDATE GENERATION only (an "ing" shared by half the catalog
-    contributes O(df^2) candidate rows and almost no signal), and the
-    Jaccard is then recomputed EXACTLY per candidate via
-    array_intersect over the full gram arrays — so reported values
+    ``max_gram_df`` is the scale path for hot-gram skew, DEFAULT-ON at
+    ``DEFAULT_GRAM_DF`` with a one-time warning (the dedup tier's cap
+    convention): grams whose document frequency exceeds the cap are
+    dropped from CANDIDATE GENERATION only (an "ing" shared by half
+    the catalog contributes O(df^2) candidate rows and almost no
+    signal), and the Jaccard is then recomputed EXACTLY per candidate
+    via array_intersect over the full gram arrays — so reported values
     never change, only recall can: a pair sharing nothing but
     stop-grams is missed, and a true match at ``threshold`` shares
     ~threshold/(1+threshold) of its grams, so it survives unless ALL
-    of those are hot. Default None keeps the single-join exact form
-    (where the match count IS the intersection size).
+    of those are hot. Pass None explicitly for the uncapped
+    single-join exact form (where the match count IS the intersection
+    size).
     """
+    max_gram_df = _resolve_gram_cap(max_gram_df, "fuzzy_string_pairs")
     t = F.col(text_col)
     base = df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
     sz = base.select("id", F.size("__g").cast("long").alias("n_g"))
