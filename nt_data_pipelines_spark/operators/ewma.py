@@ -37,6 +37,80 @@ def _as_list(x: Sequence[str] | str) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def _slim(df: DataFrame, keys: list[str], order: list[str], values: list[str]) -> DataFrame:
+    """Project to exactly the columns the kernel needs, preserving order.
+
+    Everything selected here crosses the Arrow boundary TWICE (JVM ->
+    pandas -> JVM), so shipping unused payload columns dominated the
+    kernel's cost (round-9 bench: the full-row form ran 9x slower than
+    the rolling-OLS kernel on the same data). Callers needing other
+    columns join the result back on (keys, order).
+    """
+    seen: list[str] = []
+    for c in [*keys, *order, *values]:
+        if c not in seen:
+            seen.append(c)
+    return df.select(*seen)
+
+
+def _n_buckets(df: DataFrame) -> int:
+    try:
+        return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
+    except (TypeError, ValueError):
+        return 200
+
+
+def _ewm_grouped(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    outputs: list[tuple[str, str]],  # (value_col, out_col)
+    half_life: float,
+    adjust: bool,
+) -> DataFrame:
+    """Shared kernel: EWMA per key group, one grouped map per hash
+    BUCKET of keys rather than per key.
+
+    Two measured costs shaped this (round-9 bench, 5M rows / 75k
+    keys at sf5): (a) every column shipped through Arrow crosses the
+    JVM->pandas boundary twice, so the frame is pre-projected to
+    exactly (keys, order, values); (b) applyInPandas builds one pandas
+    frame PER GROUP (~115us each — an identity grouped map alone cost
+    8.7s), so groups are coarsened into ``spark.sql.shuffle.partitions``
+    hash buckets and pandas' cython ``groupby().ewm()`` (bit-identical
+    to per-series ``ewm``, ~0.7us/row) runs inside each bucket frame.
+    The bucket column exists only inside the kernel; ``dropna=False``
+    keeps null keys (pandas drops them by default, Spark never does).
+    """
+    slim = _slim(df, keys, order, [v for v, _ in outputs])
+    out_schema = T.StructType(
+        slim.schema.fields + [T.StructField(o, T.DoubleType()) for _, o in outputs]
+    )
+    bucketed = slim.withColumn(
+        "__b", F.pmod(F.xxhash64(*keys), F.lit(_n_buckets(df))).cast("int")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*keys, *order], kind="mergesort")
+        grouped = pdf.groupby(keys, sort=False, dropna=False)
+        for value_col, out_col in outputs:
+            res = (
+                grouped[value_col]
+                .ewm(halflife=half_life, adjust=adjust, ignore_na=False)
+                .mean()
+            )
+            # realign by ROW LABEL, not position: groupby.ewm returns a
+            # (keys..., row-label) MultiIndex whose group order is not
+            # guaranteed to match frame order (observed misaligned
+            # inside the Arrow worker with several groups per bucket);
+            # row labels are unique here, so label alignment is exact
+            res.index = res.index.droplevel(list(range(len(keys))))
+            pdf[out_col] = res
+        return pdf.drop(columns=["__b"])
+
+    return bucketed.groupBy("__b").applyInPandas(fit, schema=out_schema)
+
+
 def ewm_mean(
     df: DataFrame,
     partition_by: Sequence[str] | str,
@@ -46,19 +120,15 @@ def ewm_mean(
     out_col: str = "ewma",
     adjust: bool = True,
 ) -> DataFrame:
-    """Append an EWMA column computed per key group, ordered by ``order_by``."""
+    """EWMA per key group ordered by ``order_by``.
+
+    Returns ONLY (partition keys, order keys, ``value_col``,
+    ``out_col``) — callers needing other columns join back on
+    (keys, order). See :func:`_ewm_grouped` for the kernel shape.
+    """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
-    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        pdf[out_col] = (
-            pdf[value_col].ewm(halflife=half_life, adjust=adjust, ignore_na=False).mean()
-        )
-        return pdf
-
-    return df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)
+    return _ewm_grouped(df, keys, order, [(value_col, out_col)], half_life, adjust)
 
 
 def ewm_mean_many(
@@ -70,17 +140,13 @@ def ewm_mean_many(
     suffix: str = "_ewma",
     adjust: bool = True,
 ) -> DataFrame:
-    """EWMA several columns in one grouped-map pass (one shuffle total)."""
+    """EWMA several columns in one grouped-map pass (one shuffle total).
+
+    Same slim contract as :func:`ewm_mean`: returns (keys, order,
+    value columns, one ``suffix`` column per value).
+    """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
-    out_schema = T.StructType(
-        df.schema.fields + [T.StructField(c + suffix, T.DoubleType()) for c in value_cols]
+    return _ewm_grouped(
+        df, keys, order, [(c, c + suffix) for c in value_cols], half_life, adjust
     )
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        for c in value_cols:
-            pdf[c + suffix] = pdf[c].ewm(halflife=half_life, adjust=adjust, ignore_na=False).mean()
-        return pdf
-
-    return df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)

@@ -62,6 +62,30 @@ def test_ewma_leading_nulls_pass_through(spark):
     assert got[2]["e"] == pytest.approx(1.0)
 
 
+def test_ewma_bucketed_groups_never_cross(spark):
+    """The kernel coarsens key groups into hash buckets; with far more
+    groups than buckets every bucket frame holds MANY groups, and the
+    groupby.ewm result must realign by row label (caught live: group
+    order inside the Arrow worker mismatched frame order, blending
+    series across groups)."""
+    rng = np.random.RandomState(23)
+    n, g = 4000, 40  # 40 groups >> the test session's 4 shuffle partitions
+    pdf = pd.DataFrame(
+        {"k": rng.randint(0, g, n), "t": np.arange(n), "x": rng.normal(size=n)}
+    )
+    got = (
+        ewm_mean(spark.createDataFrame(pdf), "k", "t", "x", 15.0, out_col="e")
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    want = (
+        pdf.sort_values(["k", "t"])
+        .groupby("k")["x"]
+        .transform(lambda s: s.ewm(halflife=15, adjust=True).mean())
+    )
+    np.testing.assert_allclose(got["e"].to_numpy(), want.to_numpy(), rtol=1e-12)
+
+
 def test_ewma_many_single_pass(spark, keyed_pdf):
     pdf = keyed_pdf.assign(y=keyed_pdf["x"] * 2)
     got = (
