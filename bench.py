@@ -313,11 +313,45 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
                 )
             )
 
+        # record-linkage pair (VERDICT r9 #7): the one operator with a
+        # quadratic failure mode (hot-gram candidate blow-up) gets a
+        # tracked capped-vs-uncapped spread. Strings are 32-char
+        # document prefixes over a deterministic 1/20 doc subsample
+        # (~2.5k distinct at sf1; part names are too few to exercise
+        # the join) — the hottest trigram's df is ~965, so cap=200
+        # genuinely stop-lists grams (8,443 -> 3,331 pairs at
+        # threshold 0.6: the recall trade is visible, and a cap
+        # regression moves BOTH the time and the uncapped/capped gap)
+        from nt_data_pipelines_spark.operators.linkage import fuzzy_string_pairs
+
+        def run_linkage(cap):
+            names = (
+                fresh_docs()
+                .filter(F.col("doc_id") % 20 == 0)
+                .groupBy(F.substring("text", 1, 32).alias("name"))
+                .agg(F.min("doc_id").alias("id"))
+            )
+
+            def go():
+                return materialize(
+                    fuzzy_string_pairs(
+                        names.select("id", "name"),
+                        "id",
+                        "name",
+                        threshold=0.6,
+                        max_gram_df=cap,
+                    )
+                )
+
+            return go
+
         thunks = {
             "c1_minhash_candidates": run_candidates,
             "c3_curate_full": run_curate,
             "c6_decontaminate_exact": run_decon_exact,
             "c6_decontaminate_bloom": run_decon_bloom,
+            "c7_linkage_capped": run_linkage(200),
+            "c7_linkage_uncapped": run_linkage(None),
         }
         t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
         spark_t.update(t)
