@@ -908,3 +908,52 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) 
         F.lit(0),
     )
     return per_doc.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Pairwise source-overlap matrix over duplicate fingerprints: for
+    every unordered source pair, how many DISTINCT fingerprints appear
+    in both — the contamination/mirror audit run before trusting
+    per-source mixing weights (two crawl feeds syndicating the same
+    pages double-count every shared document).
+
+    ``fingerprint`` defaults to ``md5(text)`` (exact duplication);
+    pass any deterministic content key for near-mirror audits (the
+    registered query uses a sorted-vocabulary-prefix fingerprint —
+    robust to word order and local edits).
+
+    Scale shape: one (fingerprint, source) distinct shuffle, then a
+    self-equi-join ON THE FINGERPRINT whose fan-out per key is bounded
+    by the source count (a text in s sources contributes C(s,2) rows —
+    sources are dozens, never corpus-sized), aggregated to the
+    sources^2-bounded matrix. Null texts are excluded (md5(NULL) would
+    collapse them into one bogus shared key).
+
+    Returns (source_a, source_b, n_shared_texts) with source_a <
+    source_b, only pairs sharing at least one fingerprint.
+    """
+    key = fingerprint if fingerprint is not None else F.md5(F.col(text_col))
+    h = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            key.alias("__h"),
+            F.col(source_col).alias("__s"),
+        )
+        .distinct()
+    )
+    return (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__s") < F.col("b.__s")),
+        )
+        .groupBy(
+            F.col("a.__s").alias("source_a"), F.col("b.__s").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )

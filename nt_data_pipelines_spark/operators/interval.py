@@ -124,3 +124,57 @@ def interval_join(
         if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return matched.unionByName(unmatched)
+
+
+def merge_intervals(
+    df: DataFrame,
+    by: str | list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    disjoint islands — the interval-union primitive (total coverage
+    time, availability windows, in-transit periods).
+
+    Classic gaps-and-islands: per key, order by (start, end); an
+    interval opens a NEW island iff its start is strictly after the
+    running max of all previous ends (touching intervals — start ==
+    previous end — merge); the island id is the running count of
+    openers. One window shuffle on the key, one groupBy on the same
+    key (shared partitioning, no second exchange).
+
+    Returns one row per island: (by..., island_id, island_start,
+    island_end, n_intervals). Per-key work is a bounded sort of that
+    key's intervals — the same per-key-window contract as the
+    sessionize tier; keys with pathologically many intervals are a
+    data-model smell, not a shuffle-skew one (AQE cannot split a
+    window partition).
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opener = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.withColumn(
+        "__island", F.sum(opener).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(*keys, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            *keys,
+            (F.col("__island") - 1).cast("long").alias("island_id"),
+            "island_start",
+            "island_end",
+            "n_intervals",
+        )
+    )

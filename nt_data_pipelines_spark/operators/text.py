@@ -1652,3 +1652,182 @@ def cdc_dedup_documents(
             F.coalesce("n_removed_words", F.lit(0)).cast("long").alias("n_removed_words"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the non-space
+    character distribution — the cheapest "is this text at all"
+    signal: natural language sits ~4-4.5 bits, base64/hex blobs higher,
+    single-character runs and template padding near 0. Complements
+    :func:`repetition_stats` (word-level) at character level.
+
+    Scale shape: the char explode collapses map-side into per-(doc,
+    char) counts (bounded by docs x alphabet, NOT corpus characters);
+    the per-doc total rides a doc-keyed window over those <= ~100
+    rows/doc. Engine parity follows source_unigram_divergence's KL
+    pattern exactly: each term c*log2(n/c) is rounded to 6 (rule 2 —
+    irrational unless n/c is a power of two, and then the term is an
+    exact integer, so no reachable midpoint), summed as decimal micro
+    units, and the mean over n is integer half-up (rule 3).
+
+    Returns (id, n_chars_nospace, char_entropy_bits); docs with no
+    non-space characters keep a row with 0 / NULL.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
+    ).filter((F.col("__c") != "") & (F.col("__c") != " "))
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__cnt"))
+    wd = Window.partitionBy(id_col)
+    term = F.round(
+        F.col("__cnt")
+        * F.log2(F.col("__n").cast("double") / F.col("__cnt").cast("double")),
+        6,
+    )
+    per_doc = (
+        counts.withColumn("__n", F.sum("__cnt").over(wd))
+        .select(F.col(id_col), "__n", term.alias("__t"))
+        .groupBy(id_col, "__n")
+        .agg(
+            F.sum(
+                (F.col("__t").cast("decimal(28,6)") * 1000000).cast("decimal(38,0)")
+            ).alias("__micro")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("long").alias("n_chars_nospace"),
+            (
+                F.expr(
+                    "CAST(GREATEST(2 * __micro + __n, 0) DIV (2 * __n) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("char_entropy_bits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars_nospace", F.lit(0)).cast("long").alias(
+                "n_chars_nospace"
+            ),
+            "char_entropy_bits",
+        )
+    )
+
+
+def source_token_concentration(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-mass concentration: how many documents hold
+    half the source's tokens, and what share of tokens the top decile
+    of documents holds — the heavy-hitter audit for mixing weights (a
+    source whose token mass concentrates in a few mega-documents
+    contributes far less diversity than its token count suggests).
+
+    EXACT distributed order statistics WITHOUT a per-source document
+    sort: documents aggregate to the (source, token_count) VALUE
+    domain first (bounded by max document length, not corpus size —
+    the same domain-sized-frame trick as zipf_slope's vocab), the
+    cumulative walk runs desc over that frame, and the boundary value
+    group is split arithmetically: docs needed for half the mass =
+    docs above the boundary value + ceil(remaining / boundary value).
+    Every quantity is integer (token counts, doc counts), the two
+    reported ratios use the integer half-up micro form (rule 3), so
+    both engines agree bit-for-bit.
+
+    Returns (source, n_docs, total_tokens, n_docs_half_tokens,
+    half_docs_frac, top_decile_token_share).
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"), token_count(text_col).alias("__t")
+    )
+    # value-domain frame: one row per (source, distinct token count)
+    vals = toks.groupBy("source", "__t").agg(F.count(F.lit(1)).alias("__nd"))
+    wv = Window.partitionBy("source").orderBy(F.desc("__t"))
+    cum = vals.select(
+        "source",
+        "__t",
+        "__nd",
+        F.sum(F.col("__nd") * F.col("__t"))
+        .over(wv.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__tok_above"),
+        F.sum("__nd")
+        .over(wv.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__docs_above"),
+    ).fillna({"__tok_above": 0, "__docs_above": 0})
+    totals = vals.groupBy("source").agg(
+        F.sum("__nd").cast("long").alias("n_docs"),
+        F.sum(F.col("__nd") * F.col("__t")).cast("long").alias("total_tokens"),
+    )
+    j = cum.join(totals, "source")
+    # docs needed s.t. their token mass >= ceil(total/2) == (total+1) DIV 2
+    need_half = F.expr("(total_tokens + 1) DIV 2")
+    # boundary row for the half-mass walk: first value (desc) whose
+    # cumulative-through mass reaches the need
+    half_row = (
+        j.filter(
+            (F.col("__tok_above") < need_half)
+            & (F.col("__tok_above") + F.col("__nd") * F.col("__t") >= need_half)
+            & (F.col("__t") > 0)
+        )
+        .select(
+            "source",
+            (
+                F.col("__docs_above")
+                + F.expr("((total_tokens + 1) DIV 2 - __tok_above + __t - 1) DIV __t")
+            )
+            .cast("long")
+            .alias("n_docs_half_tokens"),
+        )
+    )
+    # top-decile mass: k = ceil(n_docs / 10) docs; boundary group split
+    k = F.expr("(n_docs + 9) DIV 10")
+    top_row = (
+        j.filter(
+            (F.col("__docs_above") < k)
+            & (F.col("__docs_above") + F.col("__nd") >= k)
+        )
+        .select(
+            "source",
+            (
+                F.col("__tok_above")
+                + (k - F.col("__docs_above")) * F.col("__t")
+            )
+            .cast("long")
+            .alias("__top_toks"),
+        )
+    )
+    micro = "CAST((2 * {num} * 1000000 + {den}) DIV (2 * {den}) AS DOUBLE) / 1000000.0"
+    return (
+        totals.join(half_row, "source", "left")
+        .join(top_row, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.coalesce("n_docs_half_tokens", F.lit(0)).cast("long").alias(
+                "n_docs_half_tokens"
+            ),
+            (
+                F.expr(
+                    micro.format(
+                        num="COALESCE(n_docs_half_tokens, 0)", den="n_docs"
+                    )
+                )
+                + 0.0
+            ).alias("half_docs_frac"),
+            (
+                F.expr(
+                    micro.format(num="COALESCE(__top_toks, 0)", den="total_tokens")
+                )
+                + 0.0
+            ).alias("top_decile_token_share"),
+        )
+    )

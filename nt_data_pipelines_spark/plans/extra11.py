@@ -124,3 +124,233 @@ def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.array_join("bpe_tokens", " ").alias("bpe_text"),
     )
+
+
+@register(
+    "w_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS k, l_shipdate AS s,
+             l_shipdate + to_days(CAST(l_quantity AS INT) % 4) AS e
+      FROM lineitem
+    ),
+    m AS (
+      SELECT k, s, e,
+             MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+      FROM iv
+    ),
+    fl AS (
+      SELECT k, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS o
+      FROM m
+    ),
+    isl AS (
+      SELECT k, s, e,
+             SUM(o) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gid
+      FROM fl
+    ),
+    g AS (
+      SELECT k, gid, MIN(s) AS st, MAX(e) AS en, COUNT(*) AS ni
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT k AS l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_periods,
+           CAST(SUM(date_diff('second', st, en)) AS BIGINT) AS covered_seconds,
+           CAST(SUM(ni) AS BIGINT) AS n_intervals
+    FROM g GROUP BY k
+    """,
+    doc="Interval coalescing (gaps-and-islands): per supplier, merge "
+    "overlapping/touching in-transit periods [shipdate, shipdate + "
+    "(quantity mod 4) days] into maximal disjoint islands, reporting "
+    "period count and exact covered seconds. One key-partitioned "
+    "window + one same-key groupBy (shared shuffle); every output "
+    "quantity is an integer or timestamp — engine-exact, no float "
+    "parity machinery needed.",
+)
+def w_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.interval import merge_intervals
+
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("s"),
+        (
+            F.col("l_shipdate")
+            + F.make_interval(days=(F.col("l_quantity").cast("int") % 4))
+        ).alias("e"),
+    )
+    islands = merge_intervals(iv, "l_suppkey", "s", "e")
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.sum(
+            # lineitem timestamps are NTZ; the session is pinned UTC,
+            # so the LTZ cast unix_seconds needs is value-preserving
+            F.unix_seconds(F.col("island_end").cast("timestamp_ltz"))
+            - F.unix_seconds(F.col("island_start").cast("timestamp_ltz"))
+        )
+        .cast("long")
+        .alias("covered_seconds"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+# sorted-vocabulary-prefix fingerprint: word-order- and edit-robust
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:12],"
+    " ' '))"
+)
+
+
+@register(
+    "d_cross_source_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT {_FP_SQL} AS h, source AS s
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM h a JOIN h b ON a.h = b.h AND a.s < b.s
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: for every unordered source "
+    "pair, the number of distinct shared content fingerprints (sorted "
+    "12-word vocabulary prefix — exact md5 finds nothing in this "
+    "corpus, mirrors/syndication rarely copy byte-identically). The "
+    "mixing-weight audit: two feeds syndicating the same pages "
+    "double-count every shared document. Fingerprint self-join fans "
+    "out C(sources-per-key, 2) per key — bounded by source count, "
+    "never corpus-sized.",
+)
+def d_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.dedup import cross_source_overlap
+    from nt_data_pipelines_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(words("text"))), 1, 12), " "
+        )
+    )
+    return cross_source_overlap(docs, "source", "text", fingerprint=fp)
+
+
+@register(
+    "t_char_entropy",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, replace(text, ' ', '') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) + 1),
+                                   i -> substr(t, i, 1))) AS c
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS cc FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(cc) AS n FROM cnt GROUP BY 1),
+    terms AS (
+      SELECT cnt.doc_id, tot.n,
+             ROUND(cnt.cc * log2(CAST(tot.n AS DOUBLE) / cnt.cc), 6) AS trm
+      FROM cnt JOIN tot USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n,
+             -- integer-exact half-up mean (registry rule 3)
+             CAST(GREATEST(2 * SUM(CAST(CAST(trm AS DECIMAL(28,6)) * 1000000
+                                        AS BIGINT)) + n, 0)
+                  // (2 * n) AS DOUBLE) / 1000000.0 AS h
+      FROM terms GROUP BY doc_id, n
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n, 0) AS n_chars_nospace,
+           agg.h AS char_entropy_bits
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Per-document Shannon entropy (bits/char) of the non-space "
+    "character distribution — the cheapest garbage detector (natural "
+    "text ~4-4.5 bits; base64/hex higher; padding/runs near 0). The "
+    "char explode collapses map-side into docs-x-alphabet counts; "
+    "parity follows the KL pattern: per-term round-6 (irrational "
+    "unless n/c is a power of two, and then the term is an exact "
+    "integer — no reachable midpoint), decimal micro sum, integer "
+    "half-up mean.",
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
+@register(
+    "a_token_concentration",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+               AS t
+      FROM documents
+    ),
+    vals AS (SELECT source, t, COUNT(*) AS nd FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT source, t, nd,
+             COALESCE(SUM(nd * t) OVER (PARTITION BY source ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_above,
+             COALESCE(SUM(nd) OVER (PARTITION BY source ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS docs_above
+      FROM vals
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nd * t) AS BIGINT) AS total_tokens
+      FROM vals GROUP BY 1
+    ),
+    j AS (SELECT * FROM cum JOIN tot USING (source)),
+    half AS (
+      SELECT source,
+             CAST(docs_above
+                  + ((total_tokens + 1) // 2 - tok_above + t - 1) // t
+               AS BIGINT) AS n_docs_half_tokens
+      FROM j
+      WHERE tok_above < (total_tokens + 1) // 2
+        AND tok_above + nd * t >= (total_tokens + 1) // 2
+        AND t > 0
+    ),
+    top AS (
+      SELECT source,
+             CAST(tok_above + ((n_docs + 9) // 10 - docs_above) * t
+               AS BIGINT) AS top_toks
+      FROM j
+      WHERE docs_above < (n_docs + 9) // 10
+        AND docs_above + nd >= (n_docs + 9) // 10
+    )
+    SELECT tot.source, tot.n_docs, tot.total_tokens,
+           COALESCE(half.n_docs_half_tokens, 0) AS n_docs_half_tokens,
+           CAST((2 * COALESCE(half.n_docs_half_tokens, 0) * 1000000 + tot.n_docs)
+                // (2 * tot.n_docs) AS DOUBLE) / 1000000.0 + 0.0
+             AS half_docs_frac,
+           CASE WHEN tot.total_tokens > 0 THEN
+             CAST((2 * COALESCE(top.top_toks, 0) * 1000000 + tot.total_tokens)
+                  // (2 * tot.total_tokens) AS DOUBLE) / 1000000.0 + 0.0
+           END AS top_decile_token_share
+    FROM tot LEFT JOIN half USING (source) LEFT JOIN top USING (source)
+    """,
+    doc="Per-source token-mass concentration (heavy-hitter audit for "
+    "mixing weights): documents holding half the source's tokens, and "
+    "the token share of the top decile of documents. Exact order "
+    "statistics WITHOUT a per-source document sort — the cumulative "
+    "walk runs over the (source, token-count) VALUE domain (bounded by "
+    "max doc length, the zipf_slope domain trick) and boundary groups "
+    "split arithmetically; all quantities integer, ratios in the "
+    "rule-3 integer half-up micro form.",
+)
+def a_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import source_token_concentration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_token_concentration(docs, "source", "text")

@@ -86,79 +86,83 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # so round 4 fronts the 25 that have never had a driver row plus a
 # representative spread of each operator class. Full-registry parity
 # (all entries, same protocol) runs via scripts/check_parity.py.
-# Round-9 rotation, staleness-first: (a) queries whose SEMANTICS change
-# this round (gram shuffle keys hashed, oracles mirrored in lockstep)
-# need fresh driver rows; (b) the 19 queries whose freshest driver row
-# is r6 (the r8 slot-50 overflow — exactly as the round-8 comment
-# committed); (c) fill the remaining slots with r7-verified names in
-# registration order — the last 16 r7 names overflow to round 10
-# (r8+r9 union still covers them; round-10 rotation must front:
-# t_dedup_paragraphs t_vocab_topk s_quantize_embeddings
-# p_quantile_transform a_null_profile w_xsec_rank w_forward_returns
-# w_drawdown w_gap_fill p_winsorize w_rolling_skew_kurt w_rsi14
-# w_robust_zscore t_unigram_logprob s_knn_graph t_boilerplate_lines
-# p_temperature_mix p_split_assign a_corpus_report a_value_histogram
-# t_bm25_topk s_near_dup_pairs t_normalize t_token_totals
-# t_fingerprint — 25 names, all r7-verified; the last three displaced
-# by the late round-9 additions below).
-# Any NEW round-9 query must be inserted at the very top
+# Round-10 rotation, staleness-first: (a) the five never-verified
+# round-10 queries; (b) queries whose code changed this round and need
+# a fresh row (linkage's default-on gram cap is mirrored in the
+# oracle; zipf/CDC plans reshaped; the EWMA kernel was rebuilt;
+# t_bpe_tokenize leaves the rotation — its oracle-less registration
+# records err:no_oracle, its encode semantics now have the
+# t_bpe_encode_fixed oracle); (c) the 25 r7-stale names exactly as the
+# round-9 comment committed; (d) fill with r8-verified names in
+# registration order — the remaining 33 r8-stale names overflow to
+# round 11 (r8+r9+r10 union still covers everything; round-11 must
+# front, in registration order: d_exact_dedup d_minhash_lsh
+# d_simhash_banded s_brute_topk s_lsh_ann_topk s_lsh_dedup_groups
+# s_ivf_search_topk s_centroid_per_label a_cube_counts a_grouping_sets
+# o1_multisort_limit a_median_exact d_lsh_verified_dedup s_ivf_assign
+# m_media_metadata a_rollup_counts w_rolling_minmax w_rolling_median
+# s_pq_encode s_pq_search_topk p_zorder_key a_equidepth_hist
+# a_funnel_conversion a_cohort_retention a_event_transitions
+# w_user_streaks t_lexical_diversity t_bigram_logprob
+# a_last_touch_attribution g_pagerank_knn t_gopher_rules s_hybrid_rrf
+# t_quality_logit).
+# Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
-    # NEW in round 9 — never driver-verified:
+    # NEW in round 10 — never driver-verified:
+    "t_bpe_encode_fixed",
+    "w_merge_intervals",
+    "d_cross_source_overlap",
+    "t_char_entropy",
+    "a_token_concentration",
+    # code changed in round 10 — re-verify first:
     "j_fuzzy_name_match",
-    "t_bloom_decontaminate",
     "t_zipf_slope",
-    "t_source_divergence",
     "t_cdc_chunks",
     "t_cdc_dedup",
-    "s_centroid_outlier",
-    "t_bpe_tokenize",
-    # semantics changed in round 9 (hashed gram shuffle keys, oracle
-    # mirrored) — re-verify first:
-    "t_remove_dup_spans",
-    "d_dup_ngram_fraction",
-    # freshest driver row is r6 (r8 overflow — committed last round):
-    "j_asof_join",
-    "j_asof_forward",
-    "j_asof_tolerance",
-    "j_interval_join",
-    "p_clean_corpus",
-    "t_repetition_stats",
-    "p_stratified_sample",
-    "t_sequence_pack",
-    "t_scrub_pii",
-    "t_contamination",
-    "w_sessionize",
-    "w_ohlc_resample",
-    "t_tfidf_top_terms",
-    "t_inverted_index",
-    "a_exact_quantiles",
-    "t_chunk_documents",
-    "p_mix_sources",
-    "t_bm25_scores",
-    "w6_rolling_regression_k5",
-    # freshest driver row is r7 — registration order (fill to slot 50):
-    "j1_universe_gated_join",
-    "j5_full_outer_coalesce",
-    "a2_collect_sorted_list",
-    "a3_global_max",
-    "a4_distinct",
-    "o3_topk_dates",
-    "r1_union_slices",
-    "r3_unpivot_lineitem",
-    "r4_explode_embeddings",
-    "f1_json_props",
-    "w2_rolling_sum21",
-    "w3_rolling_std21",
-    "w5_rolling_cov21",
-    "a5_zscore_global",
-    "t_asof_last_view",
-    "d_verified_dup_edges",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "d_simhash_pairs",
-    "t_quality_features",
-    "t_language_id",
+    "w4_ewma_halflife",
+    # freshest driver row is r7 (the committed round-10 cohort):
+    "t_dedup_paragraphs",
+    "t_vocab_topk",
+    "s_quantize_embeddings",
+    "p_quantile_transform",
+    "a_null_profile",
+    "w_xsec_rank",
+    "w_forward_returns",
+    "w_drawdown",
+    "w_gap_fill",
+    "p_winsorize",
+    "w_rolling_skew_kurt",
+    "w_rsi14",
+    "w_robust_zscore",
+    "t_unigram_logprob",
+    "s_knn_graph",
+    "t_boilerplate_lines",
+    "p_temperature_mix",
+    "p_split_assign",
+    "a_corpus_report",
+    "a_value_histogram",
+    "t_bm25_topk",
+    "s_near_dup_pairs",
+    "t_normalize",
+    "t_token_totals",
+    "t_fingerprint",
+    # freshest driver row is r8 — registration order (fill to slot 50):
+    "a1_pricing_summary",
+    "j2_shipping_priority",
+    "j6_semi_anti",
+    "o4_top3_per_group",
+    "p_scalar_suite",
+    "f1_date_parts",
+    "r2_pivot_event_type",
+    "w1_pct_change",
+    "a5_zscore_per_date",
+    "a6_equal_weight_benchmark",
+    "t_sessionize",
+    "w6_rolling_regression",
+    "d_minhash_jaccard_estimate",
+    "d_containment_pairs",
+    "d_dedup_against_corpus",
 ]
 
 
