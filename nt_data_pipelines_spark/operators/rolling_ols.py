@@ -129,7 +129,9 @@ def rolling_ols(
             pdf = pdf.iloc[window - 1 :]
         return pdf
 
-    out = df.repartition(*keys).groupBy(*keys).applyInPandas(fit, schema=out_schema)
+    # no explicit repartition: groupBy's EnsureRequirements already
+    # plans the hash exchange (a leading repartition just doubled it)
+    out = df.groupBy(*keys).applyInPandas(fit, schema=out_schema)
     # NaN -> NULL: the reference's Polars conversion maps the unfilled-
     # window NaNs to nulls (pl.from_pandas nan_to_null), and every
     # downstream null-gate/drop_nulls depends on that distinction.

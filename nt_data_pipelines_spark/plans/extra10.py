@@ -204,8 +204,12 @@ def s_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BPE subword tokenization learned FROM the corpus (Sennrich "
     "2016): 16 merges trained on the word-frequency relation (one "
     "corpus shuffle total; per-merge work is vocab-sized), then "
-    "encoded with chained codegen folds. Rows-only driver check; "
-    "reference-exact tests carry the semantics.",
+    "encoded with chained codegen folds. No oracle (iterative merge "
+    "learning is not SQL-expressible) and the driver records "
+    "err:no_oracle for such rows, so this composite stays OUT of the "
+    "driver's top-50; the encode side is driver-verified via "
+    "t_bpe_encode_fixed (plans/extra11.py) and the trained semantics "
+    "by tests/test_bpe.py's reference-exact goldens.",
 )
 def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.bpe import bpe_encode, bpe_train
