@@ -143,16 +143,32 @@ def merge_intervals(
     openers. One window shuffle on the key, one groupBy on the same
     key (shared partitioning, no second exchange).
 
+    Duplicate intervals are pre-aggregated to ONE weighted row per
+    distinct (key, start, end) BEFORE the windows. This is load-
+    bearing for correctness, not just shuffle size: with duplicate
+    sort keys the opener-flag window and the cumulative-sum window
+    are separate computations that may order ties differently (DuckDB
+    re-sorts per CTE; Spark and DuckDB also tie-break differently),
+    and a duplicate of an island-opening row can then land in the
+    PREVIOUS island, silently inflating its span — caught live at
+    sf0.1 where small scales had no duplicate (start, end) pairs.
+    After the pre-aggregation the order is total per key and every
+    engine computes the same islands.
+
     Returns one row per island: (by..., island_id, island_start,
-    island_end, n_intervals). Per-key work is a bounded sort of that
-    key's intervals — the same per-key-window contract as the
-    sessionize tier; keys with pathologically many intervals are a
-    data-model smell, not a shuffle-skew one (AQE cannot split a
+    island_end, n_intervals) where n_intervals counts input rows
+    (duplicates included). Per-key work is a bounded sort of that
+    key's DISTINCT intervals — the same per-key-window contract as
+    the sessionize tier; keys with pathologically many intervals are
+    a data-model smell, not a shuffle-skew one (AQE cannot split a
     window partition).
     """
     from pyspark.sql import Window
 
     keys = [by] if isinstance(by, str) else list(by)
+    uniq = df.groupBy(*keys, start_col, end_col).agg(
+        F.count(F.lit(1)).alias("__w")
+    )
     w = Window.partitionBy(*keys).orderBy(start_col, end_col)
     prev_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -160,7 +176,7 @@ def merge_intervals(
     opener = F.when(
         prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
     ).otherwise(0)
-    islands = df.withColumn(
+    islands = uniq.withColumn(
         "__island", F.sum(opener).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
@@ -168,7 +184,7 @@ def merge_intervals(
         .agg(
             F.min(start_col).alias("island_start"),
             F.max(end_col).alias("island_end"),
-            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__w").alias("n_intervals"),
         )
         .select(
             *keys,

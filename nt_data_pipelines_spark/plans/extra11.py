@@ -134,27 +134,33 @@ def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_shipdate + to_days(CAST(l_quantity AS INT) % 4) AS e
       FROM lineitem
     ),
+    -- duplicates pre-aggregate to one weighted row per (k, s, e):
+    -- with duplicate sort keys the two windows below may order ties
+    -- differently (each CTE re-sorts) and a duplicate of an island
+    -- opener can land in the previous island — mirrored from
+    -- merge_intervals, where this was caught live at sf0.1
+    uq AS (SELECT k, s, e, COUNT(*) AS w FROM iv GROUP BY 1, 2, 3),
     m AS (
-      SELECT k, s, e,
+      SELECT k, s, e, w,
              MAX(e) OVER (PARTITION BY k ORDER BY s, e
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS pme
-      FROM iv
+      FROM uq
     ),
     fl AS (
-      SELECT k, s, e,
+      SELECT k, s, e, w,
              CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS o
       FROM m
     ),
     isl AS (
-      SELECT k, s, e,
+      SELECT k, s, e, w,
              SUM(o) OVER (PARTITION BY k ORDER BY s, e
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS gid
       FROM fl
     ),
     g AS (
-      SELECT k, gid, MIN(s) AS st, MAX(e) AS en, COUNT(*) AS ni
+      SELECT k, gid, MIN(s) AS st, MAX(e) AS en, SUM(w) AS ni
       FROM isl GROUP BY 1, 2
     )
     SELECT k AS l_suppkey,

@@ -50,6 +50,31 @@ def test_merge_intervals_crafted(spark):
     assert got[("b", 1)]["n_intervals"] == 2  # containment merges
 
 
+def test_merge_intervals_duplicate_openers(spark):
+    """Duplicate (start, end) rows — including duplicates of an
+    island-OPENING interval — must aggregate into the right island.
+    Caught live at sf0.1: with duplicate sort keys, the opener-flag
+    window and the cumsum window can order ties differently and strand
+    a duplicate in the previous island, inflating its span; the
+    weighted pre-aggregation makes the order total."""
+    rows = [
+        ("k", _ts(1), _ts(2)),
+        ("k", _ts(5), _ts(7)),  # opener of island 1...
+        ("k", _ts(5), _ts(7)),  # ...duplicated, twice
+        ("k", _ts(5), _ts(7)),
+        ("k", _ts(6), _ts(8)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp").repartition(4)
+    got = sorted(
+        (r["island_id"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [
+        (0, _ts(1), _ts(2), 1),
+        (1, _ts(5), _ts(8), 4),  # all three duplicates + the overlapper
+    ]
+
+
 def test_merge_intervals_out_of_order_input(spark):
     # island detection must not depend on input row order
     rows = [("k", _ts(5), _ts(7)), ("k", _ts(1), _ts(3)), ("k", _ts(2), _ts(6))]
