@@ -1804,7 +1804,14 @@ def source_token_concentration(
             .alias("__top_toks"),
         )
     )
-    micro = "CAST((2 * {num} * 1000000 + {den}) DIV (2 * {den}) AS DOUBLE) / 1000000.0"
+    # micro numerator rides as decimal(38,0): 2 * token-mass * 1e6
+    # wraps int64 past ~4.6e12 tokens per source (the corpus_stats
+    # ADVICE class); DuckDB mirrors with HUGEINT ('//' on DECIMAL
+    # degrades to double division there)
+    micro = (
+        "CAST((2 * CAST({num} AS DECIMAL(38,0)) * 1000000 + {den}) "
+        "DIV (2 * {den}) AS DOUBLE) / 1000000.0"
+    )
     return (
         totals.join(half_row, "source", "left")
         .join(top_row, "source", "left")

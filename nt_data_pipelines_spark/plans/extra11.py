@@ -337,11 +337,16 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tot.source, tot.n_docs, tot.total_tokens,
            COALESCE(half.n_docs_half_tokens, 0) AS n_docs_half_tokens,
-           CAST((2 * COALESCE(half.n_docs_half_tokens, 0) * 1000000 + tot.n_docs)
+           -- micro numerators as HUGEINT (the Spark side rides
+           -- decimal(38,0)): 2 * token-mass * 1e6 wraps BIGINT past
+           -- ~4.6e12 tokens per source
+           CAST((2 * CAST(COALESCE(half.n_docs_half_tokens, 0) AS HUGEINT)
+                 * 1000000 + tot.n_docs)
                 // (2 * tot.n_docs) AS DOUBLE) / 1000000.0 + 0.0
              AS half_docs_frac,
            CASE WHEN tot.total_tokens > 0 THEN
-             CAST((2 * COALESCE(top.top_toks, 0) * 1000000 + tot.total_tokens)
+             CAST((2 * CAST(COALESCE(top.top_toks, 0) AS HUGEINT) * 1000000
+                   + tot.total_tokens)
                   // (2 * tot.total_tokens) AS DOUBLE) / 1000000.0 + 0.0
            END AS top_decile_token_share
     FROM tot LEFT JOIN half USING (source) LEFT JOIN top USING (source)
