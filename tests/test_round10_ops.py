@@ -84,6 +84,45 @@ def test_merge_intervals_out_of_order_input(spark):
     assert (got[0]["island_start"], got[0]["island_end"]) == (_ts(1), _ts(7))
 
 
+def test_merge_intervals_randomized_vs_python_sweep(spark):
+    """200 random interval sets (duplicates, containment, touching,
+    zero-length all arise naturally) under one key each, ONE Spark job,
+    each compared against a plain Python sweep-line reference."""
+    import random
+
+    rng = random.Random(1234)
+    rows, want = [], {}
+    for case in range(200):
+        k = f"c{case}"
+        ivs = []
+        for _ in range(rng.randint(1, 25)):
+            s = rng.randint(1, 25)
+            e = s + rng.randint(0, 4)
+            ivs.append((s, e))
+            if rng.random() < 0.3:
+                ivs.append((s, e))  # force duplicates
+        rows += [(k, _ts(s), _ts(e)) for s, e in ivs]
+        islands = []
+        for s, e in sorted(ivs):
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        want[k] = [(_ts(a), _ts(b), n) for a, b, n in islands]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp").repartition(8)
+    got: dict[str, list] = {}
+    for r in merge_intervals(df, "k", "s", "e").collect():
+        got.setdefault(r["k"], []).append(
+            (r["island_id"], r["island_start"], r["island_end"], r["n_intervals"])
+        )
+    assert set(got) == set(want)
+    for k, islands in want.items():
+        assert sorted(got[k]) == [
+            (i, a, b, n) for i, (a, b, n) in enumerate(islands)
+        ], k
+
+
 def test_cross_source_overlap_exact_and_fingerprint(spark):
     df = spark.createDataFrame(
         [
