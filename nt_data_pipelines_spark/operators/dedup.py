@@ -957,3 +957,95 @@ def cross_source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int | None = _DEFAULT_CAP,
+) -> DataFrame:
+    """Calibration audit of the MinHash Jaccard ESTIMATOR against the
+    exact word-set Jaccard, over the same bounded LSH candidate set —
+    the QA query run before trusting signature-only triage thresholds
+    (is the k=16 estimator's error actually distributed like
+    sqrt(J(1-J)/k) on THIS corpus, or did short docs / hot shingles
+    skew it?).
+
+    Per candidate pair the error |est - exact| is bucketed in
+    SIXTEENTHS (the estimator's own granularity) with pure integer
+    arithmetic — bucket = |n_match * union - k * n_common| DIV union —
+    so both engines bucket identically even though the exact Jaccard
+    is not binary-representable. Output: one row per occupied bucket,
+    (err_bucket_16ths, n_pairs, pair_share), err 0 = estimate within
+    1/16 of truth.
+
+    Scale shape: signatures and shingles each computed once; the
+    estimate join is O(1) per pair on the signature frame, the exact
+    join is the verify tier's shingle join over the SAME bounded
+    candidates — by construction this audit costs what one verify
+    pass costs.
+    """
+    bucket_cap = _resolve_bucket_cap(bucket_cap, "minhash_estimate_calibration")
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_long = band_signatures(sigs, id_col, num_hashes, bands)
+    cand = _bounded_band_candidates(band_long, id_col, bucket_cap)
+
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_match.cast("long").alias("__m"))
+    )
+
+    shingles = word_set(df, id_col, text_col)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    common = (
+        cand.join(shingles.withColumnsRenamed({id_col: "id_a"}), "id_a")
+        .join(shingles.withColumnsRenamed({id_col: "id_b"}), ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_pair = (
+        est.join(common, ["id_a", "id_b"], "left")
+        .fillna({"__c": 0})
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__za"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__zb"}), "id_b")
+        .select(
+            F.expr(
+                f"ABS(__m * (__za + __zb - __c) - {num_hashes} * __c) "
+                "DIV (__za + __zb - __c)"
+            ).alias("err_bucket_16ths")
+        )
+    )
+    buckets = per_pair.groupBy("err_bucket_16ths").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = buckets.agg(F.sum("n_pairs").alias("__t"))
+    return (
+        buckets.crossJoin(F.broadcast(total))
+        .select(
+            F.col("err_bucket_16ths").cast("long").alias("err_bucket_16ths"),
+            "n_pairs",
+            (
+                F.expr(
+                    "CAST((2 * n_pairs * 1000000 + __t) DIV (2 * __t) AS DOUBLE)"
+                )
+                / 1000000.0
+                + 0.0
+            ).alias("pair_share"),
+        )
+    )

@@ -365,3 +365,79 @@ def a_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_token_concentration(docs, "source", "text")
+
+
+def _calibration_oracle() -> str:
+    from nt_data_pipelines_spark.plans.textdedup import MINHASH_BANDS_CTE, _SIG_MATCHES
+
+    return MINHASH_BANDS_CTE + f""",
+    sized AS (
+      SELECT doc_id, band, band_hash,
+             COUNT(*) OVER (PARTITION BY band, band_hash) AS bsize,
+             MIN(doc_id) OVER (PARTITION BY band, band_hash) AS hub
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsize <= 64
+        UNION ALL
+        SELECT LEAST(hub, doc_id), GREATEST(hub, doc_id)
+        FROM sized WHERE bsize > 64 AND doc_id <> hub
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles w_a ON w_a.doc_id = c.id_a
+      JOIN shingles w_b ON w_b.doc_id = c.id_b AND w_b.word = w_a.word
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT ({_SIG_MATCHES}) AS m,
+             COALESCE(cm.n_common, 0) AS nc,
+             za.sz + zb.sz - COALESCE(cm.n_common, 0) AS u
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    ),
+    agg AS (
+      SELECT ABS(m * u - 16 * nc) // u AS err_bucket_16ths,
+             COUNT(*) AS n_pairs
+      FROM per GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_pairs) AS t FROM agg)
+    SELECT CAST(err_bucket_16ths AS BIGINT) AS err_bucket_16ths,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((2 * n_pairs * 1000000 + t) // (2 * t) AS DOUBLE)
+             / 1000000.0 + 0.0 AS pair_share
+    FROM agg CROSS JOIN tot
+    """
+
+
+@register(
+    "d_estimate_calibration",
+    oracle=_calibration_oracle(),
+    doc="Calibration audit of the k=16 MinHash Jaccard estimator vs "
+    "the exact word-set Jaccard over the same bounded LSH candidate "
+    "set: per-pair |est - exact| bucketed in SIXTEENTHS (the "
+    "estimator's own granularity) with pure integer arithmetic "
+    "(|m*union - 16*common| DIV union), so both engines bucket "
+    "identically although the exact Jaccard is not binary-"
+    "representable. The QA run before trusting signature-only triage "
+    "thresholds; costs one verify pass by construction.",
+)
+def d_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_estimate_calibration(
+        docs, "doc_id", "text", bucket_cap=D.DEFAULT_BUCKET_CAP
+    )

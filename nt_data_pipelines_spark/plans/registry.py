@@ -105,11 +105,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # a_funnel_conversion a_cohort_retention a_event_transitions
 # w_user_streaks t_lexical_diversity t_bigram_logprob
 # a_last_touch_attribution g_pagerank_knn t_gopher_rules s_hybrid_rrf
-# t_quality_logit).
+# t_quality_logit d_dedup_against_corpus — 34 names, the last
+# displaced by the late round-10 calibration query below).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "d_estimate_calibration",
     "t_bpe_encode_fixed",
     "w_merge_intervals",
     "d_cross_source_overlap",
@@ -162,7 +164,6 @@ DRIVER_PRIORITY: list[str] = [
     "w6_rolling_regression",
     "d_minhash_jaccard_estimate",
     "d_containment_pairs",
-    "d_dedup_against_corpus",
 ]
 
 

@@ -149,6 +149,31 @@ def test_cross_source_overlap_exact_and_fingerprint(spark):
     assert ("s1", "s3") not in got2
 
 
+def test_minhash_estimate_calibration_crafted(spark):
+    """Identical docs are LSH candidates with a perfect estimate
+    (all 16 components match, exact Jaccard 1) -> error bucket 0 with
+    share 1.0 when they are the only candidate pair."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        DEFAULT_BUCKET_CAP,
+        minhash_estimate_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact dup of 1
+            (3, "zq xw vv uu tt"),          # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_estimate_calibration(
+        df, "doc_id", "text", bucket_cap=DEFAULT_BUCKET_CAP
+    ).collect()
+    assert [(r["err_bucket_16ths"], r["n_pairs"], r["pair_share"]) for r in rows] == [
+        (0, 1, 1.0)
+    ]
+
+
 def test_char_entropy_crafted(spark):
     df = spark.createDataFrame(
         [
