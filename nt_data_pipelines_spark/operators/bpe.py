@@ -178,6 +178,71 @@ def bpe_encode(
     )
 
 
+def token_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer-health report for a fixed BPE merge table:
+    word count, BPE token count, tokens-per-word (fertility) and
+    chars-per-token (compression).
+
+    Fertility is THE go/no-go number for a tokenizer on a new corpus
+    slice: a table trained on one distribution tokenizes a drifted or
+    foreign-language source into near-character shrapnel (fertility
+    toward word length + 1), inflating training cost per byte and
+    shrinking the effective context window. Chars-per-token is the
+    inverse compression view. Run per source before mixing; a source
+    whose fertility is an outlier needs its own merge budget or a
+    retrain.
+
+    Scale shape: the corpus is touched once for (group, word) counts;
+    the merge chain ENCODES ONLY THE DISTINCT VOCABULARY (the same
+    encode-the-vocabulary-not-the-corpus shape as the
+    t_bpe_encode_fixed oracle) and joins the per-word token count
+    back by word — per-group totals are then weighted sums. Counts
+    ride as decimal(38,0) before the multiply (a 100-TB group's
+    micro numerator passes int64); the two rationals are integer
+    half-up round-6 (registry rule 3). Token counts include the
+    end-of-word symbol when it stays unmerged — exactly
+    :func:`bpe_encode`'s accounting.
+    """
+    wc = (
+        df.select(F.col(group_col), F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    per_word = _chars_with_eow(F.col("word"))
+    for left, right in merges:
+        per_word = _apply_merge(per_word, left, right)
+    enc = (
+        wc.select("word")
+        .distinct()
+        .select("word", F.size(per_word).cast("long").alias("__ntok"))
+    )
+    j = wc.join(enc, "word")
+    cnt = F.col("__cnt").cast("decimal(38,0)")
+    n_words = F.sum(cnt)
+    n_toks = F.sum(cnt * F.col("__ntok"))
+    n_chars = F.sum(cnt * F.length("word"))
+
+    def r6(num, den):
+        return (
+            F.call_function("div", 2 * num * 1000000 + den, 2 * den).cast("double")
+            / 1000000.0
+            + 0.0
+        )
+
+    return j.groupBy(group_col).agg(
+        n_words.cast("long").alias("n_words"),
+        n_toks.cast("long").alias("n_bpe_tokens"),
+        r6(n_toks, n_words).alias("tokens_per_word"),
+        r6(n_chars, n_toks).alias("chars_per_token"),
+    )
+
+
 def bpe_encode_arrow(
     df: DataFrame,
     merges: list[tuple[str, str]],

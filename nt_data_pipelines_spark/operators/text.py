@@ -882,6 +882,65 @@ def duplicated_ngram_fraction(
     )
 
 
+def novelty_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    out_col: str = "novel_frac",
+) -> DataFrame:
+    """Per-doc marginal novelty: the fraction of its distinct word
+    n-grams whose corpus-wide FIRST occurrence (minimum ``id_col``) is
+    this document.
+
+    The order-aware complement of :func:`duplicated_ngram_fraction`:
+    where dup_ngram_frac says "this content exists elsewhere", novelty
+    says "this document is where the corpus first saw it". Under an
+    ingestion-ordered id (crawl snapshots, feed batches) this is the
+    curation signal for diminishing returns — later recrawls of a
+    mostly-static site trend toward 0, and ranking sources by novel
+    gram mass decides which feed is still worth ingesting (the
+    sum-of-novelty view is exactly D4-style "new data added" per
+    slice).
+
+    Scale shape is dup_ngram_fraction's, with min-id in place of the
+    doc-frequency count: grams hash to 60-bit keys and dedup within
+    the doc BEFORE the explode, the first-seen aggregate shuffles on
+    the gram key (map-side partial MIN), the roll-up shuffles on the
+    doc key — two linear shuffles, no pairwise join. Short docs
+    (< n words) have no grams and score 0.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(text_col, n), lambda g: gram_key(g))
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("__novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("__novel").cast("long"), F.lit(0)).alias("n_novel_grams"),
+            F.coalesce(F.col("__novel") / F.col("n_grams"), F.lit(0.0)).alias(out_col),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str,
@@ -1419,6 +1478,86 @@ def source_unigram_divergence(
                 )
                 / 1000000.0
             ).alias(out_col),
+        )
+    )
+
+
+def source_lang_mi(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mutual information (bits) between a document's source and its
+    predicted language — the corpus-composition audit scalar.
+
+    MI(source; lang) = sum over occupied cells of
+    p(s,l) * log2(p(s,l) / (p(s) p(l))). Near 0 the language mix is
+    the same in every source (language filtering can be tuned
+    globally); large values mean language and source are entangled —
+    per-source thresholds, mixing weights, and eval slices must be
+    conditioned on language or the blend silently shifts when one
+    feed's share changes. Composes :func:`language_id` (deterministic
+    stopword-lexicon argmax), so the label side is exactly the tier's
+    own language column.
+
+    Scale shape: one per-doc language pass (language_id's bounded
+    per-doc window), one (source, lang) count shuffle; everything
+    after runs on the sources-by-languages cell frame (tiny by
+    construction), with margins as windows over that frame. Engine
+    parity follows the KL pattern (source_unigram_divergence): the
+    log ratio is built in doubles with pinned evaluation order, each
+    cell term n_sl * log2(...) is rounded to 6 (irrational unless the
+    ratio is a power of two, and then the term is exact — no
+    reachable midpoint), terms sum as decimal micro units, and the
+    final mean over N is integer half-up, clamped at 0 (MI >= 0; the
+    clamp also keeps Spark's truncating DIV and DuckDB's flooring //
+    agreeing near zero).
+
+    Returns ONE row: (n_docs, n_cells, mi_bits).
+    """
+    langs = language_id(df, id_col, text_col).select(id_col, "pred_lang")
+    joint = (
+        df.select(F.col(id_col), F.col(source_col).alias("__src"))
+        .join(langs, id_col)
+        .groupBy("__src", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("__nsl"))
+    )
+    ws = Window.partitionBy("__src")
+    wl = Window.partitionBy("pred_lang")
+    wall = Window.partitionBy()
+    cells = joint.select(
+        "__nsl",
+        F.sum("__nsl").over(ws).alias("__ns"),
+        F.sum("__nsl").over(wl).alias("__nl"),
+        F.sum("__nsl").over(wall).alias("__n"),
+    )
+    term = F.round(
+        F.col("__nsl")
+        * F.log2(
+            (F.col("__nsl").cast("double") * F.col("__n"))
+            / (F.col("__ns").cast("double") * F.col("__nl"))
+        ),
+        6,
+    )
+    return (
+        cells.select(F.col("__n"), term.alias("__t"))
+        .groupBy("__n")
+        .agg(
+            F.sum(
+                (F.col("__t").cast("decimal(28,6)") * 1000000).cast("decimal(38,0)")
+            ).alias("__micro"),
+            F.count(F.lit(1)).alias("__cells"),
+        )
+        .select(
+            F.col("__n").cast("long").alias("n_docs"),
+            F.col("__cells").cast("long").alias("n_cells"),
+            (
+                F.expr(
+                    "CAST(GREATEST(2 * __micro + __n, 0) DIV (2 * __n) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("mi_bits"),
         )
     )
 

@@ -441,3 +441,184 @@ def d_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_estimate_calibration(
         docs, "doc_id", "text", bucket_cap=D.DEFAULT_BUCKET_CAP
     )
+
+
+def _fertility_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT source, w FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) t WHERE w <> ''
+    ),
+    wc AS (SELECT source, w, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+    dw AS (SELECT DISTINCT w FROM wc),
+    enc AS (
+      SELECT w, CAST(len(string_split(trim({_bpe_sql_expr()}), ' '))
+                     AS BIGINT) AS ntok
+      FROM dw
+    ),
+    -- weighted sums as HUGEINT (the Spark side rides decimal(38,0);
+    -- DuckDB's // on DECIMAL degrades to true division)
+    per AS (
+      SELECT wc.source,
+             SUM(CAST(cnt AS HUGEINT)) AS n_words,
+             SUM(CAST(cnt AS HUGEINT) * enc.ntok) AS n_toks,
+             SUM(CAST(cnt AS HUGEINT) * len(wc.w)) AS n_chars
+      FROM wc JOIN enc USING (w) GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_toks AS BIGINT) AS n_bpe_tokens,
+           CAST((2 * n_toks * 1000000 + n_words) // (2 * n_words)
+                AS DOUBLE) / 1000000.0 + 0.0 AS tokens_per_word,
+           CAST((2 * n_chars * 1000000 + n_toks) // (2 * n_toks)
+                AS DOUBLE) / 1000000.0 + 0.0 AS chars_per_token
+    FROM per
+    """
+
+
+@register(
+    "t_token_fertility",
+    oracle=_fertility_oracle(),
+    doc="Per-source tokenizer-health report for the pinned 16-rule BPE "
+    "table: word count, BPE token count, tokens-per-word (fertility) "
+    "and chars-per-token (compression). Fertility is the go/no-go "
+    "number before tokenizing a new slice — a drifted source encodes "
+    "into near-character shrapnel and burns context window. The merge "
+    "chain encodes only the DISTINCT vocabulary and joins counts back "
+    "(the encode-the-vocabulary scale shape shared with "
+    "t_bpe_encode_fixed); weighted sums ride decimal(38,0)/HUGEINT "
+    "and the two rationals are integer half-up round-6.",
+)
+def t_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.bpe import token_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_fertility(docs, _BPE_MERGES, "source", "text")
+
+
+def _novelty_oracle() -> str:
+    from nt_data_pipelines_spark.plans.quant import NGRAM_N
+
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      -- gram hashed to a 60-bit BIGINT key, mirroring operators/text.gram_key
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, LEN(ws) - {NGRAM_N} + 2),
+                                   i -> CAST(concat('0x', substr(md5(
+                                       array_to_string(ws[i:i + {NGRAM_N} - 1], ' ')
+                                   ), 1, 15)) AS BIGINT))) AS gram
+      FROM w WHERE LEN(ws) >= {NGRAM_N}
+    ),
+    first_seen AS (SELECT gram, MIN(doc_id) AS fs FROM grams GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.fs = g.doc_id THEN 1 ELSE 0 END) AS nov
+      FROM grams g JOIN first_seen f USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           CAST(COALESCE(p.nov, 0) AS BIGINT) AS n_novel_grams,
+           COALESCE(p.nov / p.n_grams, 0.0) AS novel_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register(
+    "t_novelty_fraction",
+    oracle=_novelty_oracle(),
+    doc="Order-aware marginal novelty: per doc, the fraction of its "
+    "distinct word 8-grams whose corpus-wide first occurrence (min "
+    "doc_id) is this document — the diminishing-returns signal for "
+    "ingestion-ordered corpora (a recrawl of a static site trends to "
+    "0; summing novel grams per source is the D4-style 'new data "
+    "added' ranking). dup_ngram_fraction's shape with min-id in place "
+    "of doc frequency: two linear shuffles on hashed 60-bit gram "
+    "keys, no pairwise join.",
+)
+def t_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import novelty_fraction
+    from nt_data_pipelines_spark.plans.quant import NGRAM_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_fraction(docs, "doc_id", "text", n=NGRAM_N)
+
+
+def _lang_mi_oracle() -> str:
+    from nt_data_pipelines_spark.plans.textdedup import _LEX_VALUES
+
+    return f"""
+    WITH lexicon(lang, word) AS (VALUES {_LEX_VALUES}),
+    exploded AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    scores AS (
+      SELECT e.doc_id, l.lang, COUNT(*) AS hits
+      FROM exploded e JOIN lexicon l ON e.word = l.word
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rk
+      FROM scores
+    ),
+    langdoc AS (
+      SELECT d.doc_id, d.source, COALESCE(b.lang, 'und') AS pred_lang
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    ),
+    joint AS (
+      SELECT source, pred_lang, COUNT(*) AS nsl FROM langdoc GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT nsl,
+             SUM(nsl) OVER (PARTITION BY source) AS ns,
+             SUM(nsl) OVER (PARTITION BY pred_lang) AS nl,
+             SUM(nsl) OVER () AS n
+      FROM joint
+    ),
+    terms AS (
+      -- ratio built in doubles with pinned evaluation order (a
+      -- long*long numerator could overflow at corpus scale); each
+      -- term rounds at 6 (irrational unless the ratio is a power of
+      -- two, and then exact — no reachable midpoint)
+      SELECT n,
+             ROUND(nsl * log2((CAST(nsl AS DOUBLE) * n)
+                              / (CAST(ns AS DOUBLE) * nl)), 6) AS trm
+      FROM cells
+    ),
+    agg AS (
+      SELECT n,
+             SUM(CAST(CAST(trm AS DECIMAL(28,6)) * 1000000 AS HUGEINT))
+               AS micro,
+             COUNT(*) AS cellsn
+      FROM terms GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(cellsn AS BIGINT) AS n_cells,
+           CAST(GREATEST(2 * micro + n, 0) // (2 * n) AS DOUBLE)
+             / 1000000.0 AS mi_bits
+    FROM agg
+    """
+
+
+@register(
+    "a_source_lang_mi",
+    oracle=_lang_mi_oracle(),
+    doc="Mutual information (bits) between a document's source and its "
+    "predicted language — the corpus-composition audit scalar: near 0 "
+    "the language mix is uniform across sources (filter thresholds "
+    "can be global); large values mean mixing weights and eval slices "
+    "must be conditioned on language. Composes the tier's own "
+    "language_id (deterministic stopword argmax); everything after "
+    "the (source, lang) count shuffle runs on the tiny cell frame. "
+    "Parity follows the KL pattern: per-cell round-6 terms, decimal "
+    "micro sum, integer half-up mean clamped at 0.",
+)
+def a_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.text import source_lang_mi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_lang_mi(docs, "source", "doc_id", "text")

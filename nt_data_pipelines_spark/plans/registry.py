@@ -105,12 +105,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # a_funnel_conversion a_cohort_retention a_event_transitions
 # w_user_streaks t_lexical_diversity t_bigram_logprob
 # a_last_touch_attribution g_pagerank_knn t_gopher_rules s_hybrid_rrf
-# t_quality_logit d_dedup_against_corpus — 34 names, the last
-# displaced by the late round-10 calibration query below).
+# t_quality_logit d_dedup_against_corpus w6_rolling_regression
+# d_minhash_jaccard_estimate d_containment_pairs — 37 names, the last
+# four displaced by the late round-10 queries below: the calibration
+# audit plus the fertility / novelty / language-MI trio).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "t_token_fertility",
+    "t_novelty_fraction",
+    "a_source_lang_mi",
     "d_estimate_calibration",
     "t_bpe_encode_fixed",
     "w_merge_intervals",
@@ -161,9 +166,6 @@ DRIVER_PRIORITY: list[str] = [
     "a5_zscore_per_date",
     "a6_equal_weight_benchmark",
     "t_sessionize",
-    "w6_rolling_regression",
-    "d_minhash_jaccard_estimate",
-    "d_containment_pairs",
 ]
 
 

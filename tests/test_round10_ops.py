@@ -223,3 +223,61 @@ def test_source_token_concentration_crafted(spark):
     (r2,) = source_token_concentration(df2, "source", "text").collect()
     assert r2["n_docs_half_tokens"] == 2
     assert r2["top_decile_token_share"] == pytest.approx(0.25)
+
+
+def test_token_fertility_crafted(spark):
+    """One merge (a,b): 'ab' encodes to ['ab','</w>'] (2 tokens), 'x'
+    to ['x','</w>'] (2 tokens) — fertility and compression are exact
+    integer half-up rationals."""
+    from nt_data_pipelines_spark.operators.bpe import token_fertility
+
+    df = spark.createDataFrame(
+        [("s1", "ab ab x"), ("s2", "x")],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: r
+        for r in token_fertility(df, [("a", "b")], "source", "text").collect()
+    }
+    assert got["s1"]["n_words"] == 3
+    assert got["s1"]["n_bpe_tokens"] == 6
+    assert got["s1"]["tokens_per_word"] == 2.0
+    # chars 2+2+1=5 over 6 tokens -> half-up(5/6) at 6dp = 0.833333
+    assert got["s1"]["chars_per_token"] == 0.833333
+    assert got["s2"]["n_words"] == 1 and got["s2"]["n_bpe_tokens"] == 2
+
+
+def test_novelty_fraction_crafted(spark):
+    """First doc owns both its bigrams; the second shares one with the
+    first (novelty 0.5); a short doc has no grams and scores 0."""
+    from nt_data_pipelines_spark.operators.text import novelty_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel_grams"], r["novel_frac"])
+        for r in novelty_fraction(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_source_lang_mi_crafted(spark):
+    """Perfectly language-separated sources with a 50/50 split carry
+    exactly 1 bit of mutual information."""
+    from nt_data_pipelines_spark.operators.text import source_lang_mi
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "the of it"),
+            (2, "s1", "the of it"),
+            (3, "s2", "der ist ich"),
+            (4, "s2", "der ist ich"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    [row] = source_lang_mi(df, "source", "doc_id", "text").collect()
+    assert (row["n_docs"], row["n_cells"], row["mi_bits"]) == (4, 2, 1.0)
