@@ -179,3 +179,73 @@ def perplexity_band_filter(
     return df.join(kept, id_col).select(
         *[F.col(c) for c in df.columns], "bits_per_token"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information.
+
+    The classic collocation extractor (Church & Hanks 1990): over the
+    corpus's adjacent word pairs, PMI(x, y) = log2(p(x,y) / (p(x)p(y)))
+    with the marginals taken over the SAME pair population — p(x,.) is
+    x's count as a pair LEFT, p(.,y) is y's count as a pair RIGHT, and
+    N is the total pair count, so the three distributions share one
+    sample space and PMI is exactly zero under independence. Pairs
+    below ``min_count`` are dropped first (rare-pair PMI is noise —
+    a pair seen once between two hapaxes maxes the score).
+
+    Scale shape: one pair-count shuffle, two marginal-count shuffles
+    (left word, right word), a join back on bounded keys, then a
+    global top-k via TakeOrdered (no full sort). The pair-count filter
+    runs BEFORE the marginal joins, so the join input is the heavy
+    tail only.
+
+    Engine parity: the ranking score N * c_xy / (c_left * c_right) is
+    computed double-first in one fixed operation order — every step is
+    a correctly-rounded IEEE op on identical operands, so even its
+    rounded value is bit-identical across engines and the (score desc,
+    pair asc) order is total and stable. The reported PMI rounds
+    log2(score) to 6 decimals (registry rule 2; a round-6 midpoint
+    needs log2 of a double to be a .5-ending rational — log2 of a
+    rational is integer or irrational, so unreachable except at exact
+    integers, which both engines print exactly).
+    """
+    from nt_data_pipelines_spark.operators.text import _word_ngrams
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    grams = df.select(F.explode(_word_ngrams(text_col, 2)).alias("gram")).select(
+        F.substring_index("gram", " ", 1).alias("w1"),
+        F.substring_index("gram", " ", -1).alias("w2"),
+    )
+    pairs = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    left = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__cl"))
+    right = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("__cr"))
+    n_pairs = grams.groupBy().count().withColumnRenamed("count", "__n")
+    scored = (
+        pairs.filter(F.col("pair_count") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn(
+            "__score",
+            (F.col("pair_count").cast("double") * F.col("__n"))
+            / (F.col("__cl").cast("double") * F.col("__cr")),
+        )
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(F.log2("__score"), 6).alias("pmi"),
+            "__score",
+        )
+        .orderBy(F.desc("__score"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .drop("__score")
+    )

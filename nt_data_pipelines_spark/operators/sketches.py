@@ -251,3 +251,111 @@ def heavy_hitters(
         .orderBy(F.desc("count"), F.asc(col))
         .limit(k)
     )
+
+
+# ---- deterministic (oracle-pairable) HyperLogLog ----
+
+# alpha_m bias constants from Flajolet et al. 2007; for m >= 128 the
+# closed form 0.7213 / (1 + 1.079 / m) applies.
+_HLL_ALPHA_SMALL = {16: 0.673, 32: 0.697, 64: 0.709}
+# Hash layout: md5(value) hex; the first p/4 hex chars pick the
+# register, the NEXT 14 hex chars (56 bits) feed the leading-zero
+# rank, so ranks live in 1..57 and 2^(57 - rank) is always an int64.
+_HLL_RANK_BITS = 56
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA_SMALL.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def deterministic_hll_distinct(
+    df: DataFrame,
+    group_by: Sequence[str] | str | None,
+    col: str,
+    p: int = 8,
+    include_exact: bool = False,
+) -> DataFrame:
+    """HyperLogLog distinct estimate that is BIT-IDENTICAL across
+    engines — the oracle-pairable sibling of :func:`approx_distinct`.
+
+    Spark's builtin HLL++ (and DuckDB's approx_count_distinct) hash
+    with engine-private functions, so their estimates can never be
+    compared exactly. This variant derives registers from md5 — a
+    function both engines (and any SQL engine) expose with identical
+    output — and keeps every arithmetic step either integer-exact or
+    a single IEEE op on identical operands:
+
+    - register  = first p/4 hex chars of md5(value), 2^p registers;
+    - rank      = leading zeros in the next 56 hash bits, + 1
+                  (via ``57 - LENGTH(bin(x))`` — both engines print
+                  bin() without leading zeros);
+    - the harmonic sum rides as an exact integer: each register
+      contributes ``2^(57 - max_rank)`` (int64), empty registers
+      ``2^57``, summed as decimal(38,0) — no float-accumulation
+      order dependence;
+    - estimate  = (alpha_m * m^2 * 2^57) / S with the numerator
+      pre-folded into ONE double literal, so the whole float path is
+      a single division of identical operands — bit-identical;
+    - the small-range linear-counting correction (est <= 2.5m with
+      empty registers) is ``m * ln(m / V)`` rounded to 6 decimals
+      (registry rule 2/3: ln of a rational > 1 is irrational, so the
+      round-6 midpoint is unreachable).
+
+    Scale shape: one (group, register) max shuffle whose cardinality
+    is groups x 2^p regardless of row count, then a groups-sized
+    roll-up — the sketch property, with none of the engine lock-in.
+    ``include_exact`` adds the exact distinct count + realized
+    relative error (the calibration tier; full-shuffle, test-scale
+    only).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    m = 1 << p
+    hex_chars = p // 4
+    keys = (
+        [] if group_by is None
+        else [group_by] if isinstance(group_by, str) else list(group_by)
+    )
+    rank_max = _HLL_RANK_BITS + 1  # 57
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("int")
+    x = F.conv(F.substring(h, hex_chars + 1, 14), 16, 10).cast("bigint")
+    rank = F.when(x == 0, F.lit(rank_max)).otherwise(
+        F.lit(rank_max) - F.length(F.bin(x))
+    )
+    vals = df.select(*keys, F.col(col)).where(F.col(col).isNotNull()).distinct()
+    regs = vals.select(*keys, reg.alias("__reg"), rank.alias("__rank")).groupBy(
+        *keys, "__reg"
+    ).agg(F.max("__rank").alias("__m"))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rank_max} - __m)")
+    per_group = regs.groupBy(*keys).agg(
+        F.sum(term.cast("decimal(38,0)")).alias("__s_obs"),
+        F.count(F.lit(1)).alias("__n_obs"),
+    )
+    empty_term = F.lit(1 << rank_max).cast("decimal(38,0)")
+    s_total = (
+        F.col("__s_obs") + (F.lit(m) - F.col("__n_obs")).cast("decimal(38,0)") * empty_term
+    )
+    numerator = _hll_alpha(m) * m * m * float(1 << rank_max)
+    raw = F.lit(numerator) / s_total.cast("double")
+    v_empty = (F.lit(m) - F.col("__n_obs")).cast("int")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty), 6),
+    ).otherwise(raw)
+    out = per_group.select(
+        *keys,
+        v_empty.alias("empty_registers"),
+        raw.alias("hll_raw"),
+        corrected.alias("hll_estimate"),
+    )
+    if include_exact:
+        exact = vals.groupBy(*keys).agg(F.count(F.lit(1)).alias("exact_distinct"))
+        out = (
+            out.join(exact, keys) if keys else out.crossJoin(exact)
+        ).withColumn(
+            "rel_error",
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+        )
+    return out

@@ -1504,7 +1504,10 @@ def source_lang_mi(
     Scale shape: one per-doc language pass (language_id's bounded
     per-doc window), one (source, lang) count shuffle; everything
     after runs on the sources-by-languages cell frame (tiny by
-    construction), with margins as windows over that frame. Engine
+    construction), with per-source/per-lang margins as partitioned
+    windows over that frame and the grand total as a partially-
+    aggregated scalar broadcast back (no single-task global window —
+    the registry-wide plan sweep pins this). Engine
     parity follows the KL pattern (source_unigram_divergence): the
     log ratio is built in doubles with pinned evaluation order, each
     cell term n_sl * log2(...) is rounded to 6 (irrational unless the
@@ -1525,13 +1528,12 @@ def source_lang_mi(
     )
     ws = Window.partitionBy("__src")
     wl = Window.partitionBy("pred_lang")
-    wall = Window.partitionBy()
+    grand = joint.groupBy().agg(F.sum("__nsl").alias("__n"))
     cells = joint.select(
         "__nsl",
         F.sum("__nsl").over(ws).alias("__ns"),
         F.sum("__nsl").over(wl).alias("__nl"),
-        F.sum("__nsl").over(wall).alias("__n"),
-    )
+    ).crossJoin(F.broadcast(grand))
     term = F.round(
         F.col("__nsl")
         * F.log2(
@@ -1975,5 +1977,61 @@ def source_token_concentration(
                 )
                 + 0.0
             ).alias("top_decile_token_share"),
+        )
+    )
+
+
+def source_vocab_jaccard(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix (upper triangle).
+
+    The vocabulary-level companion to cross_source_overlap (which
+    matches whole-document fingerprints): two sources can share zero
+    documents yet draw on nearly the same vocabulary — the signal
+    mixture audits use to spot redundant sources before weighting.
+    For each unordered source pair (a < b):
+    J(a, b) = |V_a intersect V_b| / |V_a union V_b|.
+
+    Scale shape: the corpus collapses to DISTINCT (source, word) rows
+    (one linear shuffle); the intersection self-join keys on the word,
+    so each word fans out by (sources carrying it choose 2) — bounded
+    by the SOURCE count squared, never by corpus size; per-source
+    vocab sizes are one more linear agg. No doc x doc work anywhere.
+
+    Engine parity: intersection/union sizes are exact integers; the
+    ratio uses the integer half-up micro form (registry rule 3).
+    """
+    vocab = (
+        df.select(F.col(source_col).alias("__src"), F.explode(words(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = vocab.select(F.col("__src").alias("source_a"), "__w")
+    b = vocab.select(F.col("__src").alias("source_b"), "__w")
+    inter = (
+        a.join(b, "__w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__src", "source_a").withColumnRenamed("__n", "__na"), "source_a")
+        .join(sizes.withColumnRenamed("__src", "source_b").withColumnRenamed("__n", "__nb"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "intersection_size",
+            (F.col("__na") + F.col("__nb") - F.col("intersection_size")).alias("union_size"),
+            (
+                F.expr(
+                    "CAST((2 * intersection_size * 1000000 + (__na + __nb - intersection_size)) "
+                    "DIV (2 * (__na + __nb - intersection_size)) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("jaccard"),
         )
     )

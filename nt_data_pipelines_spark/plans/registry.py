@@ -108,11 +108,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # t_quality_logit d_dedup_against_corpus w6_rolling_regression
 # d_minhash_jaccard_estimate d_containment_pairs — 37 names, the last
 # four displaced by the late round-10 queries below: the calibration
-# audit plus the fertility / novelty / language-MI trio).
+# audit plus the fertility / novelty / language-MI trio. The second
+# round-10 batch (HLL / PMI / vocab-Jaccard / KS drift) displaced four
+# more r8-verified canaries from the tail, which round 11 should also
+# front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
+# t_sessionize — 41 names total).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_hll_distinct",
+    "t_pmi_collocations",
+    "a_source_vocab_jaccard",
+    "a_ks_drift",
     "t_token_fertility",
     "t_novelty_fraction",
     "a_source_lang_mi",
@@ -162,10 +170,6 @@ DRIVER_PRIORITY: list[str] = [
     "p_scalar_suite",
     "f1_date_parts",
     "r2_pivot_event_type",
-    "w1_pct_change",
-    "a5_zscore_per_date",
-    "a6_equal_weight_benchmark",
-    "t_sessionize",
 ]
 
 
