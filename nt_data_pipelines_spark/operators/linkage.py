@@ -154,3 +154,76 @@ def fuzzy_string_pairs(
         .filter(jac >= threshold)
         .select("id_a", "id_b", (j6 + 0.0).alias("name_jaccard"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    ngram: int = 3,
+    max_gram_df: int | None = _DEFAULT_GRAM_DF,
+) -> DataFrame:
+    """All id pairs within Levenshtein distance ``max_dist``, among
+    candidates sharing at least one character ``ngram``; returns
+    (id_a, id_b, edit_distance) with id_a < id_b.
+
+    The typo-tolerant companion to :func:`fuzzy_string_pairs`: set
+    Jaccard is order-blind ("cold rod" vs "rod cold" look identical),
+    Levenshtein is the POSITIONAL metric record-linkage rules usually
+    want for near-identical strings. Blocking is the same gram
+    equi-join (with the tier's default-on ``max_gram_df`` stop-gram
+    cap); two exact prunes run BEFORE the O(len^2) Levenshtein DP —
+    ``abs(len_a - len_b) <= max_dist`` (the length gap lower-bounds
+    the distance) — and the DP itself is JVM codegen
+    (``F.levenshtein``), never Python. The distance is an integer, so
+    parity with the SQL oracle is exact, no rounding machinery.
+
+    Recall contract: a pair sharing NO (surviving) gram is never
+    compared — at ``max_dist`` edits over strings of length L, at
+    least L - ngram + 1 - ngram * max_dist grams are untouched, so
+    true matches are missed only when the strings are shorter than
+    ~``ngram * (max_dist + 1)`` or every shared gram is stop-listed.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    max_gram_df = _resolve_gram_cap(max_gram_df, "edit_distance_pairs")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__s"),
+        _char_ngrams(F.col(text_col), ngram).alias("__g"),
+    )
+    g = base.select("id", F.explode("__g").alias("gram"))
+    if max_gram_df is not None:
+        rare = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        g = g.join(rare, "gram")
+    cand = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    strs = base.select("id", "__s")
+    return (
+        cand.join(strs.select(F.col("id").alias("id_a"), F.col("__s").alias("__sa")), "id_a")
+        .join(strs.select(F.col("id").alias("id_b"), F.col("__s").alias("__sb")), "id_b")
+        # length-gap prune: |len_a - len_b| > k implies distance > k,
+        # so the DP never runs on hopeless pairs
+        .filter(
+            F.abs(F.length("__sa") - F.length("__sb")) <= max_dist
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )

@@ -1,0 +1,135 @@
+"""Cross-column statistics: pairwise correlation and time-weighted means.
+
+Quant-pipeline staples the reference computes with per-frame math
+(rolling covariance matrices feed the factor model,
+nt-data-pipelines utils/stats; interval-weighted marks feed PnL) —
+here as single-pass distributed aggregations.
+
+Engine-parity notes (plans/registry.py rules): every SUM rides a
+decimal cast (rule 1, order-independent), the correlation's final
+value passes through sqrt (irrational — rule 2 round-6 is safe), and
+the time-weighted mean is an exact rational so it uses the integer
+half-up micro form (rule 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols``,
+    computed in ONE aggregation pass.
+
+    A naive per-pair ``df.corr(a, b)`` scans the table O(k^2) times;
+    this computes all sufficient statistics — n, S_x, and the upper
+    product-moment triangle S_xy — as map-side partial aggregates in a
+    single scan, then assembles the k*(k-1)/2 coefficients on the
+    one-row result:
+
+        corr = (n*S_xy - S_x*S_y)
+               / (sqrt(n*S_xx - S_x^2) * sqrt(n*S_yy - S_y^2))
+
+    Sums are decimal (exact, order-independent — registry rule 1);
+    the assembly arithmetic is a FIXED order of IEEE double ops so
+    both engines produce bit-identical values, and the output rounds
+    to 6 (rule 2; sqrt makes a reachable midpoint measure-zero).
+    Constant columns yield NULL (0/0), same in both engines.
+
+    Returns (col_x, col_y, n, corr) with pairs in ``cols`` order.
+    Scale: one whole-stage-codegen scan, no shuffle beyond the final
+    single-row reduce — the 100-TB shape for moment matrices.
+    """
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr needs at least two columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,8)")).alias(f"__p_{a}_{b}")
+            )
+    one = df.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("__n").cast("double")
+        sa = F.col(f"__s_{a}").cast("double")
+        sb = F.col(f"__s_{b}").cast("double")
+        sab = F.col(f"__p_{a}_{b}").cast("double")
+        saa = F.col(f"__p_{a}_{a}").cast("double")
+        sbb = F.col(f"__p_{b}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.round(num / den, 6) + 0.0
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), _corr(a, b).alias("corr")
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return one.select(
+        F.col("__n").alias("n"), F.explode(F.array(*structs)).alias("__pair")
+    ).select("__pair.col_x", "__pair.col_y", "n", "__pair.corr")
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted mean of ``value_col`` over irregular
+    observations: each value is weighted by how long it was CURRENT
+    (microseconds until the key's next observation; the last
+    observation carries no weight — a right-open step function).
+
+    The marks-to-market mean for irregular ticks: an arithmetic mean
+    over-weights bursts (ten quotes in one second count ten times),
+    the time-weighted form is invariant to re-quoting. Keys with a
+    single observation are dropped (no interval to weigh).
+
+    Parity: interval lengths are exact integer microseconds
+    (``unix_micros`` = DuckDB ``epoch_us``); value*dt products are
+    IEEE-deterministic; their sum rides decimal; and the final
+    weighted mean — an exact rational — uses integer half-up micro
+    rounding (registry rule 3), never a ROUND that can land on a
+    midpoint. The micro numerator rides decimal(38,0) / HUGEINT so a
+    years-long key cannot wrap int64 (the corpus_stats ADVICE class).
+
+    Scale: one window sort per key partition (keys are users/symbols
+    — many and small), then a same-key partial aggregate. No skew
+    risk beyond a genuinely monster key.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt = (F.lead(us).over(w) - us).alias("__dt")
+    stepped = df.select(F.col(key_col), F.col(value_col).alias("__v"), dt).filter(
+        F.col("__dt").isNotNull()
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("__dt").cast("long").alias("total_us"),
+            F.sum(
+                (
+                    (F.col("__v") * F.col("__dt")).cast("decimal(28,6)") * 1000000
+                ).cast("decimal(38,0)")
+            ).alias("__micro"),
+        )
+        .select(
+            key_col,
+            "n_intervals",
+            "total_us",
+            (
+                F.expr("CAST((2 * __micro + total_us) DIV (2 * total_us) AS DOUBLE)")
+                / 1000000.0
+            ).alias("twa_value"),
+        )
+    )

@@ -308,16 +308,33 @@ def cap_per_group(
     boilerplate-heavy hosts would otherwise dominate the token
     budget): rows rank by md5(id) within their group, so the kept
     subset is a uniform-ish, engine/retry/repartition-stable sample —
-    no RNG state, identical on every run. One shuffle on the group
-    key; groups at or under the cap pass through whole.
+    no RNG state, identical on every run.
+
+    Scale shape: the rank is TWO-PHASE (the zipf_slope /
+    o3_topk_dates bounded-key pattern). A straight
+    ``row_number().over(partitionBy(group))`` puts an entire group in
+    one window task — at web scale a single host can be a billion
+    rows, and AQE cannot split a skewed window partition. Phase 1
+    ranks per (group, input partition) and prunes to ``max_rows``
+    rows — every global top-``max_rows`` row is top-``max_rows``
+    within its own partition, so the prune loses nothing — and phase
+    2 ranks the survivors, so the group-keyed window sees at most
+    ``max_rows * input-partitions`` rows per group. Groups at or
+    under the cap pass through whole.
     """
     if max_rows < 1:
         raise ValueError("max_rows must be >= 1")
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    pri = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    wl = Window.partitionBy("__pid", group_col).orderBy(*pri)
+    pre = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= max_rows)
+        .drop("__lrn", "__pid")
     )
+    w = Window.partitionBy(group_col).orderBy(*pri)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pre.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )

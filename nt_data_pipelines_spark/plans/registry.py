@@ -112,11 +112,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round-10 batch (HLL / PMI / vocab-Jaccard / KS drift) displaced four
 # more r8-verified canaries from the tail, which round 11 should also
 # front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
-# t_sessionize — 41 names total).
+# t_sessionize — 41 names; the third round-10 batch (edit-distance
+# linkage + per-group cap) displaced two more: f1_date_parts
+# r2_pivot_event_type — 43 names total).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "j_edit_distance_pairs",
+    "p_per_group_cap",
     "a_hll_distinct",
     "t_pmi_collocations",
     "a_source_vocab_jaccard",
@@ -168,8 +172,6 @@ DRIVER_PRIORITY: list[str] = [
     "j6_semi_anti",
     "o4_top3_per_group",
     "p_scalar_suite",
-    "f1_date_parts",
-    "r2_pivot_event_type",
 ]
 
 

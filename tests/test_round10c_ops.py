@@ -1,0 +1,107 @@
+"""Crafted-input tests for the round-10 third-batch operators:
+bounded-Levenshtein linkage and the two-phase per-group cap."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.operators.linkage import edit_distance_pairs
+from nt_data_pipelines_spark.operators.text import cap_per_group
+
+
+def _names_df(spark, names):
+    return spark.createDataFrame(list(enumerate(names)), "id long, name string")
+
+
+def test_edit_distance_pairs_crafted(spark):
+    df = _names_df(
+        spark,
+        [
+            "cold widget",   # 0
+            "gold widget",   # 1: dist 1 to 0
+            "cold widgets",  # 2: dist 1 to 0, dist 2 to 1
+            "blue rod",      # 3: far from all
+            "blue rods",     # 4: dist 1 to 3
+        ],
+    )
+    rows = edit_distance_pairs(df, "id", "name", max_dist=2, max_gram_df=None).collect()
+    got = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in rows}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 1
+    assert got[(1, 2)] == 2
+    assert got[(3, 4)] == 1
+    # cross-family pairs exceed the bound and never appear
+    assert all(not (a <= 2 and b >= 3) for a, b in got)
+
+
+def test_edit_distance_pairs_blocking_recall_contract(spark):
+    # strings sharing no trigram are never compared, even at distance
+    # within the bound — the documented blocking recall trade
+    df = _names_df(spark, ["abc", "xyz"])
+    assert edit_distance_pairs(df, "id", "name", max_dist=3, max_gram_df=None).count() == 0
+
+
+def test_edit_distance_pairs_hot_gram_cap_bounds_candidates(spark):
+    # every name shares the hot "aaa" grams; only the rare "zz" pair
+    # survives a cap of 2
+    names = [f"aaaaaa{i}" for i in range(10)] + ["zzq aaa", "zzq aab"]
+    df = _names_df(spark, names)
+    uncapped = edit_distance_pairs(df, "id", "name", max_dist=2, max_gram_df=None)
+    capped = edit_distance_pairs(df, "id", "name", max_dist=2, max_gram_df=2)
+    assert uncapped.count() > capped.count()
+    kept = capped.collect()
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {(10, 11)}
+    assert kept[0]["edit_distance"] == 1
+
+
+def test_edit_distance_pairs_default_cap_warns_once(spark):
+    df = _names_df(spark, ["abcd", "abce"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        edit_distance_pairs(df, "id", "name", max_dist=1)
+        assert any("max_gram_df" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        edit_distance_pairs(df, "id", "name", max_dist=1, max_gram_df=100)
+        assert not w
+
+
+def test_edit_distance_pairs_rejects_negative_bound(spark):
+    df = _names_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "name", max_dist=-1, max_gram_df=None)
+
+
+def test_cap_per_group_two_phase_matches_naive_window(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(200)], "source string, doc_id long"
+    ).repartition(8)
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(df, "source", "doc_id", max_rows=10).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    expect = sorted(
+        (r["source"], r["doc_id"])
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+        .collect()
+    )
+    assert got == expect
+    assert len(got) == 30
+
+
+def test_cap_per_group_plan_is_two_phase(spark):
+    """The local prune keys on SPARK_PARTITION_ID so no window task
+    ever holds a whole group (the zipf_slope bounded-key pattern)."""
+    df = spark.createDataFrame([("g", i) for i in range(10)], "source string, doc_id long")
+    plan = cap_per_group(df, "source", "doc_id", max_rows=3)._jdf.queryExecution().toString()
+    assert "SPARK_PARTITION_ID" in plan
+    assert plan.count("Window") >= 2
