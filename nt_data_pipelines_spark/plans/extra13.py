@@ -96,3 +96,105 @@ def p_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", "doc_id", max_rows=15).select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+# a_corr_matrix's sufficient statistics, shared between the column
+# list here and the oracle below.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    cols = _CORR_COLS
+    sums = [f"SUM(CAST({c} AS DECIMAL(38,6))) AS s_{c}" for c in cols]
+    prods = [
+        f"SUM(CAST({a} * {b} AS DECIMAL(38,8))) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            # fixed-order double arithmetic, mirrored from
+            # operators/stats.pairwise_corr so both engines run the
+            # same IEEE ops in the same order
+            num = (
+                f"CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            den = (
+                f"sqrt(CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * sqrt(CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "
+                f"ROUND(({num}) / ({den}), 6) + 0.0 AS corr FROM s"
+            )
+    return (
+        "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + ", ".join(sums + prods)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "a_corr_matrix",
+    oracle=_corr_oracle(),
+    doc="Pairwise Pearson correlation of the four lineitem measures in "
+    "ONE whole-stage-codegen scan: all sufficient statistics (n, "
+    "decimal sums, the upper product-moment triangle) come from a "
+    "single map-side-partial aggregation — never k^2 table scans — "
+    "and the six coefficients assemble on the one-row result with "
+    "fixed-order IEEE arithmetic (bit-identical across engines; "
+    "round-6 per registry rule 2, sqrt makes a midpoint measure-zero).",
+)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.stats import pairwise_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pairwise_corr(li, _CORR_COLS)
+
+
+@register(
+    "w_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt
+      FROM events
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dt) AS BIGINT) AS total_us,
+             -- micro numerator as HUGEINT (the Spark side rides
+             -- decimal(38,0)): value*dt is an IEEE-deterministic
+             -- product; its micro units sum exactly
+             SUM(CAST(CAST(value * dt AS DECIMAL(28,6)) * 1000000
+                      AS HUGEINT)) AS micro
+      FROM o WHERE dt IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_us,
+           CAST((2 * micro + total_us) // (2 * total_us) AS DOUBLE)
+             / 1000000.0 AS twa_value
+    FROM a
+    """,
+    doc="Per-user time-weighted mean of the event value (each value "
+    "weighted by the exact integer microseconds until the user's next "
+    "event; right-open step function, single-event users dropped) — "
+    "the irregular-tick mean that is invariant to quote bursts. The "
+    "weighted mean is an exact rational, so it rounds via the integer "
+    "half-up micro form (registry rule 3), never a midpoint-unsafe "
+    "ROUND.",
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.stats import time_weighted_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_mean(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )

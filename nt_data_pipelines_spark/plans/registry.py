@@ -113,12 +113,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # more r8-verified canaries from the tail, which round 11 should also
 # front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
 # t_sessionize — 41 names; the third round-10 batch (edit-distance
-# linkage + per-group cap) displaced two more: f1_date_parts
-# r2_pivot_event_type — 43 names total).
+# linkage + per-group cap + corr matrix + time-weighted mean)
+# displaced four more: f1_date_parts r2_pivot_event_type
+# p_scalar_suite o4_top3_per_group — 45 names total).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_corr_matrix",
+    "w_time_weighted_avg",
     "j_edit_distance_pairs",
     "p_per_group_cap",
     "a_hll_distinct",
@@ -170,8 +173,6 @@ DRIVER_PRIORITY: list[str] = [
     "a1_pricing_summary",
     "j2_shipping_priority",
     "j6_semi_anti",
-    "o4_top3_per_group",
-    "p_scalar_suite",
 ]
 
 

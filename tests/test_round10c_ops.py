@@ -98,6 +98,90 @@ def test_cap_per_group_two_phase_matches_naive_window(spark):
     assert len(got) == 30
 
 
+def test_pairwise_corr_matches_numpy(spark):
+    import numpy as np
+
+    from nt_data_pipelines_spark.operators.stats import pairwise_corr
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(1, 50, 300)
+    y = 3.0 * x + rng.uniform(0, 10, 300)  # strongly correlated with x
+    z = rng.uniform(0, 1, 300)             # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    rows = pairwise_corr(df, ["x", "y", "z"]).collect()
+    got = {(r["col_x"], r["col_y"]): r for r in rows}
+    assert len(rows) == 3 and all(r["n"] == 300 for r in rows)
+    m = np.corrcoef(np.vstack([x, y, z]))
+    assert got[("x", "y")]["corr"] == pytest.approx(m[0, 1], abs=2e-6)
+    assert got[("x", "z")]["corr"] == pytest.approx(m[0, 2], abs=2e-6)
+    assert got[("y", "z")]["corr"] == pytest.approx(m[1, 2], abs=2e-6)
+    assert got[("x", "y")]["corr"] > 0.99
+
+
+def test_pairwise_corr_exact_extremes_and_errors(spark):
+    from nt_data_pipelines_spark.operators.stats import pairwise_corr
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(1, 50)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in pairwise_corr(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == pytest.approx(1.0, abs=1e-6)
+    assert got[("a", "c")] == pytest.approx(-1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        pairwise_corr(df, ["a"])
+
+
+def test_time_weighted_mean_hand_checked(spark):
+    from datetime import datetime
+
+    from nt_data_pipelines_spark.operators.stats import time_weighted_mean
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: value 10 held 2s, then 20 held 1s, then a terminal obs
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),
+        (1, datetime(2024, 1, 1, 0, 0, 2), 20.0, 2),
+        (1, datetime(2024, 1, 1, 0, 0, 3), 99.0, 3),
+        # user 2: single observation — no interval, dropped
+        (2, t0, 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = time_weighted_mean(df, "user_id", "ts", "value", "event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1
+    assert r["n_intervals"] == 2 and r["total_us"] == 3_000_000
+    # (10*2 + 20*1) / 3 = 13.3333333... -> 13.333333 under half-up micro
+    assert r["twa_value"] == pytest.approx(13.333333, abs=1e-12)
+
+
+def test_time_weighted_mean_burst_invariance(spark):
+    """Re-quoting the same value many times must not move the mean."""
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.operators.stats import time_weighted_mean
+
+    t0 = datetime(2024, 1, 1)
+    base = [(1, t0, 10.0, 0), (1, t0 + timedelta(seconds=60), 20.0, 100),
+            (1, t0 + timedelta(seconds=90), 0.0, 200)]
+    burst = base + [
+        (1, t0 + timedelta(seconds=i), 10.0, i) for i in range(1, 60)
+    ]
+    df_a = spark.createDataFrame(base, "user_id long, ts timestamp, value double, event_id long")
+    df_b = spark.createDataFrame(burst, "user_id long, ts timestamp, value double, event_id long")
+    a = time_weighted_mean(df_a, "user_id", "ts", "value", "event_id").first()
+    b = time_weighted_mean(df_b, "user_id", "ts", "value", "event_id").first()
+    assert a["twa_value"] == b["twa_value"]
+    assert a["total_us"] == b["total_us"]
+
+
 def test_cap_per_group_plan_is_two_phase(spark):
     """The local prune keys on SPARK_PARTITION_ID so no window task
     ever holds a whole group (the zipf_slope bounded-key pattern)."""
