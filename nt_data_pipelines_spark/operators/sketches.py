@@ -359,3 +359,82 @@ def deterministic_hll_distinct(
             / F.col("exact_distinct"),
         )
     return out
+
+
+def deterministic_cms_estimates(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates that are BIT-IDENTICAL
+    across engines — the oracle-pairable sibling of :func:`cms_counts`
+    (whose Spark-builtin sketch hashes privately and can never be
+    compared to another engine's).
+
+    The sketch is ``depth`` rows of ``width`` counters; item ``v``
+    maps in row ``r`` to cell ``md5('r:' || v)[:8 hex] mod width``
+    (md5 keyed by the row index — independent-enough hash functions
+    from one primitive every engine exposes). A cell holds the sum of
+    counts of every item hashing into it; the estimate is the MIN over
+    the item's ``depth`` cells — one-sided: collisions only ADD, so
+    ``exact <= estimate <= exact + n/width`` in expectation per the
+    Cormode-Muthukrishnan bound.
+
+    Returned frame: the EXACT top-``k`` items (count desc, value asc —
+    a total order) with ``exact_count``, the sketch's ``cms_count``,
+    and the realized ``overestimate`` — the calibration pattern (the
+    estimate itself is driver-verified, not just bounded by a test).
+
+    Scale shape: one (value) count shuffle (map-side partial), then a
+    ``depth x width``-row cell aggregate — fixed size regardless of
+    cardinality — broadcast back to the top-k probes. The exact
+    top-k is a distributed TakeOrdered; at 100 TB the count shuffle is
+    the only corpus-sized stage, and it is linear.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        df.select(F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+
+    def _cell(r: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"{r}:"), F.col("__v")))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width)
+        )
+
+    hashes = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cell(r).alias("cell"))
+            for r in range(depth)
+        ]
+    )
+    cells = (
+        counts.select(F.explode(hashes).alias("__h"), "exact_count")
+        .groupBy(F.col("__h.r").alias("r"), F.col("__h.cell").alias("cell"))
+        .agg(F.sum("exact_count").cast("long").alias("cell_count"))
+    )
+    top = counts.orderBy(F.desc("exact_count"), F.asc("__v")).limit(k)
+    probes = top.select("__v", "exact_count", F.explode(hashes).alias("__h")).select(
+        "__v", "exact_count", F.col("__h.r").alias("r"), F.col("__h.cell").alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("__v", "exact_count")
+        .agg(F.min("cell_count").alias("cms_count"))
+        .select(
+            F.col("__v").alias("value"),
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+    )

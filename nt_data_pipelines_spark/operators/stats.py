@@ -133,3 +133,62 @@ def time_weighted_mean(
             ).alias("twa_value"),
         )
     )
+
+
+def gini_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer value —
+    the inequality audit (0 = every doc the same length, -> 1 = one
+    document holds all the mass) that complements the half-mass /
+    top-decile cuts of ``source_token_concentration``.
+
+    Exact, and WITHOUT a per-group row sort: the classic rank formula
+    ``G = 2*sum(i * x_i) / (n * sum(x)) - (n + 1) / n`` needs ranks
+    over rows, but equal values occupy a contiguous rank run, so the
+    walk runs over the (group, value) VALUE DOMAIN: a value ``v`` with
+    count ``c`` starting after cumulative count ``a`` contributes
+    ``v * c * (2a + c + 1)`` to ``2*sum(i*x_i)`` (the arithmetic
+    series, folded). The per-group window orders DISTINCT values —
+    cardinality of the value domain, not the corpus — so no task ever
+    sorts a group's rows; the group-by under it is map-side partial.
+
+    Everything stays integer until one rule-3 half-up micro division:
+    ``G = (T - (n+1)*S) / (n*S)`` with ``T = sum(v*c*(2a+c+1))``,
+    ``S = sum(v*c)`` riding decimal(38,0) (a 100-TB group's
+    rank-weighted mass wraps int64 — the corpus_stats ADVICE class).
+
+    Returns (group, n_rows, total_value, gini).
+    """
+    c = (
+        df.groupBy(F.col(group_col), F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = F.sum("__c").over(w) - F.col("__c")
+    vd = F.col("__v").cast("decimal(38,0)")
+    terms = c.select(
+        F.col(group_col),
+        F.col("__c"),
+        (vd * F.col("__c")).alias("__s"),
+        (vd * F.col("__c") * (2 * a + F.col("__c") + 1)).alias("__t"),
+    )
+    g = terms.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum("__s").alias("__S"),
+        F.sum("__t").alias("__T"),
+    )
+    return g.select(
+        group_col,
+        "n_rows",
+        F.col("__S").cast("long").alias("total_value"),
+        (
+            F.expr(
+                "CAST((2 * (__T - (n_rows + 1) * __S) * 1000000 + n_rows * __S) "
+                "DIV (2 * n_rows * __S) AS DOUBLE)"
+            )
+            / 1000000.0
+        ).alias("gini"),
+    )

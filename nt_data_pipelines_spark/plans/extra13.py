@@ -198,3 +198,94 @@ def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_mean(
         ev, "user_id", "ts", "value", tiebreak_col="event_id"
     )
+
+
+@register(
+    "a_cms_heavy_hitters",
+    oracle="""
+    WITH w0 AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM w0 WHERE w <> '' GROUP BY w
+    ),
+    h AS (
+      SELECT w, exact_count, r,
+             CAST(concat('0x', substr(
+               md5(concat(CAST(r AS VARCHAR), ':', w)), 1, 8)) AS BIGINT)
+               % 512 AS cell
+      FROM wc CROSS JOIN UNNEST(range(4)) AS t(r)
+    ),
+    cells AS (
+      SELECT r, cell, CAST(SUM(exact_count) AS BIGINT) AS cell_count
+      FROM h GROUP BY r, cell
+    ),
+    top AS (
+      SELECT w, exact_count FROM wc ORDER BY exact_count DESC, w LIMIT 20
+    )
+    SELECT top.w AS value, top.exact_count,
+           CAST(MIN(cells.cell_count) AS BIGINT) AS cms_count,
+           CAST(MIN(cells.cell_count) - top.exact_count AS BIGINT)
+             AS overestimate
+    FROM top
+    JOIN h ON h.w = top.w
+    JOIN cells ON cells.r = h.r AND cells.cell = h.cell
+    GROUP BY top.w, top.exact_count
+    """,
+    doc="Oracle-paired count-min sketch (4 x 512 md5-keyed counters) "
+    "probed at the exact top-20 corpus words: exact count, sketch "
+    "estimate, and realized one-sided overestimate — the calibration "
+    "pattern (the estimate itself is driver-verified, like "
+    "a_hll_distinct). The count shuffle is the only corpus-sized "
+    "stage; the cell table is fixed-size and broadcast back.",
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.sketches import deterministic_cms_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("explode(split(text, ' ')) AS w").filter("w <> ''")
+    return deterministic_cms_estimates(toks, "w", depth=4, width=512, k=20)
+
+
+@register(
+    "a_gini_doclen",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS a
+      FROM c
+    ),
+    g AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             -- rank-weighted mass as HUGEINT (the Spark side rides
+             -- decimal(38,0)): a 100-TB group's sum wraps int64
+             SUM(CAST(v AS HUGEINT) * c) AS s,
+             SUM(CAST(v AS HUGEINT) * c * (2 * a + c + 1)) AS tt
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_rows, CAST(s AS BIGINT) AS total_value,
+           CAST((2 * (tt - (n_rows + 1) * s) * 1000000 + n_rows * s)
+                // (2 * n_rows * s) AS DOUBLE) / 1000000.0 AS gini
+    FROM g
+    """,
+    doc="Per-source Gini coefficient of document length — the "
+    "inequality audit complementing a_token_concentration's half-mass "
+    "cuts. Exact WITHOUT any per-source row sort: equal values occupy "
+    "contiguous rank runs, so the rank-weighted sum folds "
+    "arithmetically over the (source, value) VALUE domain; all "
+    "integer until one rule-3 half-up micro division.",
+)
+def a_gini_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.stats import gini_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gini_by_group(docs, "source", "n_chars")

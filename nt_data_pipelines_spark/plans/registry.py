@@ -114,12 +114,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
 # t_sessionize — 41 names; the third round-10 batch (edit-distance
 # linkage + per-group cap + corr matrix + time-weighted mean)
-# displaced four more: f1_date_parts r2_pivot_event_type
-# p_scalar_suite o4_top3_per_group — 45 names total).
+# displaced six more: f1_date_parts r2_pivot_event_type
+# p_scalar_suite o4_top3_per_group j2_shipping_priority j6_semi_anti
+# — 47 names total).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_cms_heavy_hitters",
+    "a_gini_doclen",
     "a_corr_matrix",
     "w_time_weighted_avg",
     "j_edit_distance_pairs",
@@ -171,8 +174,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_fingerprint",
     # freshest driver row is r8 — registration order (fill to slot 50):
     "a1_pricing_summary",
-    "j2_shipping_priority",
-    "j6_semi_anti",
 ]
 
 

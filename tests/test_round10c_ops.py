@@ -189,3 +189,104 @@ def test_cap_per_group_plan_is_two_phase(spark):
     plan = cap_per_group(df, "source", "doc_id", max_rows=3)._jdf.queryExecution().toString()
     assert "SPARK_PARTITION_ID" in plan
     assert plan.count("Window") >= 2
+
+
+def _cms_reference(values, depth=4, width=512):
+    """Straight-line Python CMS mirroring the md5 cell layout."""
+    import hashlib
+    from collections import Counter
+
+    exact = Counter(values)
+    cells = {}
+    for v, c in exact.items():
+        for r in range(depth):
+            h = hashlib.md5(f"{r}:{v}".encode()).hexdigest()
+            cell = int(h[:8], 16) % width
+            cells[(r, cell)] = cells.get((r, cell), 0) + c
+    est = {}
+    for v in exact:
+        est[v] = min(
+            cells[(r, int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:8], 16) % width)]
+            for r in range(depth)
+        )
+    return exact, est
+
+
+def test_deterministic_cms_matches_python_reference(spark):
+    from nt_data_pipelines_spark.operators.sketches import deterministic_cms_estimates
+
+    # narrow sketch (8 cells) over 40 distinct values forces collisions
+    values = [f"v{i}" for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame([(v,) for v in values], "w string")
+    rows = deterministic_cms_estimates(df, "w", depth=3, width=8, k=10).collect()
+    exact, est = _cms_reference(values, depth=3, width=8)
+    assert len(rows) == 10
+    for r in rows:
+        assert r["exact_count"] == exact[r["value"]]
+        assert r["cms_count"] == est[r["value"]]
+        assert r["overestimate"] == est[r["value"]] - exact[r["value"]]
+        # one-sided error: CMS never underestimates
+        assert r["overestimate"] >= 0
+    # top-k is exact and deterministically ordered: v39 is the heaviest
+    assert {r["value"] for r in rows} == {f"v{i}" for i in range(30, 40)}
+
+
+def test_deterministic_cms_wide_sketch_is_exact(spark):
+    from nt_data_pipelines_spark.operators.sketches import deterministic_cms_estimates
+
+    df = spark.createDataFrame([(f"x{i % 5}",) for i in range(100)], "w string")
+    rows = deterministic_cms_estimates(df, "w", depth=4, width=4096, k=5).collect()
+    # 5 distinct values in 4096 cells: collisions essentially impossible
+    assert all(r["overestimate"] == 0 for r in rows)
+    assert all(r["exact_count"] == 20 for r in rows)
+
+
+def test_deterministic_cms_rejects_bad_params(spark):
+    from nt_data_pipelines_spark.operators.sketches import deterministic_cms_estimates
+
+    df = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError):
+        deterministic_cms_estimates(df, "w", depth=0)
+    with pytest.raises(ValueError):
+        deterministic_cms_estimates(df, "w", k=0)
+
+
+def _gini_reference(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    s = sum(xs)
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * t) / (n * s) - (n + 1) / n
+
+
+def test_gini_by_group_crafted_and_random(spark):
+    import random
+
+    from nt_data_pipelines_spark.operators.stats import gini_by_group
+
+    rng = random.Random(13)
+    data = {
+        "equal": [7] * 50,                       # gini = 0
+        "onehog": [1] * 99 + [9901],             # extreme inequality
+        "mixed": [rng.randint(1, 1000) for _ in range(200)],
+    }
+    rows = [(g, v) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in gini_by_group(df, "g", "v").collect()}
+    assert got["equal"]["gini"] == 0.0
+    for g, vals in data.items():
+        assert got[g]["n_rows"] == len(vals)
+        assert got[g]["total_value"] == sum(vals)
+        assert got[g]["gini"] == pytest.approx(_gini_reference(vals), abs=1e-6), g
+    assert got["onehog"]["gini"] > 0.9
+
+
+def test_gini_by_group_duplicate_heavy_value_domain(spark):
+    """Many rows per distinct value — the folded rank-run arithmetic
+    must agree with the naive sorted-rank formula."""
+    from nt_data_pipelines_spark.operators.stats import gini_by_group
+
+    vals = [10] * 30 + [20] * 30 + [40] * 40
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = gini_by_group(df, "g", "v").first()
+    assert r["gini"] == pytest.approx(_gini_reference(vals), abs=1e-6)
