@@ -192,3 +192,53 @@ def gini_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
             / 1000000.0
         ).alias("gini"),
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Drop each group's bottom ``q_num/q_den`` value-quantile: keep
+    rows whose value is >= the group's discrete q-quantile (the value
+    at ascending rank ``ceil(q * n)``; ties at the cutoff are KEPT).
+
+    The per-source quality gate ("drop the shortest quartile of every
+    source") — a GLOBAL length cutoff would gut terse-but-clean
+    sources while boilerplate-heavy ones sail through; the per-group
+    quantile adapts the bar to each group's own distribution.
+
+    Exact and integer-only: the cutoff needs no row sort and no float
+    quantile — ``cum >= ceil(q*n)`` for integer ``cum`` is exactly
+    ``q_den * cum >= q_num * n``, evaluated on the (group, value)
+    VALUE-domain cumulative counts (the gini_by_group / KS pattern),
+    so both engines pick the identical cutoff. The filter itself is a
+    broadcast join of the groups-sized cutoff table back onto the
+    rows — one codegen compare per row at 100 TB.
+    """
+    if not (0 < q_num < q_den):
+        raise ValueError(f"need 0 < q_num < q_den, got {q_num}/{q_den}")
+    c = (
+        df.groupBy(F.col(group_col), F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = c.groupBy(group_col).agg(F.sum("__c").cast("long").alias("__n"))
+    cum = c.select(group_col, "__v", F.sum("__c").over(w).alias("__cum"))
+    cuts = (
+        cum.join(tot, group_col)
+        .filter(F.col("__cum") * q_den >= F.col("__n") * q_num)
+        .groupBy(group_col)
+        .agg(F.min("__v").alias("__cutoff"))
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(F.col(value_col) >= F.col("__cutoff"))
+        .drop("__cutoff")
+    )

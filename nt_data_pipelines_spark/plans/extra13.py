@@ -289,3 +289,110 @@ def a_gini_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gini_by_group(docs, "source", "n_chars")
+
+
+@register(
+    "p_quantile_gate",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+    cum AS (
+      SELECT source, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    -- integer cutoff: cum >= ceil(n/4) for integer cum is exactly
+    -- 4*cum >= n, so both engines pick the identical cutoff value
+    cuts AS (
+      SELECT cum.source, MIN(v) AS cutoff
+      FROM cum JOIN tot USING (source)
+      WHERE 4 * cum >= n GROUP BY cum.source
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN cuts ON cuts.source = d.source
+    WHERE d.n_chars >= cuts.cutoff
+    """,
+    doc="Per-source quality gate: drop each source's shortest quartile "
+    "of documents (discrete quantile — the value at ascending rank "
+    "ceil(n/4), ties kept). The cutoff is integer-exact over the "
+    "(source, value) VALUE domain (q_den*cum >= q_num*n — never a "
+    "float quantile), needs no per-source row sort, and applies as a "
+    "broadcast-join codegen compare per row.",
+)
+def p_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.stats import quantile_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_gate(docs, "source", "n_chars", 1, 4).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@register(
+    "w_vwap_daily",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             -- quantities are integer-valued (asserted Spark-side):
+             -- the divisor stays an exact integer
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS notional
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_date, n_lines, qty AS total_qty,
+           -- exact rational -> rule-3 integer half-up micro division
+           CAST((2 * CAST(notional * 1000000 AS HUGEINT) + qty)
+                // (2 * qty) AS DOUBLE)
+             / 1000000.0 AS vwap
+    FROM a
+    """,
+    doc="Per-ship-date volume-weighted average price over lineitem: "
+    "notional and quantity ride decimal sums (rule 1), and the "
+    "weighted mean — an exact rational — divides in integer micro "
+    "units with half-up rounding (rule 3). One map-side-partial "
+    "aggregation; the irregular-tick sibling is w_time_weighted_avg.",
+)
+def w_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            # the integrality guard keeps the divisor exact: a
+            # fractional quantity would silently truncate here
+            F.sum(
+                F.when(
+                    F.col("l_quantity") == F.floor("l_quantity"),
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit("w_vwap_daily expects integer-valued l_quantity")
+                    ).cast("bigint")
+                )
+            ).cast("long")
+            .alias("total_qty"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)")
+            ).alias("__notional"),
+        )
+        .select(
+            "ship_date",
+            "n_lines",
+            "total_qty",
+            (
+                F.expr(
+                    "CAST((2 * CAST(__notional * 1000000 AS DECIMAL(38,0))"
+                    " + total_qty)"
+                    " DIV (2 * total_qty) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("vwap"),
+        )
+    )

@@ -290,3 +290,65 @@ def test_gini_by_group_duplicate_heavy_value_domain(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
     r = gini_by_group(df, "g", "v").first()
     assert r["gini"] == pytest.approx(_gini_reference(vals), abs=1e-6)
+
+
+def test_quantile_gate_crafted(spark):
+    from nt_data_pipelines_spark.operators.stats import quantile_gate
+
+    # group a: values 1..8 -> ceil(8/4)=2nd value (2) is the cutoff;
+    # rows with v >= 2 survive (7 rows). group b: all equal — all kept.
+    rows = [("a", v) for v in range(1, 9)] + [("b", 5)] * 6
+    df = spark.createDataFrame(rows, "g string, v long")
+    kept = quantile_gate(df, "g", "v", 1, 4).collect()
+    got_a = sorted(r["v"] for r in kept if r["g"] == "a")
+    assert got_a == list(range(2, 9))
+    assert sum(1 for r in kept if r["g"] == "b") == 6
+
+
+def test_quantile_gate_ties_at_cutoff_are_kept(spark):
+    from nt_data_pipelines_spark.operators.stats import quantile_gate
+
+    # 4 copies of 1 then 12 copies of 9: ceil(16/4)=4 -> cutoff is 1
+    # (cum(1)=4 >= 4), so EVERYTHING survives — ties keep, never split
+    df = spark.createDataFrame(
+        [("g", 1)] * 4 + [("g", 9)] * 12, "g string, v long"
+    )
+    assert quantile_gate(df, "g", "v", 1, 4).count() == 16
+    # at the median, cutoff moves to 9 and the four 1s drop
+    assert quantile_gate(df, "g", "v", 1, 2).count() == 12
+
+
+def test_quantile_gate_matches_sorted_rank_reference(spark):
+    import random
+
+    from nt_data_pipelines_spark.operators.stats import quantile_gate
+
+    rng = random.Random(3)
+    vals = [rng.randint(1, 40) for _ in range(137)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    cutoff = sorted(vals)[-(-len(vals) // 4) - 1]  # value at rank ceil(n/4)
+    expect = sorted(v for v in vals if v >= cutoff)
+    got = sorted(r["v"] for r in quantile_gate(df, "g", "v", 1, 4).collect())
+    assert got == expect
+    with pytest.raises(ValueError):
+        quantile_gate(df, "g", "v", 4, 4)
+
+
+def test_vwap_daily_hand_checked(spark):
+    import duckdb
+
+    from nt_data_pipelines_spark.plans.extra13 import w_vwap_daily
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r["ship_date"]: r for r in w_vwap_daily(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""SELECT CAST(l_shipdate AS DATE) d,
+                   SUM(l_extendedprice * l_quantity) / SUM(l_quantity) v
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    assert len(out) == len(ref)
+    for d, v in ref:
+        assert out[d]["vwap"] == pytest.approx(v, rel=1e-9), d
+        # vwap sits inside the day's price range scaled by quantity — sanity
+        assert out[d]["total_qty"] > 0
