@@ -396,3 +396,53 @@ def w_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vwap"),
         )
     )
+
+
+@register(
+    "p_pps_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars AS w, md5(CAST(doc_id AS VARCHAR)) AS h,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt
+      FROM documents WHERE n_chars > 0
+    ),
+    loc AS (
+      SELECT doc_id, w, bkt,
+             SUM(CAST(w AS HUGEINT)) OVER (PARTITION BY bkt ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      FROM b
+    ),
+    per AS (SELECT bkt, SUM(CAST(w AS HUGEINT)) AS bs FROM b GROUP BY bkt),
+    off AS (
+      SELECT bkt,
+             SUM(bs) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bs AS off
+      FROM per
+    ),
+    tot AS (SELECT SUM(bs) AS total FROM per),
+    c AS (
+      SELECT doc_id, w, off + lc AS after, off + lc - w AS before
+      FROM loc JOIN off USING (bkt)
+    ),
+    p AS (
+      SELECT doc_id, w,
+             (after * 100) // total - (before * 100) // total AS n_picks
+      FROM c CROSS JOIN tot
+    )
+    SELECT doc_id, w AS n_chars, CAST(n_picks AS BIGINT) AS n_picks
+    FROM p WHERE n_picks >= 1
+    """,
+    doc="Systematic PPS sample of exactly 100 picks, mass-weighted by "
+    "document length: every doc owns a half-open interval on the "
+    "total-weight line (an EXACT distributed prefix sum — md5-first-"
+    "byte buckets give a deterministic, sampling-free, skew-free "
+    "range partition; in-bucket window + 256-row offsets broadcast), "
+    "and n_picks counts the pick points inside it via pure integer "
+    "div identities. The token-budget mixer's sampler: mass, not "
+    "documents, is sampled uniformly.",
+)
+def p_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_systematic_sample(docs, "doc_id", "n_chars", m=100)

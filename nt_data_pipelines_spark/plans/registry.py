@@ -114,15 +114,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
 # t_sessionize — 41 names; the third round-10 batch (edit-distance
 # linkage + per-group cap + corr matrix + time-weighted mean)
-# displaced seven more r8-or-r7-verified names: f1_date_parts
+# displaced seven more r8-verified names: f1_date_parts
 # r2_pivot_event_type p_scalar_suite o4_top3_per_group
 # j2_shipping_priority j6_semi_anti a1_pricing_summary — plus
-# t_fingerprint, r7-stale and squeezed back out of this round's 50 —
-# 49 names total).
+# t_fingerprint and t_token_totals, r7-stale and squeezed back out of
+# this round's 50 — 50 names total).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "p_pps_sample",
     "p_quantile_gate",
     "w_vwap_daily",
     "a_cms_heavy_hitters",
@@ -174,7 +175,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_bm25_topk",
     "s_near_dup_pairs",
     "t_normalize",
-    "t_token_totals",
 ]
 
 

@@ -352,3 +352,63 @@ def test_vwap_daily_hand_checked(spark):
         assert out[d]["vwap"] == pytest.approx(v, rel=1e-9), d
         # vwap sits inside the day's price range scaled by quantity — sanity
         assert out[d]["total_qty"] > 0
+
+
+def _pps_reference(pairs, m):
+    """Naive single-threaded mirror of the md5-ordered weight line."""
+    import hashlib
+
+    line = sorted(pairs, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]))
+    total = sum(w for _, w in line)
+    out = {}
+    cum = 0
+    for i, w in line:
+        before, after = cum, cum + w
+        picks = (after * m) // total - (before * m) // total
+        if picks >= 1:
+            out[i] = picks
+        cum = after
+    return out
+
+
+def test_pps_sample_matches_reference_and_is_exact(spark):
+    import random
+
+    from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+    rng = random.Random(5)
+    pairs = [(i, rng.randint(1, 500)) for i in range(400)]
+    df = spark.createDataFrame(pairs, "doc_id long, w long").repartition(7)
+    got = {r["doc_id"]: r["n_picks"] for r in
+           pps_systematic_sample(df, "doc_id", "w", m=60).collect()}
+    assert got == _pps_reference(pairs, 60)
+    # systematic PPS has ZERO variance in realized sample size
+    assert sum(got.values()) == 60
+
+
+def test_pps_sample_heavy_row_picked_multiple_times(spark):
+    from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+    # one row holds half the mass -> ~m/2 picks land inside it
+    pairs = [(0, 1000)] + [(i, 10) for i in range(1, 101)]
+    df = spark.createDataFrame(pairs, "doc_id long, w long")
+    got = {r["doc_id"]: r["n_picks"] for r in
+           pps_systematic_sample(df, "doc_id", "w", m=20).collect()}
+    assert got[0] == 10
+    assert sum(got.values()) == 20
+
+
+def test_pps_sample_partitioning_invariance_and_guards(spark):
+    import pytest as _pytest
+
+    from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+    pairs = [(i, (i % 7) + 1) for i in range(200)] + [(999, 0)]  # zero weight dropped
+    a = spark.createDataFrame(pairs, "doc_id long, w long").repartition(2)
+    b = spark.createDataFrame(pairs, "doc_id long, w long").repartition(23)
+    ra = sorted(map(tuple, pps_systematic_sample(a, "doc_id", "w", 31).collect()))
+    rb = sorted(map(tuple, pps_systematic_sample(b, "doc_id", "w", 31).collect()))
+    assert ra == rb
+    assert all(i != 999 for i, _, _ in ra)
+    with _pytest.raises(ValueError):
+        pps_systematic_sample(a, "doc_id", "w", 0)
