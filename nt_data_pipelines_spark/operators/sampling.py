@@ -70,6 +70,12 @@ def pps_systematic_sample(
     local = base.withColumn(
         "__lc", F.sum(F.col("__w").cast("decimal(38,0)")).over(wloc)
     )
+    # bucket totals aggregate from the BASE, not the window output: a
+    # partial (map-side) aggregate ships at most 256 rows per input
+    # partition, while re-deriving them from __lc would replay the
+    # full corpus window shuffle on this path too (verified in the
+    # executed plan). The window's exchange stays the ONLY
+    # corpus-sized shuffle; this path's scan reads two columns.
     per_bucket = base.groupBy("__bkt").agg(
         F.sum(F.col("__w").cast("decimal(38,0)")).alias("__bs")
     )
@@ -77,20 +83,23 @@ def pps_systematic_sample(
         Window.orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = per_bucket.select(
-        "__bkt", (F.sum("__bs").over(woff) - F.col("__bs")).alias("__off")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    total = per_bucket.agg(F.sum("__bs").alias("__total"))
-    cum = (
-        local.join(F.broadcast(offsets), "__bkt")
-        .crossJoin(F.broadcast(total))
-        .select(
-            id_col,
-            F.col("__w").alias(weight_col),
-            (F.col("__off") + F.col("__lc")).alias("__after"),
-            (F.col("__off") + F.col("__lc") - F.col("__w")).alias("__before"),
-            "__total",
-        )
+    # the grand total rides as one more column of the 256-row offsets
+    # frame (computed over the same tiny single partition) instead of
+    # a third scan + crossJoin
+    offsets = per_bucket.select(
+        "__bkt",
+        (F.sum("__bs").over(woff) - F.col("__bs")).alias("__off"),
+        F.sum("__bs").over(wall).alias("__total"),
+    )
+    cum = local.join(F.broadcast(offsets), "__bkt").select(
+        id_col,
+        F.col("__w").alias(weight_col),
+        (F.col("__off") + F.col("__lc")).alias("__after"),
+        (F.col("__off") + F.col("__lc") - F.col("__w")).alias("__before"),
+        "__total",
     )
     picks = F.expr(
         f"CAST((__after * {m}) DIV __total - (__before * {m}) DIV __total AS BIGINT)"
