@@ -1,9 +1,12 @@
-"""Cross-column statistics: pairwise correlation and time-weighted means.
+"""Cross-column statistics: pairwise correlation, time-weighted means,
+value-domain Gini, and quantile gating.
 
-Quant-pipeline staples the reference computes with per-frame math
-(rolling covariance matrices feed the factor model,
-nt-data-pipelines utils/stats; interval-weighted marks feed PnL) —
-here as single-pass distributed aggregations.
+Quant-pipeline staples the reference computes with per-frame math —
+pairwise factor covariances feed its risk model
+(factor_covariances_flow.py:11-29, pivoted to a matrix in
+utils/covariance_matrix.py:17-31), and vwap is a first-class market
+bar column (etf_prices_flow.py:42) — here as single-pass distributed
+aggregations.
 
 Engine-parity notes (plans/registry.py rules): every SUM rides a
 decimal cast (rule 1, order-independent), the correlation's final
