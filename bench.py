@@ -345,6 +345,18 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
 
             return go
 
+        # PPS sampler (round-10 batch 7): tracks the exact-distributed-
+        # prefix-sum pattern (md5-first-byte range partition, one corpus
+        # window shuffle + 256-row offsets broadcast) — a plan
+        # regression here (extra scan / extra corpus shuffle) moves
+        # this row well outside spread
+        from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+        def run_pps():
+            return materialize(
+                pps_systematic_sample(fresh_docs(), "doc_id", "n_chars", m=10000)
+            )
+
         thunks = {
             "c1_minhash_candidates": run_candidates,
             "c3_curate_full": run_curate,
@@ -352,6 +364,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
             "c6_decontaminate_bloom": run_decon_bloom,
             "c7_linkage_capped": run_linkage(200),
             "c7_linkage_uncapped": run_linkage(None),
+            "c8_pps_prefix_sum": run_pps,
         }
         t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
         spark_t.update(t)

@@ -154,6 +154,10 @@ PARTITIONLESS_WINDOW_WHITELIST = {
     # rank window runs AFTER a distributed TakeOrdered limit(20) — the
     # single task sees at most _FUSE_TOPN rows (plans/extra9.py)
     "s_hybrid_rrf",
+    # offsets cumsum + grand total run over the 256-row per-bucket
+    # aggregate, never the corpus (operators/sampling.py — the bucket
+    # count is fixed by the md5 first byte regardless of data size)
+    "p_pps_sample",
 }
 
 
