@@ -194,3 +194,45 @@ def merge_intervals(
             "n_intervals",
         )
     )
+
+
+def numeric_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+) -> DataFrame:
+    """Band join: every (left, right) pair with
+    ``abs(left_val - right_val) <= delta`` — the numeric sibling of
+    :func:`interval_join` (tolerance matching on price/balance/score
+    instead of time).
+
+    Catalyst plans a raw ``abs(a - b) <= d`` predicate as
+    BroadcastNestedLoopJoin — O(n*m) compares even when almost nothing
+    matches. Blocking on the band index ``floor(val / delta)`` makes
+    it an EQUI-join: a matching pair's buckets differ by at most 1, so
+    the left side explodes to its 3 neighboring buckets (fixed 3x
+    fan-out, shuffle stays linear) and the exact predicate re-filters
+    after the hash join. Both sides compute ``floor(x / delta)`` with
+    the same IEEE ops, so the blocking is engine-identical; the gap
+    itself is row-level double arithmetic (exact, registry preamble).
+
+    Returns left row + right row + ``band_gap`` (absolute difference).
+    Columns must not collide (select/alias before joining).
+    """
+    if delta <= 0:
+        raise ValueError(f"delta must be positive, got {delta}")
+    lb = F.floor(F.col(left_val) / delta)
+    rb = F.floor(F.col(right_val) / delta)
+    lx = left.withColumn(
+        "__band", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    rx = right.withColumn("__band", rb)
+    gap = F.abs(F.col(left_val) - F.col(right_val))
+    return (
+        lx.join(rx, "__band")
+        .filter(gap <= delta)
+        .drop("__band")
+        .withColumn("band_gap", gap)
+    )

@@ -1,0 +1,146 @@
+"""Round-10 additions, fourth batch: band join, hopping windows,
+per-group discrete quantile table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nt_data_pipelines_spark.plans.registry import register, sql_dsum
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+
+@register(
+    "j_band_join",
+    oracle="""
+    WITH l AS (
+      SELECT s_suppkey, s_acctbal,
+             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT),
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1]) AS band
+      FROM supplier
+    ),
+    r AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(FLOOR(c_acctbal / 5.0) AS BIGINT) AS band
+      FROM customer
+    )
+    SELECT s_suppkey, c_custkey,
+           abs(s_acctbal - c_acctbal) AS band_gap
+    FROM l JOIN r USING (band)
+    WHERE abs(s_acctbal - c_acctbal) <= 5.0
+    """,
+    doc="Numeric band join: supplier-customer account-balance matches "
+    "within +-5.00. A raw abs(a-b)<=d predicate plans as a nested-loop "
+    "join (O(n*m) compares); blocking on floor(val/delta) makes it an "
+    "equi-join with a fixed 3x left fan-out and an exact re-filter — "
+    "the shuffle stays linear at any scale. The gap is row-level IEEE "
+    "arithmetic (exact, no rounding machinery).",
+)
+def j_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.interval import numeric_band_join
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return numeric_band_join(sup, cust, "s_acctbal", "c_acctbal", 5.0).select(
+        "s_suppkey", "c_custkey", "band_gap"
+    )
+
+
+@register(
+    "w_hopping_counts",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS us FROM events
+    ),
+    x AS (
+      SELECT event_type, value,
+             UNNEST([us - us % 300000000,
+                     us - us % 300000000 - 300000000]) AS ws
+      FROM e
+    )
+    SELECT event_type, make_timestamp(ws) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value")} AS sum_value
+    FROM x GROUP BY event_type, ws
+    """,
+    doc="Hopping event-time windows in batch (10-minute windows every "
+    "5 minutes): Spark's native F.window(slideDuration) assigns each "
+    "event to its two overlapping windows; the oracle mirrors with "
+    "the two 5-minute-aligned starts covering each timestamp. The "
+    "streaming tier's windowed aggregation, expressed as one explode "
+    "+ one linear groupBy; value sums ride decimal (rule 1).",
+)
+def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.plans.registry import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "10 minutes", "5 minutes").alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("__w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "a_quantile_table",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source),
+    cum AS (
+      SELECT source, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    q AS (SELECT UNNEST([25, 50, 75, 95]) AS pct)
+    SELECT cum.source, pct,
+           MIN(v) AS value
+    FROM cum JOIN tot USING (source) CROSS JOIN q
+    WHERE 100 * cum >= pct * n
+    GROUP BY cum.source, pct
+    """,
+    doc="Per-source discrete quantile table (p25/p50/p75/p95 of doc "
+    "length): each cutoff is the value at ascending rank ceil(q*n) "
+    "via the integer identity 100*cum >= pct*n over the (source, "
+    "value) VALUE domain — no float interpolation (engines disagree), "
+    "no per-source row sort (the window orders distinct values only).",
+)
+def a_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", F.col("n_chars").alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = c.groupBy("source").agg(F.sum("__c").cast("long").alias("__n"))
+    cum = c.select("source", "__v", F.sum("__c").over(w).alias("__cum"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 95)])).alias("pct")
+    return (
+        cum.join(tot, "source")
+        .select("source", "__v", "__cum", "__n", pcts)
+        .filter(F.col("__cum") * 100 >= F.col("pct") * F.col("__n"))
+        .groupBy("source", "pct")
+        .agg(F.min("__v").alias("value"))
+    )

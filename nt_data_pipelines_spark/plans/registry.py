@@ -116,13 +116,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # linkage + per-group cap + corr matrix + time-weighted mean)
 # displaced seven more r8-verified names: f1_date_parts
 # r2_pivot_event_type p_scalar_suite o4_top3_per_group
-# j2_shipping_priority j6_semi_anti a1_pricing_summary — plus
-# t_fingerprint and t_token_totals, r7-stale and squeezed back out of
-# this round's 50 — 50 names total).
+# j2_shipping_priority j6_semi_anti a1_pricing_summary — plus five
+# r7-stale names squeezed back out of this round's 50: t_fingerprint
+# t_token_totals t_bm25_topk s_near_dup_pairs t_normalize — 53 names;
+# round 11 MUST front those five r7-stale names first among the
+# already-verified cohort).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "j_band_join",
+    "w_hopping_counts",
+    "a_quantile_table",
     "p_pps_sample",
     "p_quantile_gate",
     "w_vwap_daily",
@@ -172,9 +177,6 @@ DRIVER_PRIORITY: list[str] = [
     "p_split_assign",
     "a_corpus_report",
     "a_value_histogram",
-    "t_bm25_topk",
-    "s_near_dup_pairs",
-    "t_normalize",
 ]
 
 

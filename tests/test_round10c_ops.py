@@ -412,3 +412,96 @@ def test_pps_sample_partitioning_invariance_and_guards(spark):
     assert all(i != 999 for i, _, _ in ra)
     with _pytest.raises(ValueError):
         pps_systematic_sample(a, "doc_id", "w", 0)
+
+
+def test_numeric_band_join_crafted_including_negatives(spark):
+    from nt_data_pipelines_spark.operators.interval import numeric_band_join
+
+    left = spark.createDataFrame(
+        [(1, -0.5), (2, 10.0), (3, 100.0)], "lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(10, -3.0), (11, 4.2), (12, 12.0), (13, 94.9), (14, 105.1)],
+        "rid long, rv double",
+    )
+    rows = numeric_band_join(left, right, "lv", "rv", 5.0).collect()
+    got = {(r["lid"], r["rid"]): r["band_gap"] for r in rows}
+    # brute-force reference
+    expect = {
+        (l, r): abs(a - b)
+        for l, a in [(1, -0.5), (2, 10.0), (3, 100.0)]
+        for r, b in [(10, -3.0), (11, 4.2), (12, 12.0), (13, 94.9), (14, 105.1)]
+        if abs(a - b) <= 5.0
+    }
+    assert got == expect
+    assert (1, 10) in got and (1, 11) in got  # negative-value matches
+    assert (3, 13) not in got  # gap 5.1 just over the band
+    with pytest.raises(ValueError):
+        numeric_band_join(left, right, "lv", "rv", 0)
+
+
+def test_numeric_band_join_boundary_inclusive(spark):
+    from nt_data_pipelines_spark.operators.interval import numeric_band_join
+
+    left = spark.createDataFrame([(1, 0.0)], "lid long, lv double")
+    right = spark.createDataFrame([(2, 5.0), (3, 5.5)], "rid long, rv double")
+    got = {r["rid"] for r in numeric_band_join(left, right, "lv", "rv", 5.0).collect()}
+    assert got == {2}  # exactly-delta kept, beyond dropped
+
+
+def test_hopping_counts_window_assignment(spark):
+    """Every event lands in exactly its two covering 5-min-aligned
+    10-min windows; counts match a hand rollup."""
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    # build a tiny parquet dir mimicking the events table
+    import tempfile
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0 + timedelta(minutes=1), 7, "a", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=6), 7, "a", 2.0, "{}"),
+        (3, t0 + timedelta(minutes=11), 7, "b", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        for t in ["events"]:
+            df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        out = REGISTRY["w_hopping_counts"].fn(spark, d).collect()
+    got = {(r["event_type"], r["window_start"].minute): r["n_events"] for r in out}
+    # event@1min -> windows starting -5 and 0; @6min -> 0 and 5; @11min -> 5 and 10
+    assert got[("a", 55)] == 1          # window [-5, 5) holds event@1
+    assert got[("a", 0)] == 2           # [0, 10) holds events @1 and @6
+    assert got[("a", 5)] == 1           # [5, 15) holds event @6
+    assert got[("b", 5)] == 1 and got[("b", 10)] == 1
+    assert sum(r["n_events"] for r in out) == 6  # 3 events x 2 windows
+
+
+def test_quantile_table_matches_sorted_rank_reference(spark):
+    import math
+    import random
+    import tempfile
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    rng = random.Random(21)
+    rows = []
+    data = {}
+    for s in ("s1", "s2"):
+        vals = [rng.randint(10, 5000) for _ in range(173)]
+        data[s] = sorted(vals)
+        rows += [(i, "x", "en", s, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = REGISTRY["a_quantile_table"].fn(spark, d).collect()
+    got = {(r["source"], r["pct"]): r["value"] for r in out}
+    for s, vals in data.items():
+        n = len(vals)
+        for pct in (25, 50, 75, 95):
+            expect = vals[math.ceil(pct * n / 100) - 1]
+            assert got[(s, pct)] == expect, (s, pct)
