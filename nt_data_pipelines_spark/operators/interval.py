@@ -236,3 +236,47 @@ def numeric_band_join(
         .drop("__band")
         .withColumn("band_gap", gap)
     )
+
+
+def nearest_value_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_val: str,
+    right_key: str,
+    right_val: str,
+    radius: float,
+) -> DataFrame:
+    """For each left row, the SINGLE closest right row by value within
+    ``radius`` — the numeric as-of: :func:`numeric_band_join` returns
+    every in-band pair, this resolves them to one deterministic best
+    match (smallest gap, ties to the smaller right value then key).
+
+    Left rows with no right value inside the radius are dropped (the
+    bounded-radius contract is what keeps the join an equi-join — an
+    unbounded nearest-neighbor needs a sort-merge the band blocking
+    cannot express; widen ``radius`` rather than post-filtering a
+    global product).
+
+    Scale shape: the band join's 3x-fan-out equi-join, then a per-left-
+    key rank over that row's IN-BAND matches only (a handful of rows,
+    never a table) — the window partitions by left key, and its input
+    is already bounded by the radius.
+    """
+    j = numeric_band_join(
+        left.select(left_key, left_val),
+        right.select(right_key, right_val),
+        left_val,
+        right_val,
+        radius,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(left_key).orderBy(
+        "band_gap", F.col(right_val), F.col(right_key)
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(left_key, left_val, right_key, right_val, "band_gap")
+    )

@@ -245,3 +245,57 @@ def quantile_gate(
         .filter(F.col(value_col) >= F.col("__cutoff"))
         .drop("__cutoff")
     )
+
+
+def burstiness_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket: str = "minute",
+) -> DataFrame:
+    """Per-group Fano factor (variance-to-mean ratio) of per-bucket
+    event counts over the group's OBSERVED buckets — the temporal-QA
+    signal: ~1 for a Poisson-like stream, >> 1 for bursty scraping /
+    batchy upstreams, < 1 for rate-limited (sub-Poisson) feeds.
+
+    Buckets with zero events are excluded (observed-bucket Fano);
+    including calendar zeros would need the group's active span as a
+    contract. Sample variance (n-1 denominator); groups with a single
+    observed bucket are dropped.
+
+    Exactness: counts are integers, so variance and mean are exact
+    rationals — fano = (n*Sxx - Sx^2) / ((n-1) * Sx) computes in
+    decimal(38,0)/HUGEINT integers and rounds via the rule-3 half-up
+    micro division (Cauchy-Schwarz keeps the numerator non-negative).
+    Scale: two linear map-side-partial aggregations, no windows.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = df.groupBy(F.col(group_col), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    g = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("__c").cast("long").alias("total_events"),
+        F.sum(
+            (F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias("__sq")
+        ).alias("__sxx"),
+    )
+    return (
+        g.filter(F.col("n_buckets") >= 2)
+        .select(
+            group_col,
+            "n_buckets",
+            "total_events",
+            (
+                F.expr(
+                    "CAST((2 * (n_buckets * __sxx"
+                    "      - CAST(total_events AS DECIMAL(38,0)) * total_events)"
+                    "      * 1000000"
+                    "      + (n_buckets - 1) * CAST(total_events AS DECIMAL(38,0)))"
+                    " DIV (2 * (n_buckets - 1)"
+                    "      * CAST(total_events AS DECIMAL(38,0))) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("fano"),
+        )
+    )

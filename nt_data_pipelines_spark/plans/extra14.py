@@ -144,3 +144,85 @@ def a_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "pct")
         .agg(F.min("__v").alias("value"))
     )
+
+
+@register(
+    "j_nearest_balance",
+    oracle="""
+    WITH l AS (
+      SELECT s_suppkey, s_acctbal,
+             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT),
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1]) AS band
+      FROM supplier
+    ),
+    r AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(FLOOR(c_acctbal / 5.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    m AS (
+      SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal,
+             abs(s_acctbal - c_acctbal) AS band_gap
+      FROM l JOIN r USING (band)
+      WHERE abs(s_acctbal - c_acctbal) <= 5.0
+    )
+    SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal, band_gap
+    FROM m
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                               ORDER BY band_gap, c_acctbal, c_custkey) = 1
+    """,
+    doc="Nearest-match join: for each supplier, the SINGLE closest "
+    "customer balance within +-5.00 — the numeric as-of. Band-blocked "
+    "equi-join candidates, then a per-left-key rank over that row's "
+    "in-band matches only (bounded by the radius, never a table); "
+    "ties break deterministically on (gap, value, key).",
+)
+def j_nearest_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.interval import nearest_value_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    return nearest_value_join(
+        sup, cust, "s_suppkey", "s_acctbal", "c_custkey", "c_acctbal", 5.0
+    )
+
+
+@register(
+    "a_event_burstiness",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('minute', ts) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, b
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(c) AS BIGINT) AS total_events,
+             SUM(CAST(c AS HUGEINT) * c) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n_buckets, total_events,
+           CAST((2 * (n_buckets * sxx
+                      - CAST(total_events AS HUGEINT) * total_events)
+                 * 1000000
+                 + (n_buckets - 1) * CAST(total_events AS HUGEINT))
+                // (2 * (n_buckets - 1)
+                    * CAST(total_events AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS fano
+    FROM g WHERE n_buckets >= 2
+    """,
+    doc="Per-event-type Fano factor (variance/mean of per-minute "
+    "counts over observed minutes) — the burstiness audit: ~1 for "
+    "Poisson-like streams, >>1 for batchy upstreams, <1 for "
+    "rate-limited feeds. Counts are integers so the sample "
+    "variance-to-mean ratio is an exact rational: all integer in "
+    "decimal(38,0)/HUGEINT until one rule-3 half-up micro division; "
+    "two linear map-side-partial aggregations, no windows.",
+)
+def a_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.stats import burstiness_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return burstiness_by_group(ev, "event_type", "ts", bucket="minute")

@@ -116,15 +116,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # linkage + per-group cap + corr matrix + time-weighted mean)
 # displaced seven more r8-verified names: f1_date_parts
 # r2_pivot_event_type p_scalar_suite o4_top3_per_group
-# j2_shipping_priority j6_semi_anti a1_pricing_summary — plus five
+# j2_shipping_priority j6_semi_anti a1_pricing_summary — plus seven
 # r7-stale names squeezed back out of this round's 50: t_fingerprint
-# t_token_totals t_bm25_topk s_near_dup_pairs t_normalize — 53 names;
-# round 11 MUST front those five r7-stale names first among the
-# already-verified cohort).
+# t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
+# a_corpus_report a_value_histogram — 55 names; round 11 MUST front
+# those seven r7-stale names first among the already-verified cohort,
+# and with 55 > 50 the least-risky five (pure-codegen scalar suites
+# f1_date_parts p_scalar_suite and the three small-plan joins
+# j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
+# and untouched since) overflow to round 12).
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "j_nearest_balance",
+    "a_event_burstiness",
     "j_band_join",
     "w_hopping_counts",
     "a_quantile_table",
@@ -175,8 +181,6 @@ DRIVER_PRIORITY: list[str] = [
     "t_boilerplate_lines",
     "p_temperature_mix",
     "p_split_assign",
-    "a_corpus_report",
-    "a_value_histogram",
 ]
 
 

@@ -505,3 +505,58 @@ def test_quantile_table_matches_sorted_rank_reference(spark):
         for pct in (25, 50, 75, 95):
             expect = vals[math.ceil(pct * n / 100) - 1]
             assert got[(s, pct)] == expect, (s, pct)
+
+
+def test_nearest_value_join_picks_single_best_match(spark):
+    from nt_data_pipelines_spark.operators.interval import nearest_value_join
+
+    left = spark.createDataFrame([(1, 10.0), (2, 50.0)], "lk long, lv double")
+    right = spark.createDataFrame(
+        [(10, 8.0), (11, 11.0), (12, 9.0), (13, 100.0)], "rk long, rv double"
+    )
+    rows = nearest_value_join(left, right, "lk", "lv", "rk", "rv", 5.0).collect()
+    got = {r["lk"]: (r["rk"], r["band_gap"]) for r in rows}
+    # 10.0: gaps are 2.0 (rk=10), 1.0 (rk=11), 1.0 (rk=12) — tie at
+    # gap 1.0 breaks to the smaller VALUE (9.0, rk=12)
+    assert got[1] == (12, 1.0)
+    # 50.0: nothing within radius — dropped
+    assert 2 not in got and len(rows) == 1
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.operators.stats import burstiness_by_group
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # "steady": exactly 3 events every minute for 30 minutes -> var 0
+    for m in range(30):
+        rows += [("steady", t0 + timedelta(minutes=m, seconds=s)) for s in (1, 2, 3)]
+    # "bursty": 30 minutes observed, alternating 1 and 9 events
+    for m in range(30):
+        k = 9 if m % 2 else 1
+        rows += [("bursty", t0 + timedelta(minutes=m, seconds=s)) for s in range(k)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in burstiness_by_group(df, "event_type", "ts").collect()}
+    assert got["steady"]["fano"] == 0.0
+    assert got["steady"]["n_buckets"] == 30 and got["steady"]["total_events"] == 90
+    # hand value: counts 15x{1,9}, mean 5, sample var = 16*30/29
+    import statistics
+
+    counts = [1, 9] * 15
+    expect = statistics.variance(counts) / statistics.mean(counts)
+    assert got["bursty"]["fano"] == pytest.approx(expect, abs=1e-6)
+    assert got["bursty"]["fano"] > 3
+
+
+def test_burstiness_drops_single_bucket_groups(spark):
+    from datetime import datetime
+
+    from nt_data_pipelines_spark.operators.stats import burstiness_by_group
+
+    df = spark.createDataFrame(
+        [("solo", datetime(2024, 1, 1, 0, 0, 1)), ("solo", datetime(2024, 1, 1, 0, 0, 2))],
+        "event_type string, ts timestamp",
+    )
+    assert burstiness_by_group(df, "event_type", "ts").count() == 0
