@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_GRAM_DF = 1000
@@ -227,3 +227,94 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= max_dist)
     )
+
+
+def prefix_filtered_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    ngram: int = 3,
+) -> DataFrame:
+    """All id pairs with character-``ngram`` Jaccard >= t_num/t_den,
+    via LOSSLESS prefix filtering (SSJoin/PPJoin family: Chaudhuri et
+    al. ICDE'06, Xiao et al. WWW'08) — same output as the uncapped
+    :func:`fuzzy_string_pairs`, without its full-inverted-index join
+    OR the stop-gram cap's recall trade.
+
+    Principle: order every set's grams by one global total order
+    (ascending document frequency, ties by gram — rarest first). If
+    Jaccard(A, B) >= t then |A∩B| >= t/(1+t)·(|A|+|B|), so A and B
+    must share a gram among the first ``|A| - ceil(t·|A|) + 1``
+    (resp. B's prefix) grams of each: skipping a whole prefix would
+    leave too few grams to meet the overlap bound. Only PREFIX grams
+    enter the candidate join — for meaningful thresholds that is a
+    small slice of each set, and because prefixes hold the RAREST
+    grams, the join keys are exactly the ones with small df: the
+    hot-gram quadratic blow-up prunes itself, losslessly.
+
+    The threshold is a rational (t_num/t_den) so the prefix length
+    ``n - ceil(t*n) + 1`` computes in integers on both engines —
+    never a float ceil. Verification is the exact set Jaccard over
+    full gram arrays; the reported value uses the rule-3 integer
+    half-up micro form, same as fuzzy_string_pairs.
+
+    Scale shape: one df-count shuffle (map-side partial), one per-id
+    rank window (bounded by set size), a prefix-only equi-join, and
+    the pair-level verify. Returns (id_a, id_b, name_jaccard).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
+    sz = base.select("id", F.size("__g").cast("long").alias("n_g"))
+    g = base.select("id", F.explode("__g").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = g.join(dfreq, "gram").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("gram"))
+        ),
+    )
+    # prefix length n - ceil(t*n) + 1, all-integer ceil
+    prefix = (
+        ranked.join(sz, "id")
+        .filter(
+            F.col("__rk")
+            <= F.col("n_g")
+            - F.expr(f"({t_num} * n_g + {t_den} - 1) DIV {t_den}")
+            + 1
+        )
+        .select("id", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("__g").alias("__ga")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("__g").alias("__gb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ga", "__gb")).cast("long").alias("__inter"),
+        )
+        .join(sz.select(F.col("id").alias("id_a"), F.col("n_g").alias("__na")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n_g").alias("__nb")), "id_b")
+    )
+    # integer threshold compare: inter/union >= t_num/t_den
+    keep = (
+        F.col("__inter") * t_den
+        >= (F.col("__na") + F.col("__nb") - F.col("__inter")) * t_num
+    )
+    j6 = F.expr(
+        "CAST((2 * __inter * 1000000 + (__na + __nb - __inter)) "
+        "DIV (2 * (__na + __nb - __inter)) AS DOUBLE)"
+    ) / 1000000.0
+    return pairs.filter(keep).select("id_a", "id_b", (j6 + 0.0).alias("name_jaccard"))

@@ -226,3 +226,64 @@ def a_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return burstiness_by_group(ev, "event_type", "ts", bucket="minute")
+
+
+@register(
+    "j_prefix_filter_match",
+    oracle="""
+    WITH nm AS (
+      SELECT MIN(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
+    ),
+    gl AS (
+      SELECT id, CASE WHEN len(name) >= 3 THEN list_distinct(
+        list_transform(range(1, len(name) - 1), i -> substr(name, i, 3))
+      ) ELSE [name] END AS grams FROM nm
+    ),
+    g AS (SELECT id, UNNEST(grams) AS gram FROM gl),
+    sz AS (SELECT id, CAST(len(grams) AS BIGINT) AS n_g FROM gl),
+    dfreq AS (SELECT gram, COUNT(*) AS dfr FROM g GROUP BY gram),
+    rk AS (
+      SELECT g.id, g.gram,
+             ROW_NUMBER() OVER (PARTITION BY g.id ORDER BY dfr, g.gram) AS rk
+      FROM g JOIN dfreq USING (gram)
+    ),
+    -- prefix length n - ceil(2n/5) + 1, integer ceil
+    pre AS (
+      SELECT rk.id, gram FROM rk JOIN sz USING (id)
+      WHERE rk <= n_g - ((2 * n_g + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pre a JOIN pre b ON a.gram = b.gram AND a.id < b.id
+    ),
+    p AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS inter
+      FROM cand JOIN gl ga ON cand.id_a = ga.id
+                JOIN gl gb ON cand.id_b = gb.id
+    )
+    SELECT id_a, id_b,
+           CAST((2 * inter * 1000000 + (sa.n_g + sb.n_g - inter))
+                // (2 * (sa.n_g + sb.n_g - inter)) AS DOUBLE) / 1000000.0
+             + 0.0 AS name_jaccard
+    FROM p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+    WHERE inter * 5 >= (sa.n_g + sb.n_g - inter) * 2
+    """,
+    doc="Set-similarity self-join at Jaccard >= 2/5 over DISTINCT part "
+    "names via LOSSLESS prefix filtering (SSJoin/PPJoin family): grams "
+    "rank globally by (df asc, gram), and only each set's first "
+    "n - ceil(t*n) + 1 grams enter the candidate join — a pair at the "
+    "threshold must share a prefix gram, so recall is exact (equality "
+    "with the uncapped quadratic form is test-pinned), while the join "
+    "keys are by construction the RAREST grams: the hot-gram blow-up "
+    "prunes itself. Prefix length and threshold compare are all-"
+    "integer (rational threshold 2/5, never a float ceil).",
+)
+def j_prefix_filter_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.linkage import prefix_filtered_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    return prefix_filtered_pairs(names.select("id", "p_name"), "id", "p_name", 2, 5)
