@@ -345,6 +345,29 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
 
             return go
 
+        # lossless prefix-filter path (round-10 batch 8): same exact
+        # output as c7_linkage_uncapped (verified: 8,443 = 8,443 rows),
+        # candidates from rarest-gram prefixes only — the trio
+        # (uncapped / capped / prefix) tracks the exact-quadratic,
+        # bounded-recall, and exact-self-pruning strategies on the same
+        # input. Measured honestly: on THIS input (hottest trigram df
+        # ~965 over ~2.5k strings) prefix costs ~2x the uncapped join
+        # (9.3 vs 4.9 s single-run) — the df-rank window + extra joins
+        # outweigh the candidate savings until skew is heavier; the row
+        # exists so the crossover is tracked, not assumed
+        from nt_data_pipelines_spark.operators.linkage import prefix_filtered_pairs
+
+        def run_linkage_prefix():
+            names = (
+                fresh_docs()
+                .filter(F.col("doc_id") % 20 == 0)
+                .groupBy(F.substring("text", 1, 32).alias("name"))
+                .agg(F.min("doc_id").alias("id"))
+            )
+            return materialize(
+                prefix_filtered_pairs(names.select("id", "name"), "id", "name", 3, 5)
+            )
+
         # PPS sampler (round-10 batch 7): tracks the exact-distributed-
         # prefix-sum pattern (md5-first-byte range partition, one corpus
         # window shuffle + 256-row offsets broadcast) — a plan
@@ -364,6 +387,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
             "c6_decontaminate_bloom": run_decon_bloom,
             "c7_linkage_capped": run_linkage(200),
             "c7_linkage_uncapped": run_linkage(None),
+            "c7_linkage_prefix": run_linkage_prefix,
             "c8_pps_prefix_sum": run_pps,
         }
         t, s = _time_queries(spark_composed, 0, 3, {k: k for k in thunks}, sc=spark.sparkContext)
