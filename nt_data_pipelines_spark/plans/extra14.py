@@ -287,3 +287,58 @@ def j_prefix_filter_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
     return prefix_filtered_pairs(names.select("id", "p_name"), "id", "p_name", 2, 5)
+
+
+@register(
+    "w_overnight_gaps",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM b GROUP BY event_type, bucket
+    ),
+    g AS (
+      SELECT event_type, bucket, open,
+             lag(close) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS prev_close
+      FROM bars
+    )
+    SELECT event_type, bucket, open, prev_close,
+           open - prev_close AS gap
+    FROM g WHERE prev_close IS NOT NULL
+    """,
+    doc="Overnight gap per (event_type, day): today's open minus "
+    "yesterday's close over the deterministic OHLC bars (tie-broken "
+    "open/close) — the session-boundary jump a bar-level rollup "
+    "hides. The lag runs over the BARS frame (days x types, never "
+    "raw events); the gap is row-level IEEE arithmetic, exact.",
+)
+def w_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.sessions import resample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = resample_ohlc(ev, ["event_type"], "ts", "value", "event_id", freq="day")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        bars.select(
+            "event_type",
+            F.to_date("bucket").alias("bucket"),
+            "open",
+            F.lag("close").over(w).alias("prev_close"),
+        )
+        .filter(F.col("prev_close").isNotNull())
+        .withColumn("gap", F.col("open") - F.col("prev_close"))
+    )

@@ -629,3 +629,34 @@ def test_prefix_filter_prunes_hot_gram_candidates(spark):
         )
     )
     assert sorted(map(tuple, out.collect())) == expect
+
+
+def test_overnight_gaps_hand_checked(spark):
+    import tempfile
+    from datetime import datetime
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    rows = [
+        # type a, day 1: open 10 (earliest), close 12 (latest)
+        (1, datetime(2024, 1, 1, 9, 0), 7, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 16, 0), 7, "a", 12.0, "{}"),
+        # type a, day 2: open 15 -> gap = 15 - 12 = 3
+        (3, datetime(2024, 1, 2, 9, 0), 7, "a", 15.0, "{}"),
+        (4, datetime(2024, 1, 2, 16, 0), 7, "a", 9.0, "{}"),
+        # type a, day 4 (day 3 missing): gap bridges to day 2's close
+        (5, datetime(2024, 1, 4, 9, 0), 7, "a", 20.0, "{}"),
+        # type b: single day — no gap rows
+        (6, datetime(2024, 1, 1, 12, 0), 8, "b", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = REGISTRY["w_overnight_gaps"].fn(spark, d).collect()
+    got = {(r["event_type"], str(r["bucket"])): r["gap"] for r in out}
+    assert got[("a", "2024-01-02")] == 3.0
+    assert got[("a", "2024-01-04")] == 20.0 - 9.0
+    assert all(t != "b" for t, _ in got)
+    assert len(out) == 2
