@@ -27,5 +27,6 @@ from nt_data_pipelines_spark.plans import extra11  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import extra12  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import extra13  # noqa: E402,F401
 from nt_data_pipelines_spark.plans import extra14  # noqa: E402,F401
+from nt_data_pipelines_spark.plans import extra15  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "register", "queries", "oracle_sql"]

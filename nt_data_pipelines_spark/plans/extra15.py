@@ -1,0 +1,183 @@
+"""Round-10 additions, fifth batch: vocabulary coverage curve,
+diurnal event profile, inter-arrival quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nt_data_pipelines_spark.plans.registry import register
+from nt_data_pipelines_spark.sources.testdata import load_table
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "a_vocab_coverage",
+    oracle="""
+    WITH w0 AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w0 WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM wc),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r FROM wc
+    ),
+    ks AS (SELECT UNNEST([10, 100, 1000]) AS k)
+    SELECT k,
+           CAST(COALESCE(SUM(CASE WHEN r <= k THEN c END), 0) AS BIGINT)
+             AS covered_tokens,
+           total_tokens,
+           CAST((2 * COALESCE(SUM(CASE WHEN r <= k THEN CAST(c AS HUGEINT) END), 0)
+                 * 1000000 + total_tokens)
+                // (2 * CAST(total_tokens AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS coverage
+    FROM rk CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, total_tokens
+    """,
+    doc="Vocabulary coverage curve: the fraction of corpus token mass "
+    "the top-{10,100,1000} words cover — the first number a tokenizer "
+    "or stop-list design needs. The Spark rank is two-phase (local "
+    "top-k per partition before the global rank, the zipf_slope "
+    "pattern) so no task sorts the whole vocab; coverage is a rule-3 "
+    "integer micro ratio with HUGEINT/decimal(38,0) mass.",
+)
+def a_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("explode(split(text, ' ')) AS w").filter("w <> ''")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    kmax = max(_COVERAGE_KS)
+    # two-phase global top-kmax: local rank per partition, then global
+    wl = Window.partitionBy("__pid").orderBy(F.desc("__c"), F.asc("w"))
+    pruned = (
+        wc.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= kmax)
+        .drop("__lr", "__pid")
+    )
+    rk = pruned.withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.desc("__c"), F.asc("w")))
+    ).filter(F.col("__r") <= kmax)
+    total = wc.agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__t")
+    )
+    covered = rk.crossJoin(F.broadcast(total)).select(
+        F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k"),
+        "__r",
+        "__c",
+        "__t",
+    ).filter(F.col("__r") <= F.col("k")).groupBy("k", "__t").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__cov")
+    )
+    return covered.select(
+        "k",
+        F.col("__cov").cast("long").alias("covered_tokens"),
+        F.col("__t").cast("long").alias("total_tokens"),
+        (
+            F.expr("CAST((2 * __cov * 1000000 + CAST(__t AS DECIMAL(38,0)))"
+                   " DIV (2 * __t) AS DOUBLE)")
+            / 1000000.0
+        ).alias("coverage"),
+    )
+
+
+@register(
+    "a_diurnal_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n FROM c GROUP BY event_type)
+    SELECT c.event_type, hour_of_day, n_events,
+           CAST((2 * CAST(n_events AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1000000.0 AS share
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+    doc="Diurnal (hour-of-day) event profile per type: count and "
+    "within-type share — the seasonality audit that catches batchy "
+    "upstreams and timezone bugs. Integer micro shares (rule 3); two "
+    "linear map-side-partial aggregations over at most types x 24 "
+    "cells.",
+)
+def a_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    t = c.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("__n"))
+    return c.join(t, "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        (
+            F.expr(
+                "CAST((2 * CAST(n_events AS DECIMAL(38,0)) * 1000000 + __n)"
+                " DIV (2 * CAST(__n AS DECIMAL(38,0))) AS DOUBLE)"
+            )
+            / 1000000.0
+        ).alias("share"),
+    )
+
+
+@register(
+    "a_interarrival_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id
+             ) AS dt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, dt AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d WHERE dt IS NOT NULL GROUP BY event_type, dt
+    ),
+    tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY event_type),
+    cum AS (
+      SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    q AS (SELECT UNNEST([50, 90, 99]) AS pct)
+    SELECT cum.event_type, pct, MIN(v) AS dt_us
+    FROM cum JOIN tot USING (event_type) CROSS JOIN q
+    WHERE 100 * cum >= pct * n
+    GROUP BY cum.event_type, pct
+    """,
+    doc="Per-type inter-arrival latency quantiles (p50/p90/p99 of the "
+    "exact integer-microsecond gap between a user's consecutive "
+    "events of that type) — the stream-health distribution. Discrete "
+    "quantiles via the integer rank identity over the VALUE domain; "
+    "the lag runs per (type, user) partition, never a global sort.",
+)
+def a_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("__dt")
+    ).filter(F.col("__dt").isNotNull())
+    c = d.groupBy("event_type", F.col("__dt").alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = c.groupBy("event_type").agg(F.sum("__c").cast("long").alias("__n"))
+    cum = c.select("event_type", "__v", F.sum("__c").over(wv).alias("__cum"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (50, 90, 99)])).alias("pct")
+    return (
+        cum.join(tot, "event_type")
+        .select("event_type", "__v", "__cum", "__n", pcts)
+        .filter(F.col("__cum") * 100 >= F.col("pct") * F.col("__n"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("__v").alias("dt_us"))
+    )

@@ -120,8 +120,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # r7-stale names squeezed back out of this round's 50: t_fingerprint
 # t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
 # a_corpus_report a_value_histogram p_split_assign p_temperature_mix
-# — 57 names; round 11 MUST front those nine r7-stale names first
-# among the already-verified cohort,
+# s_knn_graph t_boilerplate_lines t_unigram_logprob — 60 names;
+# round 11 MUST front those twelve r7-stale names first among the
+# already-verified cohort,
 # and with 55 > 50 the least-risky five (pure-codegen scalar suites
 # f1_date_parts p_scalar_suite and the three small-plan joins
 # j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
@@ -130,6 +131,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_vocab_coverage",
+    "a_diurnal_profile",
+    "a_interarrival_quantiles",
     "w_overnight_gaps",
     "j_prefix_filter_match",
     "j_nearest_balance",
@@ -179,9 +183,6 @@ DRIVER_PRIORITY: list[str] = [
     "w_rolling_skew_kurt",
     "w_rsi14",
     "w_robust_zscore",
-    "t_unigram_logprob",
-    "s_knn_graph",
-    "t_boilerplate_lines",
 ]
 
 

@@ -158,6 +158,9 @@ PARTITIONLESS_WINDOW_WHITELIST = {
     # aggregate, never the corpus (operators/sampling.py — the bucket
     # count is fixed by the md5 first byte regardless of data size)
     "p_pps_sample",
+    # global top-k rank runs AFTER the two-phase local prune, so its
+    # input is <= k_max * shuffle-partitions rows (plans/extra15.py)
+    "a_vocab_coverage",
 }
 
 

@@ -660,3 +660,86 @@ def test_overnight_gaps_hand_checked(spark):
     assert got[("a", "2024-01-04")] == 20.0 - 9.0
     assert all(t != "b" for t, _ in got)
     assert len(out) == 2
+
+
+def test_vocab_coverage_hand_checked(spark):
+    import tempfile
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    # 3 distinct words: "a" x 60, "b" x 30, "c" x 10 -> top-10 covers all
+    text_a = " ".join(["a"] * 6)
+    rows = (
+        [(i, text_a, "en", "s", 1) for i in range(10)]
+        + [(100 + i, "b b b", "en", "s", 1) for i in range(10)]
+        + [(200 + i, "c", "en", "s", 1) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["k"]: r for r in REGISTRY["a_vocab_coverage"].fn(spark, d).collect()}
+    assert out[10]["total_tokens"] == 100
+    assert out[10]["covered_tokens"] == 100 and out[10]["coverage"] == 1.0
+    assert out[100]["coverage"] == 1.0 and out[1000]["coverage"] == 1.0
+
+
+def test_vocab_coverage_partial_topk(spark):
+    import tempfile
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    # 20 distinct words, uniform counts: top-10 covers exactly half
+    rows = [(i, " ".join(f"w{j:02d}" for j in range(20)), "en", "s", 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["k"]: r for r in REGISTRY["a_vocab_coverage"].fn(spark, d).collect()}
+    assert out[10]["coverage"] == 0.5
+    assert out[100]["coverage"] == 1.0
+
+
+def test_diurnal_profile_shares_sum_to_one(spark):
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, n in [(9, 6), (12, 3), (18, 3)]:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=h, seconds=i), 1, "a", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["hour_of_day"]: r for r in REGISTRY["a_diurnal_profile"].fn(spark, d).collect()}
+    assert out[9]["share"] == 0.5 and out[12]["share"] == 0.25
+    assert sum(r["share"] for r in out.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_interarrival_quantiles_hand_checked(spark):
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    t0 = datetime(2024, 1, 1)
+    # user 1, type a: gaps of 1s, 2s, 3s, 4s -> p50 = 2s, p99 = 4s
+    rows, eid = [], 0
+    t = t0
+    for gap in [0, 1, 2, 3, 4]:
+        t += timedelta(seconds=gap)
+        eid += 1
+        rows.append((eid, t, 1, "a", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["pct"]: r["dt_us"] for r in REGISTRY["a_interarrival_quantiles"].fn(spark, d).collect()}
+    assert out[50] == 2_000_000
+    assert out[90] == 4_000_000 and out[99] == 4_000_000
