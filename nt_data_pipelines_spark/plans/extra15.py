@@ -181,3 +181,69 @@ def a_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "pct")
         .agg(F.min("__v").alias("dt_us"))
     )
+
+
+# 4*ln(2) pre-folded into one double literal (the extra12 HLL-numerator
+# convention) so both engines divide by the identical operand.
+_PARKINSON_DEN = 2.772588722239781
+assert abs(_PARKINSON_DEN - 4 * 0.6931471805599453) < 1e-15
+
+
+@register(
+    "w_parkinson_vol",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a
+      FROM events
+    ),
+    bars AS (
+      SELECT event_type, bucket,
+             MAX(value) AS high, MIN(value) AS low
+      FROM b GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_bars,
+             CAST(SUM(CAST(ln(high / low) * ln(high / low)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS ssq
+      FROM bars WHERE low > 0 GROUP BY event_type
+    )
+    SELECT event_type, n_bars,
+           ROUND(sqrt(ssq / ({_PARKINSON_DEN!r} * n_bars)), 6) + 0.0
+             AS parkinson_vol
+    FROM s
+    """,
+    doc="Parkinson range volatility per event type over daily bars: "
+    "sqrt(sum(ln(H/L)^2) / (4 ln2 n)) — the high-low estimator that "
+    "is ~5x more efficient than close-to-close variance. Per-bar "
+    "terms are IEEE-deterministic; their sum rides decimal(38,18) "
+    "(rule 1), the 4 ln2 constant is ONE pre-folded double literal "
+    "so both engines divide identical operands, and sqrt makes the "
+    "round-6 midpoint measure-zero (rule 2).",
+)
+def w_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators.sessions import resample_ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = resample_ohlc(ev, ["event_type"], "ts", "value", "event_id", freq="day")
+    term = F.log(F.col("high") / F.col("low")) * F.log(F.col("high") / F.col("low"))
+    s = (
+        bars.filter(F.col("low") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bars"),
+            F.sum(term.cast("decimal(38,18)")).cast("double").alias("__ssq"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_bars",
+        (
+            F.round(
+                F.sqrt(F.col("__ssq") / (F.lit(_PARKINSON_DEN) * F.col("n_bars"))), 6
+            )
+            + 0.0
+        ).alias("parkinson_vol"),
+    )

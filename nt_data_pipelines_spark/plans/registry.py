@@ -112,25 +112,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round-10 batch (HLL / PMI / vocab-Jaccard / KS drift) displaced four
 # more r8-verified canaries from the tail, which round 11 should also
 # front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
-# t_sessionize — 41 names; the third round-10 batch (edit-distance
-# linkage + per-group cap + corr matrix + time-weighted mean)
-# displaced seven more r8-verified names: f1_date_parts
+# t_sessionize — 41 names; the final-session round-10 batches (21 new
+# queries) displaced seven more r8-verified names — f1_date_parts
 # r2_pivot_event_type p_scalar_suite o4_top3_per_group
-# j2_shipping_priority j6_semi_anti a1_pricing_summary — plus seven
-# r7-stale names squeezed back out of this round's 50: t_fingerprint
+# j2_shipping_priority j6_semi_anti a1_pricing_summary — and squeezed
+# thirteen r7-stale names back out of this round's 50: t_fingerprint
 # t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
 # a_corpus_report a_value_histogram p_split_assign p_temperature_mix
-# s_knn_graph t_boilerplate_lines t_unigram_logprob — 60 names;
-# round 11 MUST front those twelve r7-stale names first among the
-# already-verified cohort,
-# and with 55 > 50 the least-risky five (pure-codegen scalar suites
-# f1_date_parts p_scalar_suite and the three small-plan joins
+# s_knn_graph t_boilerplate_lines t_unigram_logprob w_robust_zscore.
+# Grand total owed: 61 names. Round 11 MUST front the thirteen
+# r7-stale names first, then the r8-stale cohort in the order listed;
+# the overflow past its 50 slots — the least-risky names (pure-codegen
+# scalar suites f1_date_parts p_scalar_suite and the small-plan joins
 # j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
-# and untouched since) overflow to round 12).
+# and untouched since) — carries to round 12.)
 # Any NEW round-10 query must be inserted at the very top
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "w_parkinson_vol",
     "a_vocab_coverage",
     "a_diurnal_profile",
     "a_interarrival_quantiles",
@@ -182,7 +182,6 @@ DRIVER_PRIORITY: list[str] = [
     "p_winsorize",
     "w_rolling_skew_kurt",
     "w_rsi14",
-    "w_robust_zscore",
 ]
 
 

@@ -743,3 +743,32 @@ def test_interarrival_quantiles_hand_checked(spark):
         out = {r["pct"]: r["dt_us"] for r in REGISTRY["a_interarrival_quantiles"].fn(spark, d).collect()}
     assert out[50] == 2_000_000
     assert out[90] == 4_000_000 and out[99] == 4_000_000
+
+
+def test_parkinson_vol_hand_checked(spark):
+    import math
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    highs_lows = [(12.0, 10.0), (20.0, 16.0), (8.0, 8.0)]  # 3 days
+    for d, (hi, lo) in enumerate(highs_lows):
+        for v in (lo, hi):
+            eid += 1
+            rows.append((eid, t0 + timedelta(days=d, hours=eid % 5), 1, "a", v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = REGISTRY["w_parkinson_vol"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bars"] == 3
+    expect = math.sqrt(
+        sum(math.log(h / l) ** 2 for h, l in highs_lows) / (4 * math.log(2) * 3)
+    )
+    assert r["parkinson_vol"] == pytest.approx(expect, abs=1e-6)
