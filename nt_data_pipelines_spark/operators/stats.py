@@ -40,12 +40,18 @@ def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     to 6 (rule 2; sqrt makes a reachable midpoint measure-zero).
     Constant columns yield NULL (0/0), same in both engines.
 
+    Rows with a NULL in ANY of ``cols`` are dropped first (complete-
+    case analysis): ``n`` counts rows, while SUM skips NULLs — mixing
+    the two silently biases every pair that shares a row with a null
+    in a third column.
+
     Returns (col_x, col_y, n, corr) with pairs in ``cols`` order.
     Scale: one whole-stage-codegen scan, no shuffle beyond the final
     single-row reduce — the 100-TB shape for moment matrices.
     """
     if len(cols) < 2:
         raise ValueError("pairwise_corr needs at least two columns")
+    df = df.dropna(subset=list(cols))
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__s_{c}"))
@@ -103,6 +109,12 @@ def time_weighted_mean(
     rounding (registry rule 3), never a ROUND that can land on a
     midpoint. The micro numerator rides decimal(38,0) / HUGEINT so a
     years-long key cannot wrap int64 (the corpus_stats ADVICE class).
+    CONTRACT: values must be non-negative — the half-up identity uses
+    integral division, and Spark's ``DIV`` truncates toward zero while
+    DuckDB's ``//`` floors, so a negative weighted sum would disagree
+    by one micro-unit between engines (same limitation as the tier's
+    other micro means, e.g. logprob bits, which are positive by
+    construction).
 
     Scale: one window sort per key partition (keys are users/symbols
     — many and small), then a same-key partial aggregate. No skew

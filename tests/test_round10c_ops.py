@@ -772,3 +772,24 @@ def test_parkinson_vol_hand_checked(spark):
         sum(math.log(h / l) ** 2 for h, l in highs_lows) / (4 * math.log(2) * 3)
     )
     assert r["parkinson_vol"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_pairwise_corr_complete_case_null_handling(spark):
+    """A NULL in a third column must not bias the (a, b) pair: rows
+    with any null drop entirely (n matches the sums)."""
+    import numpy as np
+
+    from nt_data_pipelines_spark.operators.stats import pairwise_corr
+
+    rows = [(float(i), float(2 * i), float(i % 7)) for i in range(1, 40)]
+    df_clean = spark.createDataFrame(rows, "a double, b double, c double")
+    df_nulled = spark.createDataFrame(
+        rows + [(100.0, 200.0, None), (None, 5.0, 1.0)],
+        "a double, b double, c double",
+    )
+    clean = {(r["col_x"], r["col_y"]): r for r in pairwise_corr(df_clean, ["a", "b", "c"]).collect()}
+    nulled = {(r["col_x"], r["col_y"]): r for r in pairwise_corr(df_nulled, ["a", "b", "c"]).collect()}
+    # the two extra rows each carry a null -> dropped -> identical stats
+    for k in clean:
+        assert nulled[k]["n"] == clean[k]["n"] == 39
+        assert nulled[k]["corr"] == clean[k]["corr"]
