@@ -273,3 +273,46 @@ def test_merge_equals_antijoin_plus_insert(spark, tmp_path_factory, rows, batch)
     # and merging the same batch again changes nothing (idempotence)
     cat.merge("t", src)
     assert sorted(map(tuple, cat.table("t").collect())) == expect
+
+
+# ---- systematic PPS sampling invariants (round 10) ----
+
+PPS_WEIGHTS = st.lists(
+    st.integers(min_value=1, max_value=10_000), min_size=2, max_size=60
+)
+
+
+@given(weights=PPS_WEIGHTS, m=st.integers(min_value=1, max_value=40))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pps_sample_invariants(spark, weights, m):
+    """For ANY positive integer weights and any m:
+    (1) realized picks sum to exactly m (zero-variance size);
+    (2) each row's multiplicity is within 1 of its expectation
+        w*m/total (systematic sampling's bracketing property);
+    (3) the result is a pure function of the data (partitioning-
+        independent)."""
+    from nt_data_pipelines_spark.operators.sampling import pps_systematic_sample
+
+    rows = list(enumerate(weights))
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: r["n_picks"]
+        for r in pps_systematic_sample(df, "doc_id", "w", m).collect()
+    }
+    total = sum(weights)
+    assert sum(got.values()) == m
+    for i, w in rows:
+        exp = w * m / total
+        picks = got.get(i, 0)
+        assert exp - 1 < picks < exp + 1 or abs(picks - exp) < 1 + 1e-9, (
+            i, w, picks, exp,
+        )
+    re_got = {
+        r["doc_id"]: r["n_picks"]
+        for r in pps_systematic_sample(df.repartition(5), "doc_id", "w", m).collect()
+    }
+    assert re_got == got
