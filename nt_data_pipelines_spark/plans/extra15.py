@@ -247,3 +247,76 @@ def w_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("parkinson_vol"),
     )
+
+
+# shared stopword lexicon — ONE copy (plans/textdedup._LEX_VALUES) so a
+# lexicon change cannot diverge the confusion matrix from t_language_id
+from nt_data_pipelines_spark.plans.textdedup import _LEX_VALUES
+
+
+@register(
+    "a_lang_confusion",
+    oracle=f"""
+    WITH lexicon(lang, word) AS (VALUES {_LEX_VALUES}),
+    exploded AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    scores AS (
+      SELECT e.doc_id, l.lang, COUNT(*) AS hits
+      FROM exploded e JOIN lexicon l ON e.word = l.word
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rk
+      FROM scores
+    ),
+    pred AS (
+      SELECT d.doc_id, d.lang AS true_lang,
+             COALESCE(b.lang, 'und') AS pred_lang
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+    ),
+    cm AS (
+      SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY true_lang, pred_lang
+    ),
+    tot AS (SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n FROM cm GROUP BY true_lang)
+    SELECT cm.true_lang, pred_lang, n_docs,
+           CAST((2 * CAST(n_docs AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1000000.0
+             AS row_share
+    FROM cm JOIN tot ON cm.true_lang = tot.true_lang
+    """,
+    doc="Language-ID confusion matrix against the labeled lang column "
+    "— the model-evaluation primitive (per-class recall sits on the "
+    "diagonal's row_share). Shares ONE lexicon constant with "
+    "t_language_id so the classifier under test cannot diverge from "
+    "its own parity query; counts are integers, row shares are rule-3 "
+    "micro ratios.",
+)
+def a_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TX.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    cm = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n_docs").cast("long").alias("__n"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.expr(
+                "CAST((2 * CAST(n_docs AS DECIMAL(38,0)) * 1000000 + __n)"
+                " DIV (2 * CAST(__n AS DECIMAL(38,0))) AS DOUBLE)"
+            )
+            / 1000000.0
+        ).alias("row_share"),
+    )

@@ -119,9 +119,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # thirteen r7-stale names back out of this round's 50: t_fingerprint
 # t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
 # a_corpus_report a_value_histogram p_split_assign p_temperature_mix
-# s_knn_graph t_boilerplate_lines t_unigram_logprob w_robust_zscore.
-# Grand total owed: 61 names. Round 11 MUST front the thirteen
-# r7-stale names first, then the r8-stale cohort in the order listed;
+# s_knn_graph t_boilerplate_lines t_unigram_logprob w_robust_zscore
+# w_rsi14. Grand total owed: 62 names. Round 11 MUST front the
+# fourteen r7-stale names first, then the r8-stale cohort in the
+# order listed;
 # the overflow past its 50 slots — the least-risky names (pure-codegen
 # scalar suites f1_date_parts p_scalar_suite and the small-plan joins
 # j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
@@ -130,6 +131,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_lang_confusion",
     "w_parkinson_vol",
     "a_vocab_coverage",
     "a_diurnal_profile",
@@ -181,7 +183,6 @@ DRIVER_PRIORITY: list[str] = [
     "w_gap_fill",
     "p_winsorize",
     "w_rolling_skew_kurt",
-    "w_rsi14",
 ]
 
 

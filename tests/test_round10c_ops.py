@@ -793,3 +793,25 @@ def test_pairwise_corr_complete_case_null_handling(spark):
     for k in clean:
         assert nulled[k]["n"] == clean[k]["n"] == 39
         assert nulled[k]["corr"] == clean[k]["corr"]
+
+
+def test_lang_confusion_diagonal_dominates_and_shares_sum(spark):
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["a_lang_confusion"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["true_lang"], []).append(r)
+    assert set(by_true) == {"en", "de", "es", "fr", "zh"}
+    for lang, cells in by_true.items():
+        # per-class shares sum to 1 (micro rounding tolerance)
+        assert sum(c["row_share"] for c in cells) == pytest.approx(1.0, abs=5e-6)
+    # the synthetic corpus draws English-ish vocabulary for EVERY lang
+    # label — the confusion matrix is exactly the artifact that makes
+    # that label/content mismatch visible: 'en' dominates every row
+    for lang, cells in by_true.items():
+        top = max(cells, key=lambda c: c["row_share"])
+        assert top["pred_lang"] == "en", (lang, top)
+    # and true-en documents are classified en with high recall
+    en_diag = [c for c in by_true["en"] if c["pred_lang"] == "en"]
+    assert en_diag and en_diag[0]["row_share"] > 0.8
