@@ -320,3 +320,94 @@ def a_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("row_share"),
     )
+
+
+# ---- ANN evaluation: recall@k of the LSH path vs brute force ----
+# Shares every constant and SQL fragment with plans/similarity.py so
+# the system under test cannot diverge from its own parity queries.
+from nt_data_pipelines_spark.plans.similarity import (
+    _BUCKET_SQL,
+    _SQL_COS,
+    _dbl,
+    DIM,
+    N_PLANES,
+    N_QUERIES,
+    TOP_K,
+)
+
+
+@register(
+    "s_recall_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_dbl('embedding')} AS q_vec FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, {_dbl('embedding')} AS c_vec FROM embeddings),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {_SQL_COS.format(a='q_vec', b='c_vec')} DESC,
+                          neighbor_id) AS rank
+        FROM q JOIN c ON query_id != neighbor_id)
+      WHERE rank <= {TOP_K}
+    ),
+    v AS (SELECT vec_id, {_dbl('embedding')} AS vec FROM embeddings),
+    sigs AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM v),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT sq.vec_id AS query_id, sc.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY sq.vec_id
+                 ORDER BY {_SQL_COS.format(a='qv.vec', b='cv.vec')} DESC,
+                          sc.vec_id) AS rank
+        FROM sigs sq
+        JOIN sigs sc ON sq.bucket = sc.bucket AND sq.vec_id != sc.vec_id
+        JOIN v qv ON qv.vec_id = sq.vec_id
+        JOIN v cv ON cv.vec_id = sc.vec_id
+        WHERE sq.vec_id < {N_QUERIES})
+      WHERE rank <= {TOP_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM brute b
+    LEFT JOIN lsh l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="ANN evaluation: per-query recall@k of the LSH-bucketed path "
+    "against exact brute-force cosine — the similarity tier's quality "
+    "gate as a driver-verified QUERY, not just a test bound. Every "
+    "constant (hyperplanes, k, query set) and cosine/bucket fragment "
+    "is shared with s_brute_topk / s_lsh_ann_topk, so the evaluated "
+    "system is exactly the registered one. On THIS fixture the "
+    "measurement is ~0 BY CONSTRUCTION and that is the point: the "
+    "synthetic embeddings are near-orthogonal noise (within-label "
+    "cosine ~0.013), so the exact top-k is itself noise and no "
+    "bucketed index can recall it — the same instrument on clusterable "
+    "data reports real recall (the crafted-cluster recall tests in "
+    "tests/test_dedup_text_sim.py and tests/test_pq.py pin 75-100% "
+    "depending on tier). recall = int/int row arithmetic "
+    "(IEEE-deterministic, no rounding machinery).",
+)
+def s_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    brute = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = S.lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", k=TOP_K, num_planes=N_PLANES, dim=DIM
+    ).select(F.col("query_id").alias("__lq"), F.col("neighbor_id").alias("__ln"))
+    joined = brute.join(
+        lsh,
+        (F.col("query_id") == F.col("__lq")) & (F.col("neighbor_id") == F.col("__ln")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("__ln").cast("long").alias("hits"),
+        (F.count("__ln").cast("double") / TOP_K).alias("recall_at_k"),
+    )

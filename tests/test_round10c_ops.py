@@ -815,3 +815,22 @@ def test_lang_confusion_diagonal_dominates_and_shares_sum(spark):
     # and true-en documents are classified en with high recall
     en_diag = [c for c in by_true["en"] if c["pred_lang"] == "en"]
     assert en_diag and en_diag[0]["row_share"] > 0.8
+
+
+def test_recall_at_k_bounds_and_brute_consistency(spark):
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+    from nt_data_pipelines_spark.plans.similarity import N_QUERIES, TOP_K
+
+    rows = REGISTRY["s_recall_at_k"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r["hits"] <= TOP_K
+        assert r["recall_at_k"] == r["hits"] / TOP_K
+    # this fixture's embeddings are near-orthogonal noise (within-
+    # label cosine ~0.01), so the exact top-k is noise and bucketed
+    # recall is ~0 BY CONSTRUCTION — the query is the instrument that
+    # reports it; crafted-cluster recall tests elsewhere pin the
+    # operator's real recall. Assert the measurement stays in the
+    # noise regime rather than silently becoming meaningless.
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean <= 0.3, mean
