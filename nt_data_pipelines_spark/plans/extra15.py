@@ -411,3 +411,100 @@ def s_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__ln").cast("long").alias("hits"),
         (F.count("__ln").cast("double") / TOP_K).alias("recall_at_k"),
     )
+
+
+# ---- dup-cluster representative selection (keep-best policy) ----
+from nt_data_pipelines_spark.plans.textdedup import MINHASH_BANDS_CTE
+
+
+@register(
+    "d_keep_best_representative",
+    oracle="WITH RECURSIVE " + MINHASH_BANDS_CTE.split("WITH ", 1)[1] + """,
+    sized AS (
+      SELECT doc_id, band, band_hash,
+             COUNT(*) OVER (PARTITION BY band, band_hash) AS bsize,
+             MIN(doc_id) OVER (PARTITION BY band, band_hash) AS hub
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bsize <= 64
+        UNION ALL
+        SELECT hub, doc_id FROM sized WHERE bsize > 64 AND doc_id <> hub
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.word = sa.word
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT v.id_a, v.id_b FROM verified v
+      JOIN sizes za ON za.doc_id = v.id_a
+      JOIN sizes zb ON zb.doc_id = v.id_b
+      WHERE v.n_common
+            / CAST(za.set_size + zb.set_size - v.n_common AS DOUBLE) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e
+      UNION SELECT id_b, id_a FROM e
+      UNION SELECT id_a, id_a FROM e
+      UNION SELECT id_b, id_b FROM e
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src),
+    ranked AS (
+      SELECT m.canonical_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY m.canonical_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY m.canonical_id) AS sz
+      FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    )
+    SELECT canonical_id, doc_id AS keep_id, n_chars AS keep_chars,
+           CAST(sz AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Duplicate-cluster representative selection with the KEEP-BEST "
+    "policy: connected components over the verified near-dup edges "
+    "(same bounded-LSH construction and threshold as "
+    "d_verified_dup_edges — one shared bands CTE), then each cluster "
+    "keeps its highest-quality member (longest doc, id tie-break) "
+    "instead of the arbitrary min id — the curation decision that "
+    "keeps the canonical article and drops its truncated mirrors. "
+    "Scale: the rank window partitions per cluster over member rows "
+    "only; edges and CC reuse the tier's bounded machinery.",
+)
+def d_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nt_data_pipelines_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.minhash_verified_dup_edges(
+        docs, "doc_id", "text", threshold=0.7, bucket_cap=D.DEFAULT_BUCKET_CAP
+    ).select("id_a", "id_b")
+    members = D.resolve_dup_groups_distributed(edges, "id_a", "id_b")
+    ranked = members.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("canonical_id")))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            F.col("__sz").cast("long").alias("cluster_size"),
+        )
+    )

@@ -834,3 +834,29 @@ def test_recall_at_k_bounds_and_brute_consistency(spark):
     # noise regime rather than silently becoming meaningless.
     mean = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert mean <= 0.3, mean
+
+
+def test_keep_best_representative_crafted(spark):
+    """Clusters keep their LONGEST member, not the min id."""
+    import tempfile
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    # docs 1,2,3 near-identical (one cluster); 3 is longest but has the
+    # highest id; doc 9 is unrelated (no cluster row)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " iota", "en", "s", len(base) + 5),
+        (3, base + " iota kappa", "en", "s", len(base) + 11),
+        (9, "totally different words nothing shared here at all", "en", "s", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = REGISTRY["d_keep_best_representative"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["canonical_id"] == 1          # min-id cluster label
+    assert r["keep_id"] == 3               # but the LONGEST member is kept
+    assert r["cluster_size"] == 3
