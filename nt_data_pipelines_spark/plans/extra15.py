@@ -508,3 +508,102 @@ def d_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__sz").cast("long").alias("cluster_size"),
         )
     )
+
+
+@register(
+    "a_composition_turnover",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM c),
+    types AS (SELECT DISTINCT event_type FROM c),
+    grid AS (
+      SELECT days.d, types.event_type, COALESCE(c.n, 0) AS n
+      FROM days CROSS JOIN types
+      LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+    ),
+    tot AS (SELECT d, CAST(SUM(n) AS BIGINT) AS nd FROM grid GROUP BY d),
+    lagged AS (
+      SELECT g.d, g.event_type, g.n,
+             lag(g.n) OVER (PARTITION BY g.event_type ORDER BY g.d) AS pn,
+             lag(g.d) OVER (PARTITION BY g.event_type ORDER BY g.d) AS pd
+      FROM grid g
+    ),
+    terms AS (
+      SELECT l.d, t1.nd, t0.nd AS pnd,
+             -- |n_t/N_d - pn_t/N_{d-1}| on the common denominator:
+             -- exact integer numerators, one shared denominator per day
+             abs(CAST(l.n AS HUGEINT) * t0.nd
+                 - CAST(l.pn AS HUGEINT) * t1.nd) AS num
+      FROM lagged l
+      JOIN tot t1 ON t1.d = l.d
+      JOIN tot t0 ON t0.d = l.pd
+      WHERE l.pn IS NOT NULL AND t1.nd > 0 AND t0.nd > 0
+    )
+    SELECT d AS day,
+           CAST((2 * SUM(num) * 1000000 + 2 * CAST(nd AS HUGEINT) * pnd)
+                // (2 * 2 * CAST(nd AS HUGEINT) * pnd) AS DOUBLE)
+             / 1000000.0 AS turnover
+    FROM terms GROUP BY d, nd, pnd
+    """,
+    doc="Daily composition turnover: half the L1 distance between "
+    "consecutive days' event-type share distributions — the TEMPORAL "
+    "drift series complementing the static KS statistic (0 = stable "
+    "mix, 1 = complete swap; catches a feed going dark or a new "
+    "upstream flooding in). Shares compare on the exact common "
+    "denominator N_d * N_{d-1} (integer numerators, HUGEINT/"
+    "decimal(38,0)); one rule-3 micro division per day. The type-"
+    "keyed lag window orders DAYS per type — never corpus rows.",
+)
+def a_composition_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    days = c.select("d").distinct()
+    types = c.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(c, ["d", "event_type"], "left")
+        .select("d", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = grid.groupBy("d").agg(F.sum("n").cast("long").alias("nd"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = grid.select(
+        "d",
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("d").over(w).alias("pd"),
+    ).filter(F.col("pn").isNotNull())
+    t1 = tot.select(F.col("d"), F.col("nd"))
+    t0 = tot.select(F.col("d").alias("pd"), F.col("nd").alias("pnd"))
+    terms = (
+        lagged.join(t1, "d")
+        .join(t0, "pd")
+        .filter((F.col("nd") > 0) & (F.col("pnd") > 0))
+        .select(
+            "d",
+            "nd",
+            "pnd",
+            F.abs(
+                F.col("n").cast("decimal(38,0)") * F.col("pnd")
+                - F.col("pn").cast("decimal(38,0)") * F.col("nd")
+            ).alias("__num"),
+        )
+    )
+    return terms.groupBy(F.col("d").alias("day"), "nd", "pnd").agg(
+        F.sum("__num").alias("__s")
+    ).select(
+        "day",
+        (
+            F.expr(
+                "CAST((2 * __s * 1000000 + 2 * CAST(nd AS DECIMAL(38,0)) * pnd)"
+                " DIV (2 * 2 * CAST(nd AS DECIMAL(38,0)) * pnd) AS DOUBLE)"
+            )
+            / 1000000.0
+        ).alias("turnover"),
+    )

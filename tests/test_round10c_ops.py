@@ -860,3 +860,30 @@ def test_keep_best_representative_crafted(spark):
     assert r["canonical_id"] == 1          # min-id cluster label
     assert r["keep_id"] == 3               # but the LONGEST member is kept
     assert r["cluster_size"] == 3
+
+
+def test_composition_turnover_hand_checked(spark):
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # day 0: 3 a + 1 b; day 1: identical mix -> turnover 0;
+    # day 2: all b -> turnover = 0.5*(|0-3/4| + |4/4-1/4|) = 0.75
+    plan = [("a", 3, 0), ("b", 1, 0), ("a", 3, 1), ("b", 1, 1), ("b", 4, 2)]
+    for typ, n, day in plan:
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0 + timedelta(days=day, minutes=eid), 1, typ, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {str(r["day"]): r["turnover"] for r in
+               REGISTRY["a_composition_turnover"].fn(spark, d).collect()}
+    assert out["2024-01-02"] == 0.0
+    assert out["2024-01-03"] == 0.75
+    assert len(out) == 2  # the first day has no predecessor
