@@ -607,3 +607,89 @@ def a_composition_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("turnover"),
     )
+
+
+@register(
+    "a_join_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS mult
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    c AS (SELECT mult AS v, CAST(COUNT(*) AS BIGINT) AS c FROM k GROUP BY mult),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_keys,
+             CAST(SUM(v * c) AS BIGINT) AS n_rows,
+             CAST(MAX(v) AS BIGINT) AS max_mult
+      FROM c
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    q AS (SELECT UNNEST([50, 90, 99]) AS pct),
+    cuts AS (
+      SELECT pct, MIN(v) AS v FROM cum CROSS JOIN q CROSS JOIN tot
+      WHERE 100 * cum >= pct * n_keys GROUP BY pct
+    )
+    SELECT n_keys, n_rows, max_mult,
+           MAX(CASE WHEN pct = 50 THEN v END) AS p50_mult,
+           MAX(CASE WHEN pct = 90 THEN v END) AS p90_mult,
+           MAX(CASE WHEN pct = 99 THEN v END) AS p99_mult,
+           -- hottest key's share of all rows, micro (rule 3)
+           CAST((2 * CAST(max_mult AS HUGEINT) * 1000000 + n_rows)
+                // (2 * CAST(n_rows AS HUGEINT)) AS DOUBLE) / 1000000.0
+             AS max_key_share
+    FROM cuts CROSS JOIN tot
+    GROUP BY n_keys, n_rows, max_mult
+    """,
+    doc="Join-key skew audit for lineitem.l_orderkey: key multiplicity "
+    "quantiles (value-domain integer rank identity — the multiplicity "
+    "DOMAIN is tiny even when keys are billions), the hottest key's "
+    "absolute multiplicity, and its micro-exact share of all rows — "
+    "the diagnostic that decides between a plain shuffle join, AQE "
+    "skew splitting, and the salting tier (operators/skew.py) BEFORE "
+    "the join runs. Two linear map-side-partial aggregations plus a "
+    "domain-sized window; no corpus sort.",
+)
+def a_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey")).agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    c = k.groupBy(F.col("__m").alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tot = c.agg(
+        F.sum("__c").cast("long").alias("n_keys"),
+        F.sum(F.col("__v") * F.col("__c")).cast("long").alias("n_rows"),
+        F.max("__v").cast("long").alias("max_mult"),
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = c.select("__v", F.sum("__c").over(wv).alias("__cum"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (50, 90, 99)])).alias("pct")
+    cuts = (
+        cum.crossJoin(F.broadcast(tot.select("n_keys")))
+        .select("__v", "__cum", "n_keys", pcts)
+        .filter(F.col("__cum") * 100 >= F.col("pct") * F.col("n_keys"))
+        .groupBy("pct")
+        .agg(F.min("__v").alias("v"))
+    )
+    wide = cuts.groupBy().pivot("pct", [50, 90, 99]).agg(F.first("v"))
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_mult",
+            F.col("50").cast("long").alias("p50_mult"),
+            F.col("90").cast("long").alias("p90_mult"),
+            F.col("99").cast("long").alias("p99_mult"),
+            (
+                F.expr(
+                    "CAST((2 * CAST(max_mult AS DECIMAL(38,0)) * 1000000 + n_rows)"
+                    " DIV (2 * CAST(n_rows AS DECIMAL(38,0))) AS DOUBLE)"
+                )
+                / 1000000.0
+            ).alias("max_key_share"),
+        )
+    )

@@ -120,9 +120,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
 # a_corpus_report a_value_histogram p_split_assign p_temperature_mix
 # s_knn_graph t_boilerplate_lines t_unigram_logprob w_robust_zscore
-# w_rsi14 w_rolling_skew_kurt p_winsorize w_gap_fill. Grand total
-# owed: 65 names. Round 11 MUST front the seventeen r7-stale names
-# first, then the r8-stale cohort in the order listed;
+# w_rsi14 w_rolling_skew_kurt p_winsorize w_gap_fill w_drawdown.
+# Grand total owed: 66 names. Round 11 MUST front the eighteen
+# r7-stale names first, then the r8-stale cohort in the order listed;
 # the overflow past its 50 slots — the least-risky names (pure-codegen
 # scalar suites f1_date_parts p_scalar_suite and the small-plan joins
 # j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
@@ -131,6 +131,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (never-verified first — enforced by tests/test_registry_rotation.py).
 DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — never driver-verified:
+    "a_join_key_skew",
     "a_composition_turnover",
     "d_keep_best_representative",
     "s_recall_at_k",
@@ -182,7 +183,6 @@ DRIVER_PRIORITY: list[str] = [
     "a_null_profile",
     "w_xsec_rank",
     "w_forward_returns",
-    "w_drawdown",
 ]
 
 

@@ -161,6 +161,10 @@ PARTITIONLESS_WINDOW_WHITELIST = {
     # global top-k rank runs AFTER the two-phase local prune, so its
     # input is <= k_max * shuffle-partitions rows (plans/extra15.py)
     "a_vocab_coverage",
+    # the cumulative window runs over the multiplicity VALUE DOMAIN
+    # (distinct per-key counts — a handful of values even at billions
+    # of keys), never key or corpus rows (plans/extra15.py)
+    "a_join_key_skew",
 }
 
 

@@ -887,3 +887,29 @@ def test_composition_turnover_hand_checked(spark):
     assert out["2024-01-02"] == 0.0
     assert out["2024-01-03"] == 0.75
     assert len(out) == 2  # the first day has no predecessor
+
+
+def test_join_key_skew_hand_checked(spark):
+    import tempfile
+
+    from nt_data_pipelines_spark.plans.registry import REGISTRY
+
+    # 9 keys with multiplicity 1, one hot key with multiplicity 11
+    rows = []
+    ln = 0
+    for key, mult in [(k, 1) for k in range(9)] + [(99, 11)]:
+        for _ in range(mult):
+            ln += 1
+            rows.append((key, 1, 1, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        r = REGISTRY["a_join_key_skew"].fn(spark, d).first()
+    assert r["n_keys"] == 10 and r["n_rows"] == 20 and r["max_mult"] == 11
+    assert r["p50_mult"] == 1 and r["p90_mult"] == 1 and r["p99_mult"] == 11
+    assert r["max_key_share"] == 0.55
