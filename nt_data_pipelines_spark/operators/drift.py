@@ -87,9 +87,13 @@ def ks_drift_by_group(
         .select(
             F.col("__g").alias(group_col),
             F.col("__ng").alias("n_rows"),
-            (
+            # A single-group input has an empty "rest" sample (__nr ==
+            # 0); 0/0 would yield NaN, which reads as a drift score.
+            # Null states "no comparison population" (ADVICE r10).
+            F.when(
+                F.col("__nr") > 0,
                 F.col("__num").cast("double")
-                / (F.col("__ng").cast(dec) * F.col("__nr").cast(dec)).cast("double")
+                / (F.col("__ng").cast(dec) * F.col("__nr").cast(dec)).cast("double"),
             ).alias("ks_stat"),
         )
     )

@@ -202,6 +202,7 @@ def numeric_band_join(
     left_val: str,
     right_val: str,
     delta: float,
+    slack: int = 2,
 ) -> DataFrame:
     """Band join: every (left, right) pair with
     ``abs(left_val - right_val) <= delta`` — the numeric sibling of
@@ -211,22 +212,38 @@ def numeric_band_join(
     Catalyst plans a raw ``abs(a - b) <= d`` predicate as
     BroadcastNestedLoopJoin — O(n*m) compares even when almost nothing
     matches. Blocking on the band index ``floor(val / delta)`` makes
-    it an EQUI-join: a matching pair's buckets differ by at most 1, so
-    the left side explodes to its 3 neighboring buckets (fixed 3x
-    fan-out, shuffle stays linear) and the exact predicate re-filters
-    after the hash join. Both sides compute ``floor(x / delta)`` with
-    the same IEEE ops, so the blocking is engine-identical; the gap
-    itself is row-level double arithmetic (exact, registry preamble).
+    it an EQUI-join: in real arithmetic a matching pair's buckets
+    differ by at most 1, so the left side explodes to neighboring
+    buckets (fixed fan-out, shuffle stays linear) and the exact
+    predicate re-filters after the hash join. Both sides compute
+    ``floor(x / delta)`` with the same IEEE ops, so the blocking is
+    engine-identical; the gap itself is row-level double arithmetic
+    (exact, registry preamble).
+
+    Recall contract (ADVICE r10): the ±1 real-arithmetic bound is NOT
+    an IEEE bound — when ``|val| / delta`` is large enough that
+    ``fl(val / delta)`` sits within an ulp of an integer, each side's
+    floor can flip by one more, so matching pairs' buckets may differ
+    by 2. The fan-out is therefore ±2 by default (5 buckets — still a
+    fixed linear fan-out), which covers one rounding flip per side on
+    top of the real bound. That makes every-pair recall exact for
+    ``|val| / delta < 2**51`` (quotient error < 1 ulp of the integer
+    grid); beyond that, pairs whose gap is within an ulp of exactly
+    ``delta`` may still be missed — raise ``slack`` if operating
+    there.
 
     Returns left row + right row + ``band_gap`` (absolute difference).
     Columns must not collide (select/alias before joining).
     """
     if delta <= 0:
         raise ValueError(f"delta must be positive, got {delta}")
+    if slack < 1:
+        raise ValueError(f"slack must be >= 1, got {slack}")
     lb = F.floor(F.col(left_val) / delta)
     rb = F.floor(F.col(right_val) / delta)
     lx = left.withColumn(
-        "__band", F.explode(F.array(lb - 1, lb, lb + 1))
+        "__band",
+        F.explode(F.array(*[lb + off for off in range(-slack, slack + 1)])),
     )
     rx = right.withColumn("__band", rb)
     gap = F.abs(F.col(left_val) - F.col(right_val))
@@ -258,10 +275,17 @@ def nearest_value_join(
     cannot express; widen ``radius`` rather than post-filtering a
     global product).
 
-    Scale shape: the band join's 3x-fan-out equi-join, then a per-left-
-    key rank over that row's IN-BAND matches only (a handful of rows,
-    never a table) — the window partitions by left key, and its input
-    is already bounded by the radius.
+    Scale shape: the band join's fixed-fan-out equi-join, then a rank
+    over that row's IN-BAND matches only (a handful of rows, never a
+    table) — the window partitions by (left_key, left_val), and its
+    input is already bounded by the radius.
+
+    Identity contract (ADVICE r10): a "left row" is identified by the
+    (left_key, left_val) pair — the rank window partitions on both, so
+    duplicate left keys with DIFFERENT values each keep their own
+    nearest match. Fully duplicated rows (same key AND value) still
+    collapse to one output row; pass a unique key column if duplicate
+    rows must survive.
     """
     j = numeric_band_join(
         left.select(left_key, left_val),
@@ -272,7 +296,7 @@ def nearest_value_join(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(left_key).orderBy(
+    w = Window.partitionBy(left_key, left_val).orderBy(
         "band_gap", F.col(right_val), F.col(right_key)
     )
     return (

@@ -323,7 +323,14 @@ def deterministic_hll_distinct(
     rank = F.when(x == 0, F.lit(rank_max)).otherwise(
         F.lit(rank_max) - F.length(F.bin(x))
     )
-    vals = df.select(*keys, F.col(col)).where(F.col(col).isNotNull()).distinct()
+    vals = df.select(*keys, F.col(col)).where(F.col(col).isNotNull())
+    # The register MAX is duplicate-insensitive, so raw rows feed the
+    # aggregation directly — the only corpus-sized stage is one linear
+    # (group, register) max shuffle with map-side partial aggregation,
+    # which is what makes the "cardinality is groups x 2^p regardless
+    # of row count" claim true (ADVICE r10: the previous .distinct()
+    # here was an unnecessary corpus-sized shuffle). The exact-distinct
+    # frame is computed only on the include_exact calibration path.
     regs = vals.select(*keys, reg.alias("__reg"), rank.alias("__rank")).groupBy(
         *keys, "__reg"
     ).agg(F.max("__rank").alias("__m"))
@@ -350,7 +357,9 @@ def deterministic_hll_distinct(
         corrected.alias("hll_estimate"),
     )
     if include_exact:
-        exact = vals.groupBy(*keys).agg(F.count(F.lit(1)).alias("exact_distinct"))
+        exact = vals.distinct().groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("exact_distinct")
+        )
         out = (
             out.join(exact, keys) if keys else out.crossJoin(exact)
         ).withColumn(

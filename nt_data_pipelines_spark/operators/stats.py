@@ -51,34 +51,40 @@ def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if len(cols) < 2:
         raise ValueError("pairwise_corr needs at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols}")
     df = df.dropna(subset=list(cols))
+    # Internal aliases use POSITIONAL indices, not column names: names
+    # like ['a', 'b_c', 'a_b', 'c'] would string-join into colliding
+    # aliases (__p_a_b_c is both (a, b_c) and (a_b, c)) and fail with
+    # an ambiguous-reference AnalysisException (ADVICE r10).
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__s_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__s_{i}"))
     for i, a in enumerate(cols):
-        for b in cols[i:]:
+        for j, b in enumerate(cols[i:], start=i):
             aggs.append(
-                F.sum((F.col(a) * F.col(b)).cast("decimal(38,8)")).alias(f"__p_{a}_{b}")
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,8)")).alias(f"__p_{i}_{j}")
             )
     one = df.agg(*aggs)
 
-    def _corr(a: str, b: str):
+    def _corr(i: int, j: int):
         n = F.col("__n").cast("double")
-        sa = F.col(f"__s_{a}").cast("double")
-        sb = F.col(f"__s_{b}").cast("double")
-        sab = F.col(f"__p_{a}_{b}").cast("double")
-        saa = F.col(f"__p_{a}_{a}").cast("double")
-        sbb = F.col(f"__p_{b}_{b}").cast("double")
+        sa = F.col(f"__s_{i}").cast("double")
+        sb = F.col(f"__s_{j}").cast("double")
+        sab = F.col(f"__p_{i}_{j}").cast("double")
+        saa = F.col(f"__p_{i}_{i}").cast("double")
+        sbb = F.col(f"__p_{j}_{j}").cast("double")
         num = n * sab - sa * sb
         den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
         return F.round(num / den, 6) + 0.0
 
     structs = [
         F.struct(
-            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), _corr(a, b).alias("corr")
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), _corr(i, j).alias("corr")
         )
         for i, a in enumerate(cols)
-        for b in cols[i + 1 :]
+        for j, b in enumerate(cols[i + 1 :], start=i + 1)
     ]
     return one.select(
         F.col("__n").alias("n"), F.explode(F.array(*structs)).alias("__pair")

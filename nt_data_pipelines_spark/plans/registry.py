@@ -80,110 +80,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # The verification driver records correctness rows for the FIRST 50
 # entries of queries() only (observed: rounds 1-3 each produced
 # exactly 50 rows = the first 50 in registration order, while later
-# registrations were silently dropped). Rotate which queries occupy
-# those slots so every query is driver-verified in some round:
-# CORRECTNESS_r01-r03 already cover the 50 longest-registered names,
-# so round 4 fronts the 25 that have never had a driver row plus a
-# representative spread of each operator class. Full-registry parity
-# (all entries, same protocol) runs via scripts/check_parity.py.
-# Round-10 rotation, staleness-first: (a) the five never-verified
-# round-10 queries; (b) queries whose code changed this round and need
-# a fresh row (linkage's default-on gram cap is mirrored in the
-# oracle; zipf/CDC plans reshaped; the EWMA kernel was rebuilt;
-# t_bpe_tokenize leaves the rotation — its oracle-less registration
-# records err:no_oracle, its encode semantics now have the
-# t_bpe_encode_fixed oracle); (c) the 25 r7-stale names exactly as the
-# round-9 comment committed; (d) fill with r8-verified names in
-# registration order — the remaining 33 r8-stale names overflow to
-# round 11 (r8+r9+r10 union still covers everything; round-11 must
-# front, in registration order: d_exact_dedup d_minhash_lsh
-# d_simhash_banded s_brute_topk s_lsh_ann_topk s_lsh_dedup_groups
-# s_ivf_search_topk s_centroid_per_label a_cube_counts a_grouping_sets
-# o1_multisort_limit a_median_exact d_lsh_verified_dedup s_ivf_assign
-# m_media_metadata a_rollup_counts w_rolling_minmax w_rolling_median
-# s_pq_encode s_pq_search_topk p_zorder_key a_equidepth_hist
-# a_funnel_conversion a_cohort_retention a_event_transitions
-# w_user_streaks t_lexical_diversity t_bigram_logprob
-# a_last_touch_attribution g_pagerank_knn t_gopher_rules s_hybrid_rrf
-# t_quality_logit d_dedup_against_corpus w6_rolling_regression
-# d_minhash_jaccard_estimate d_containment_pairs — 37 names, the last
-# four displaced by the late round-10 queries below: the calibration
-# audit plus the fertility / novelty / language-MI trio. The second
-# round-10 batch (HLL / PMI / vocab-Jaccard / KS drift) displaced four
-# more r8-verified canaries from the tail, which round 11 should also
-# front: w1_pct_change a5_zscore_per_date a6_equal_weight_benchmark
-# t_sessionize — 41 names; the final-session round-10 batches (21 new
-# queries) displaced seven more r8-verified names — f1_date_parts
-# r2_pivot_event_type p_scalar_suite o4_top3_per_group
-# j2_shipping_priority j6_semi_anti a1_pricing_summary — and squeezed
-# thirteen r7-stale names back out of this round's 50: t_fingerprint
-# t_token_totals t_bm25_topk s_near_dup_pairs t_normalize
-# a_corpus_report a_value_histogram p_split_assign p_temperature_mix
-# s_knn_graph t_boilerplate_lines t_unigram_logprob w_robust_zscore
-# w_rsi14 w_rolling_skew_kurt p_winsorize w_gap_fill w_drawdown.
-# Grand total owed: 66 names. Round 11 MUST front the eighteen
-# r7-stale names first, then the r8-stale cohort in the order listed;
-# the overflow past its 50 slots — the least-risky names (pure-codegen
-# scalar suites f1_date_parts p_scalar_suite and the small-plan joins
-# j2_shipping_priority j6_semi_anti a1_pricing_summary, all r8-green
-# and untouched since) — carries to round 12.)
-# Any NEW round-10 query must be inserted at the very top
-# (never-verified first — enforced by tests/test_registry_rotation.py).
-DRIVER_PRIORITY: list[str] = [
-    # NEW in round 10 — never driver-verified:
-    "a_join_key_skew",
-    "a_composition_turnover",
-    "d_keep_best_representative",
-    "s_recall_at_k",
-    "a_lang_confusion",
-    "w_parkinson_vol",
-    "a_vocab_coverage",
-    "a_diurnal_profile",
-    "a_interarrival_quantiles",
-    "w_overnight_gaps",
-    "j_prefix_filter_match",
-    "j_nearest_balance",
-    "a_event_burstiness",
-    "j_band_join",
-    "w_hopping_counts",
-    "a_quantile_table",
-    "p_pps_sample",
-    "p_quantile_gate",
-    "w_vwap_daily",
-    "a_cms_heavy_hitters",
-    "a_gini_doclen",
-    "a_corr_matrix",
-    "w_time_weighted_avg",
-    "j_edit_distance_pairs",
-    "p_per_group_cap",
-    "a_hll_distinct",
-    "t_pmi_collocations",
-    "a_source_vocab_jaccard",
-    "a_ks_drift",
-    "t_token_fertility",
-    "t_novelty_fraction",
-    "a_source_lang_mi",
-    "d_estimate_calibration",
-    "t_bpe_encode_fixed",
-    "w_merge_intervals",
-    "d_cross_source_overlap",
-    "t_char_entropy",
-    "a_token_concentration",
-    # code changed in round 10 — re-verify first:
-    "j_fuzzy_name_match",
-    "t_zipf_slope",
-    "t_cdc_chunks",
-    "t_cdc_dedup",
-    "w4_ewma_halflife",
-    # freshest driver row is r7 (the committed round-10 cohort):
-    "t_dedup_paragraphs",
-    "t_vocab_topk",
-    "s_quantize_embeddings",
-    "p_quantile_transform",
-    "a_null_profile",
-    "w_xsec_rank",
-    "w_forward_returns",
-]
+# registrations were silently dropped). Which queries occupy those
+# slots is COMPUTED staleness-first from the CORRECTNESS_r*.json
+# artifacts (plans/rotation.py) and materialized by
+# scripts/gen_driver_priority.py into plans/_driver_priority.py;
+# tests/test_registry_rotation.py pins snapshot == computed. Through
+# round 10 this was a hand-maintained ledger that aged 18 queries
+# three rounds stale (VERDICT r10 #1). Full-registry parity (all
+# entries, same protocol) runs via scripts/check_parity.py.
+from nt_data_pipelines_spark.plans._driver_priority import (  # noqa: E402
+    DRIVER_PRIORITY,
+)
+
 
 
 def _ordered_names() -> list[str]:

@@ -1,0 +1,119 @@
+"""Programmatic driver-slot rotation (VERDICT r10, Next round #1).
+
+The external verification driver records correctness rows for only the
+first ``DRIVER_SLOTS`` entries of ``queries()``.  Through round 10 the
+fronting order (``DRIVER_PRIORITY``) was a hand-maintained ledger whose
+comment block grew to 75 lines and which round 10 itself overran: 18
+queries' freshest driver row fell three rounds stale because late
+registrations displaced them from the window.
+
+This module retires the ledger.  The order is *computed* from the
+``CORRECTNESS_r*.json`` artifacts the driver itself writes:
+
+1. **never-verified** queries (no green driver row in any artifact),
+   in registration order — a new query must earn its first row before
+   any regression canary re-runs;
+2. **code-changed** queries (``CODE_CHANGED_THIS_ROUND`` — a small,
+   explicit per-round set naming operators whose semantics changed and
+   therefore need a fresh row), stalest first;
+3. everything else by **ascending freshest-green round** (stalest
+   first), ties broken by registration order.
+
+Oracle-less registrations (``QuerySpec.oracle is None``) sort last:
+the driver records ``err: no_oracle`` for them, so fronting one wastes
+a slot (observed: ``t_bpe_tokenize`` round 9).
+
+A *green* row is ``rows_match and schema_match and hash_match is not
+False and not err`` — ``hash_match`` may be null for the driver's
+weaker rows-only checks.
+
+``scripts/gen_driver_priority.py`` materializes the computed order
+into ``plans/_driver_priority.py`` so the fronting list is reviewable
+in a diff; ``tests/test_registry_rotation.py`` asserts the snapshot
+equals the computed order, so registering a query without regenerating
+fails CI instead of silently aging the rotation.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+DRIVER_SLOTS = 50
+
+#: Queries whose Spark-side code (or oracle) changed this round and
+#: therefore need a fresh driver row even though an older green row
+#: exists.  Reset at the start of each round; add names as operators
+#: are touched, then re-run scripts/gen_driver_priority.py.
+CODE_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # round 11: EWMA bucket sizing decoupled from shuffle.partitions
+        "w4_ewma_halflife",
+        # round 11: HLL skips the corpus-wide distinct when include_exact=False
+        "a_hll_distinct",
+        # round 11: ks_drift_by_group null-guard for single-group inputs
+        "a_ks_drift",
+        # round 11: numeric_band_join fan-out widened/documented
+        "j_band_join",
+        # round 11: nearest_value_join window now includes left_val
+        "j_nearest_balance",
+        # round 11: pairwise_corr positional internal aliases
+        "a_corr_matrix",
+    }
+)
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def freshest_green_rounds(repo_root: str | None = None) -> dict[str, int]:
+    """Map query name -> latest round with a green driver row."""
+    root = repo_root or _repo_root()
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green and rnd >= out.get(name, -1):
+                out[name] = rnd
+    return out
+
+
+def compute_driver_priority(
+    registration_order: list[str],
+    has_oracle: dict[str, bool],
+    repo_root: str | None = None,
+    code_changed: frozenset[str] = CODE_CHANGED_THIS_ROUND,
+    slots: int = DRIVER_SLOTS,
+) -> list[str]:
+    """Staleness-first fronting order, truncated to the driver window."""
+    freshest = freshest_green_rounds(repo_root)
+
+    def key(item: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = item
+        if not has_oracle.get(name, True):
+            return (3, 0, idx)  # no_oracle: a wasted slot — never front
+        if name not in freshest:
+            return (0, 0, idx)  # never verified: earn the first row
+        if name in code_changed:
+            return (1, freshest[name], idx)  # semantics changed: re-verify
+        return (2, freshest[name], idx)  # stalest green first
+
+    ordered = [n for _, n in sorted(enumerate(registration_order), key=key)]
+    return ordered[:slots]

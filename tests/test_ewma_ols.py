@@ -174,3 +174,46 @@ def test_rolling_ols_keep_partial_nulls(spark):
     assert len(got) == 10
     assert all(got[i]["beta_f"] is None or np.isnan(got[i]["beta_f"]) for i in range(4))
     assert got[9]["beta_f"] == pytest.approx(1.0)
+
+
+def test_ewma_bucket_count_grows_with_rows():
+    """VERDICT r10 #5: bucket count must not stay pinned to a small
+    session conf when the input is large — each bucket is ONE pandas
+    frame, so conf=2 on a 50M-row input would mean 25M-row frames."""
+    from nt_data_pipelines_spark.operators.ewma import (
+        TARGET_ROWS_PER_BUCKET,
+        _n_buckets,
+    )
+
+    assert _n_buckets(2, 1_000) == 2  # conf floor for small inputs
+    assert _n_buckets(2, 50_000_000) == -(-50_000_000 // TARGET_ROWS_PER_BUCKET)
+    assert _n_buckets(200, 50_000_000) == 200  # prod conf still wins
+    # monotone in rows, never below conf
+    prev = 0
+    for rows in (1, 10**6, 10**7, 10**8, 10**9):
+        b = _n_buckets(8, rows)
+        assert b >= 8 and b >= prev
+        prev = b
+
+
+def test_ewma_explicit_n_buckets_skips_count(spark):
+    """Explicit n_buckets gives the same values (bucketing only
+    changes which executor a key's frame lands on, never the math)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "b"] * 40, "t": list(range(40)) * 2, "x": [float(i) for i in range(80)]}
+    )
+    base = (
+        ewm_mean(spark.createDataFrame(pdf), "k", "t", "x", 20.0, out_col="e")
+        .orderBy("k", "t")
+        .collect()
+    )
+    forced = (
+        ewm_mean(
+            spark.createDataFrame(pdf), "k", "t", "x", 20.0, out_col="e", n_buckets=7
+        )
+        .orderBy("k", "t")
+        .collect()
+    )
+    assert [r.e for r in base] == [r.e for r in forced]

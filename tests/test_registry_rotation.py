@@ -58,6 +58,41 @@ def test_never_verified_queries_are_fronted_first():
         assert last_never < DRIVER_SLOTS
 
 
+def test_driver_priority_matches_computed_order():
+    """The snapshot in plans/_driver_priority.py must equal the order
+    computed from the CORRECTNESS artifacts (plans/rotation.py) —
+    registering a query or touching CODE_CHANGED_THIS_ROUND without
+    re-running scripts/gen_driver_priority.py fails here instead of
+    silently aging the rotation (VERDICT r10 #1)."""
+    import __spark_entry__  # noqa: F401  (populates REGISTRY)
+
+    from nt_data_pipelines_spark.plans import REGISTRY
+    from nt_data_pipelines_spark.plans.registry import DRIVER_PRIORITY
+    from nt_data_pipelines_spark.plans.rotation import compute_driver_priority
+
+    computed = compute_driver_priority(
+        list(REGISTRY),
+        {n: s.oracle is not None for n, s in REGISTRY.items()},
+        repo_root=REPO,
+    )
+    assert DRIVER_PRIORITY == computed, (
+        "snapshot is stale — run scripts/gen_driver_priority.py"
+    )
+
+
+def test_r7_stale_cohort_fully_fronted():
+    """Round-11 acceptance bar (VERDICT r10 #1): every query whose
+    freshest green row predates r8 must sit inside the driver's 50
+    slots this round."""
+    from nt_data_pipelines_spark.plans.rotation import freshest_green_rounds
+
+    names = _registry_names()
+    fronted = set(names[:DRIVER_SLOTS])
+    freshest = freshest_green_rounds(REPO)
+    overdue = [n for n, r in freshest.items() if r < 8 and n not in fronted]
+    assert not overdue, f"pre-r8-stale queries outside the driver window: {overdue}"
+
+
 def test_driver_priority_names_exist():
     from nt_data_pipelines_spark.plans.registry import DRIVER_PRIORITY, REGISTRY
 
