@@ -103,6 +103,37 @@ def _time_queries(
     return timings, spread
 
 
+def _duck_connect(data_dir: str):
+    """DuckDB connection with the testdata tables registered as views
+    over the same parquet Spark reads — the same-run oracle side."""
+    import duckdb
+
+    from nt_data_pipelines_spark.sources.testdata import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(data_dir, f"{t}.parquet")
+        glob = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    # scaled benchdata stores events.ts as int64 nanos (make_benchdata.py)
+    (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"]
+    if ts_type == "BIGINT":
+        ev = os.path.join(data_dir, "events.parquet")
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{ev}/*.parquet')"
+        )
+    return con
+
+
+def _duck_runner(con):
+    def duck_one(qname):
+        sql = plans.REGISTRY[qname].oracle
+        return lambda: con.execute(sql).fetch_arrow_table()
+
+    return duck_one
+
+
 def _production_block(spark, data_dir: str) -> dict:
     """Headline queries at a scaled benchdata dir in production config,
     Spark vs the same DuckDB oracles on the same parquet.
@@ -142,29 +173,8 @@ def _production_block(spark, data_dir: str) -> dict:
         sc=spark.sparkContext,
     )
 
-    import duckdb
-
-    from nt_data_pipelines_spark.sources.testdata import TESTDATA_TABLES
-
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        p = os.path.join(data_dir, f"{t}.parquet")
-        glob = p if os.path.isfile(p) else f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
-    # scaled benchdata stores events.ts as int64 nanos (make_benchdata.py)
-    (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"]
-    if ts_type == "BIGINT":
-        ev = os.path.join(data_dir, "events.parquet")
-        con.execute(
-            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
-            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{ev}/*.parquet')"
-        )
-
-    def duck_one(qname):
-        sql = plans.REGISTRY[qname].oracle
-        return lambda: con.execute(sql).fetch_arrow_table()
-
-    duck_t, _ = _time_queries(duck_one, warmup=1, timed=3)
+    con = _duck_connect(data_dir)
+    duck_t, _ = _time_queries(_duck_runner(con), warmup=1, timed=3)
     spark_total, duck_total = round(sum(spark_t.values()), 4), round(sum(duck_t.values()), 4)
     return {
         "config": "prod(aqe=on)",
@@ -242,6 +252,15 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
         edges = minhash_lsh_spanning_edges(fresh_docs(), "doc_id")
         return materialize(resolve_dup_groups_auto(edges))
 
+    def run_groups_distributed():
+        # VERDICT r10 #6: the auto-route picks the driver union-find at
+        # bench scale (edges <= 2M), so the 100-TB path — min-label
+        # propagation — had correctness tests but no tracked wall time.
+        # Force it on the same edges to record the driver-vs-distributed
+        # spread every round.
+        edges = minhash_lsh_spanning_edges(fresh_docs(), "doc_id")
+        return materialize(resolve_dup_groups_auto(edges, mode="distributed"))
+
     def run_curate():
         emb = load_table(spark, data_dir, "embeddings").withColumnRenamed(
             "vec_id", "doc_id"
@@ -274,7 +293,10 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     spark_t: dict[str, float] = {}
     spark_spread: dict[str, dict[str, float]] = {}
 
-    thunks = {"c2_dup_groups": run_groups}
+    thunks = {
+        "c2_dup_groups": run_groups,
+        "c2_dup_groups_distributed": run_groups_distributed,
+    }
     t, s = _time_queries(spark_composed, 1, 3, {k: k for k in thunks}, sc=spark.sparkContext)
     spark_t.update(t)
     spark_spread.update(s)
@@ -620,23 +642,57 @@ def main() -> None:
         spark_one, WARMUP_RUNS, TIMED_RUNS, sc=spark.sparkContext
     )
 
+    # Same-run DuckDB measurement of the SAME seven queries on the
+    # SAME parquet (VERDICT r10 #2): BASELINE.md's static numbers were
+    # measured once on a round-1 box, so a contended bench box was
+    # indistinguishable from a code regression (BENCH_r10's headline
+    # read 3.7x worse while the code was flat-to-better). The in-run
+    # ratio makes the artifact interpretable by itself; BASELINE.md
+    # remains the historical anchor only.
+    duck_headline_t, _ = _time_queries(
+        _duck_runner(_duck_connect(sf_dir)), warmup=1, timed=TIMED_RUNS
+    )
+    duck_headline_total = round(sum(duck_headline_t.values()), 4)
+
     out = {
         "metric": "headline_median_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "duckdb_value": duck_headline_total,
+        "duckdb_queries": duck_headline_t,
+        "ratio_vs_duckdb": (
+            round(sum(timings.values()) / duck_headline_total, 4)
+            if duck_headline_total
+            else None
+        ),
+        "ratio_vs_duckdb_queries": {
+            k: round(timings[k] / duck_headline_t[k], 4) if duck_headline_t[k] else None
+            for k in timings
+        },
         "sf": sf,
     }
     # Scaled production-config results — one block per benchdata/sf*
     # dir, so the artifact carries the whole scaling curve. Skip any
     # dir this invocation already targets explicitly.
     prod_keys: list[str] = []
-    if BENCHDATA.is_dir():
+    scaled = os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0"
+    if scaled and BENCHDATA.is_dir():
         for d in sorted(BENCHDATA.glob("sf*"), key=lambda p: float(p.name[2:])):
             if d.is_dir() and os.path.realpath(sf_dir) != os.path.realpath(str(d)):
                 key = f"{d.name}_prod"
                 out[key] = _production_block(spark, str(d))
+                if d.name == "sf1":
+                    # The acceptance gate (BASELINE.md round-11
+                    # addendum): within 2x of same-run DuckDB at sf1,
+                    # where real work dominates the local job floor.
+                    r = out[key].get("ratio_vs_duckdb")
+                    out[key]["gate"] = {
+                        "threshold": 2.0,
+                        "ratio": r,
+                        "pass": bool(r is not None and r <= 2.0),
+                    }
                 prod_keys.append(key)
                 ckey = f"{d.name}_corpus"
                 out[ckey] = _corpus_block(
@@ -647,6 +703,22 @@ def main() -> None:
                     skey = f"{d.name}_streaming"
                     out[skey] = _streaming_block(spark, str(d))
                     prod_keys.append(skey)
+    # Scheduled-DAG e2e at reference universe scale (VERDICT r10 #8):
+    # backfill + one daily tick on an S&P-sized panel, invariants
+    # asserted inside (weight sums, active-risk band, end-date writes)
+    # — a pipeline-LEVEL wall-time row, not just per-operator ones.
+    if scaled:
+        import shutil
+        import tempfile
+
+        from nt_data_pipelines_spark.pipelines.bench_dag import run_dag_benchmark
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        lake = tempfile.mkdtemp(prefix="dag_bench_")
+        try:
+            out["dag_e2e"] = run_dag_benchmark(spark, os.path.join(lake, "lake"))
+        finally:
+            shutil.rmtree(lake, ignore_errors=True)
     # The FULL artifact (spreads, per-query prod detail) goes to a
     # file so it survives any capture window — the round-5 official
     # sf0.1 headline was lost because the driver's tail capture
@@ -655,7 +727,22 @@ def main() -> None:
         json.dump(out, f, indent=2)
     # The printed contract line stays SHORT: headline + per-query
     # medians + a compact scaling curve (totals and ratios only).
-    slim: dict = {k: out[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    slim: dict = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "duckdb_value",
+            "ratio_vs_duckdb",
+            "sf",
+        )
+    }
+    if "dag_e2e" in out:
+        slim["dag_e2e"] = {
+            k: out["dag_e2e"][k] for k in ("backfill_secs", "daily_secs", "opt_dates")
+        }
     for key in prod_keys:
         block = out[key]
         slim[key] = {
@@ -666,6 +753,7 @@ def main() -> None:
                 "ratio_vs_duckdb",
                 "duckdb_subset_value",
                 "subset_ratio_vs_duckdb",
+                "gate",
             )
             if k in block
         }

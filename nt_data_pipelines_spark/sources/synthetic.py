@@ -73,10 +73,22 @@ def _bars(rng: np.random.RandomState, ticker: str, dates: list[dt.date]) -> pd.D
     )
 
 
-def stock_prices_pdf(n_days: int = N_DAYS) -> pd.DataFrame:
+def stock_prices_pdf(
+    n_days: int = N_DAYS, tickers: list[str] | None = None
+) -> pd.DataFrame:
+    """Price panel; ``tickers`` overrides the 20-name fixture list.
+
+    The override exists for BENCH-SCALE runs (bench.py `_dag_block`:
+    ~500 tickers x reference-depth history, the S&P-sized panel in
+    BASELINE.md) — fixture edge cases (short history, ghost ticker)
+    only apply to the default list."""
     rng = np.random.RandomState(SEED)
     dates = trading_calendar(n_days)
     frames = []
+    if tickers is not None:
+        for t in tickers:
+            frames.append(_bars(rng, t, dates))
+        return pd.concat(frames, ignore_index=True)
     for t in TICKERS:
         ds = dates[-100:] if t == SHORT_TICKER else dates
         frames.append(_bars(rng, t, ds))
@@ -90,10 +102,18 @@ def etf_prices_pdf(n_days: int = N_DAYS) -> pd.DataFrame:
     return pd.concat([_bars(rng, f, dates) for f in FACTORS], ignore_index=True)
 
 
-def universe_pdf(n_days: int = N_DAYS) -> pd.DataFrame:
+def universe_pdf(
+    n_days: int = N_DAYS, tickers: list[str] | None = None
+) -> pd.DataFrame:
     """Per-date constituents; EXIT_TICKER leaves and ENTER_TICKER joins
-    at the midpoint (tests the point-in-time join J1 / reconstruction U5)."""
+    at the midpoint (tests the point-in-time join J1 / reconstruction U5).
+    With an explicit ``tickers`` list (bench scale), membership is the
+    full list on every date — the churn edge cases live in the fixture
+    tier, the scaled panel measures throughput."""
     dates = trading_calendar(n_days)
+    if tickers is not None:
+        rows = [(d, d.year, t) for d in dates for t in tickers]
+        return pd.DataFrame(rows, columns=["date", "year", "ticker"])
     half = len(dates) // 2
     rows = []
     members = [t for t in TICKERS if t != ENTER_TICKER]
@@ -141,10 +161,12 @@ def load_calendar(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def load_stock_prices(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
+def load_stock_prices(
+    spark: SparkSession, n_days: int = N_DAYS, tickers: list[str] | None = None
+) -> DataFrame:
     # year derived on the write path (stock_prices_flow.py:112-113):
     # the prices tables partition by it, so ranged reads prune years
-    return spark.createDataFrame(stock_prices_pdf(n_days)).withColumn(
+    return spark.createDataFrame(stock_prices_pdf(n_days, tickers)).withColumn(
         "year", F.year("date")
     )
 
@@ -153,8 +175,10 @@ def load_etf_prices(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
     return spark.createDataFrame(etf_prices_pdf(n_days)).withColumn("year", F.year("date"))
 
 
-def load_universe(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
-    return spark.createDataFrame(universe_pdf(n_days))
+def load_universe(
+    spark: SparkSession, n_days: int = N_DAYS, tickers: list[str] | None = None
+) -> DataFrame:
+    return spark.createDataFrame(universe_pdf(n_days, tickers))
 
 
 def load_constituent_changes(spark: SparkSession, n_days: int = N_DAYS) -> DataFrame:
