@@ -217,3 +217,33 @@ def test_ewma_explicit_n_buckets_skips_count(spark):
         .collect()
     )
     assert [r.e for r in base] == [r.e for r in forced]
+
+
+def test_ewma_auto_buckets_two_tier():
+    """The free byte estimate must avoid the count job for inputs that
+    cannot exceed the per-bucket budget; large or unknown estimates pay
+    one count and size by rows."""
+    from nt_data_pipelines_spark.operators.ewma import (
+        _EST_BYTES_PER_BUCKET,
+        _auto_buckets,
+    )
+
+    def boom():
+        raise AssertionError("count job must not run on the cheap path")
+
+    # small estimate: conf buckets, no count
+    assert _auto_buckets(8, 10_000_000, boom) == 8
+    assert _auto_buckets(8, 8 * _EST_BYTES_PER_BUCKET, boom) == 8
+    # big estimate or unknown: count runs and rows govern
+    assert _auto_buckets(2, 8 * _EST_BYTES_PER_BUCKET + 1, lambda: 50_000_000) == 10
+    assert _auto_buckets(2, None, lambda: 50_000_000) == 10
+    assert _auto_buckets(200, None, lambda: 50_000_000) == 200
+
+
+def test_ewma_estimated_bytes_real_scan(spark):
+    from nt_data_pipelines_spark.operators.ewma import _estimated_bytes
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    est = _estimated_bytes(ev.select("user_id", "value"))
+    assert est is not None and est > 0
