@@ -13,9 +13,10 @@ This module retires the ledger.  The order is *computed* from the
 1. **never-verified** queries (no green driver row in any artifact),
    in registration order — a new query must earn its first row before
    any regression canary re-runs;
-2. **code-changed** queries (``CODE_CHANGED_THIS_ROUND`` — a small,
-   explicit per-round set naming operators whose semantics changed and
-   therefore need a fresh row), stalest first;
+2. **code-changed** queries (``CODE_CHANGED`` — an explicit map of
+   query name to the round its semantics changed; fronted only until a
+   green row at or after that round lands, then self-cleaning), stalest
+   first;
 3. everything else by **ascending freshest-green round** (stalest
    first), ties broken by registration order.
 
@@ -43,26 +44,26 @@ import re
 
 DRIVER_SLOTS = 50
 
-#: Queries whose Spark-side code (or oracle) changed this round and
-#: therefore need a fresh driver row even though an older green row
-#: exists.  Reset at the start of each round; add names as operators
-#: are touched, then re-run scripts/gen_driver_priority.py.
-CODE_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        # round 11: EWMA bucket sizing decoupled from shuffle.partitions
-        "w4_ewma_halflife",
-        # round 11: HLL skips the corpus-wide distinct when include_exact=False
-        "a_hll_distinct",
-        # round 11: ks_drift_by_group null-guard for single-group inputs
-        "a_ks_drift",
-        # round 11: numeric_band_join fan-out widened/documented
-        "j_band_join",
-        # round 11: nearest_value_join window now includes left_val
-        "j_nearest_balance",
-        # round 11: pairwise_corr positional internal aliases
-        "a_corr_matrix",
-    }
-)
+#: Queries whose Spark-side code (or oracle) changed, mapped to the
+#: round the change landed.  A name is fronted for re-verification
+#: only while its freshest green row PREDATES that round — once the
+#: driver writes a row at or after it, the entry self-cleans (so a
+#: forgotten removal cannot crowd later rotations).  Add names as
+#: operators are touched, then re-run scripts/gen_driver_priority.py.
+CODE_CHANGED: dict[str, int] = {
+    # round 11: EWMA bucket sizing decoupled from shuffle.partitions
+    "w4_ewma_halflife": 11,
+    # round 11: HLL skips the corpus-wide distinct when include_exact=False
+    "a_hll_distinct": 11,
+    # round 11: ks_drift_by_group null-guard for single-group inputs
+    "a_ks_drift": 11,
+    # round 11: numeric_band_join fan-out widened/documented
+    "j_band_join": 11,
+    # round 11: nearest_value_join window now includes left_val
+    "j_nearest_balance": 11,
+    # round 11: pairwise_corr positional internal aliases
+    "a_corr_matrix": 11,
+}
 
 
 def _repo_root() -> str:
@@ -99,11 +100,12 @@ def compute_driver_priority(
     registration_order: list[str],
     has_oracle: dict[str, bool],
     repo_root: str | None = None,
-    code_changed: frozenset[str] = CODE_CHANGED_THIS_ROUND,
+    code_changed: dict[str, int] | None = None,
     slots: int = DRIVER_SLOTS,
 ) -> list[str]:
     """Staleness-first fronting order, truncated to the driver window."""
     freshest = freshest_green_rounds(repo_root)
+    changed = CODE_CHANGED if code_changed is None else code_changed
 
     def key(item: tuple[int, str]) -> tuple[int, int, int]:
         idx, name = item
@@ -111,7 +113,7 @@ def compute_driver_priority(
             return (3, 0, idx)  # no_oracle: a wasted slot — never front
         if name not in freshest:
             return (0, 0, idx)  # never verified: earn the first row
-        if name in code_changed:
+        if freshest[name] < changed.get(name, -1):
             return (1, freshest[name], idx)  # semantics changed: re-verify
         return (2, freshest[name], idx)  # stalest green first
 

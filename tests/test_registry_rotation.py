@@ -61,7 +61,7 @@ def test_never_verified_queries_are_fronted_first():
 def test_driver_priority_matches_computed_order():
     """The snapshot in plans/_driver_priority.py must equal the order
     computed from the CORRECTNESS artifacts (plans/rotation.py) —
-    registering a query or touching CODE_CHANGED_THIS_ROUND without
+    registering a query or touching rotation.CODE_CHANGED without
     re-running scripts/gen_driver_priority.py fails here instead of
     silently aging the rotation (VERDICT r10 #1)."""
     import __spark_entry__  # noqa: F401  (populates REGISTRY)
