@@ -654,6 +654,11 @@ def main() -> None:
     )
     duck_headline_total = round(sum(duck_headline_t.values()), 4)
 
+    headline_ratio = (
+        round(sum(timings.values()) / duck_headline_total, 4)
+        if duck_headline_total
+        else None
+    )
     out = {
         "metric": "headline_median_total",
         "value": round(sum(timings.values()), 4),
@@ -662,17 +667,24 @@ def main() -> None:
         "queries_spread": spread,
         "duckdb_value": duck_headline_total,
         "duckdb_queries": duck_headline_t,
-        "ratio_vs_duckdb": (
-            round(sum(timings.values()) / duck_headline_total, 4)
-            if duck_headline_total
-            else None
-        ),
+        "ratio_vs_duckdb": headline_ratio,
         "ratio_vs_duckdb_queries": {
             k: round(timings[k] / duck_headline_t[k], 4) if duck_headline_t[k] else None
             for k in timings
         },
         "sf": sf,
     }
+    if sf >= 1.0:
+        # A bench invocation targeting sf>=1 DIRECTLY skips that dir in
+        # the scaled-blocks loop below, so the acceptance gate
+        # (BASELINE.md round-11 addendum) must be evaluated on the
+        # headline's own same-run ratio or the dedicated sf1 run would
+        # carry no verdict.
+        out["gate"] = {
+            "threshold": 2.0,
+            "ratio": headline_ratio,
+            "pass": bool(headline_ratio is not None and headline_ratio <= 2.0),
+        }
     # Scaled production-config results — one block per benchdata/sf*
     # dir, so the artifact carries the whole scaling curve. Skip any
     # dir this invocation already targets explicitly.
@@ -739,6 +751,8 @@ def main() -> None:
             "sf",
         )
     }
+    if "gate" in out:
+        slim["gate"] = out["gate"]
     if "dag_e2e" in out:
         slim["dag_e2e"] = {
             k: out["dag_e2e"][k] for k in ("backfill_secs", "daily_secs", "opt_dates")

@@ -100,11 +100,26 @@ def _auto_buckets(conf_partitions: int, est_bytes: int | None, count_rows) -> in
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
-    """Catalyst sizeInBytes for the plan — free (no job), order-of-
-    magnitude accurate for file scans."""
+    """Sum of the plan's LEAF sizeInBytes — free (no job), honest for
+    file scans and local relations.
+
+    The ROOT estimate is useless here: Catalyst estimates an inner
+    join's size as the PRODUCT of its children (verified live: a
+    1000x1000-row join estimates 460 MB), so any join in the lineage
+    would blow the budget and force the count job — which re-executes
+    the whole upstream (including pandas kernels) once at plan-build
+    time. Leaf sizes bound the SCANNED data instead; enrichment joins
+    in the quant pipelines are ~1:1, so scanned bytes track the
+    kernel's input within a small factor. Inputs that genuinely
+    explode past the leaves are exactly the ones where one count job
+    is amortized by the grouped map it sizes.
+    """
     try:
-        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        return int(str(size))  # py4j yields int or a BigInt JavaObject
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(str(leaves.apply(i).stats().sizeInBytes()))
+        return total
     except Exception:  # noqa: BLE001 — any py4j/analysis hiccup => unknown
         return None
 
@@ -133,6 +148,8 @@ def _ewm_grouped(
     The bucket column exists only inside the kernel; ``dropna=False``
     keeps null keys (pandas drops them by default, Spark never does).
     """
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     slim = _slim(df, keys, order, [v for v, _ in outputs])
     out_schema = T.StructType(
         slim.schema.fields + [T.StructField(o, T.DoubleType()) for _, o in outputs]

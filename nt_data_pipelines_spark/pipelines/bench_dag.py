@@ -49,6 +49,15 @@ def run_dag_benchmark(
 ) -> dict:
     """Backfill + one daily tick on a scaled panel; returns wall times
     and invariant measurements. Raises AssertionError on violation."""
+    from nt_data_pipelines_spark.session import default_parallelism
+
+    # Pin the production config here rather than inheriting whatever
+    # the previous bench block (or a latency-profile session) left
+    # behind — the tracked wall times must be comparable across
+    # environments.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+
     tickers = [f"B{i:03d}" for i in range(n_tickers)]
     cat = Catalog(spark, lake_dir)
     ensure_tables(cat)

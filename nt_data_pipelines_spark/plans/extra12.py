@@ -192,15 +192,19 @@ def a_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum CROSS JOIN grand
     )
     SELECT g AS source, ng AS n_rows,
-           CAST(MAX(num) AS DOUBLE)
-             / CAST(CAST(ng AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0))
-                    AS DOUBLE) AS ks_stat
+           -- mirror the operator's single-group guard: no comparison
+           -- population (nr = 0) => NULL, never a 0/0 NaN
+           CASE WHEN nr > 0 THEN
+             CAST(MAX(num) AS DOUBLE)
+               / CAST(CAST(ng AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0))
+                      AS DOUBLE)
+           END AS ks_stat
     FROM scored GROUP BY g, ng, nr
     """,
     doc="Per-source two-sample Kolmogorov-Smirnov drift of the doc-"
     "length distribution vs the rest of the corpus; the ECDF gap is "
     "maximized over exact cross-multiplied integers (decimal 19x19), "
-    "one final division.",
+    "one final division (NULL for a single-group corpus).",
 )
 def a_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.drift import ks_drift_by_group

@@ -32,7 +32,8 @@ from nt_data_pipelines_spark.sources.testdata import load_table
     doc="Numeric band join: supplier-customer account-balance matches "
     "within +-5.00. A raw abs(a-b)<=d predicate plans as a nested-loop "
     "join (O(n*m) compares); blocking on floor(val/delta) makes it an "
-    "equi-join with a fixed 3x left fan-out and an exact re-filter — "
+    "equi-join with a fixed 5x left fan-out (+-2 buckets: the IEEE "
+    "recall margin) and an exact re-filter — "
     "the shuffle stays linear at any scale. The gap is row-level IEEE "
     "arithmetic (exact, no rounding machinery).",
 )

@@ -14,7 +14,8 @@ import glob
 import json
 import os
 
-DRIVER_SLOTS = 50
+from nt_data_pipelines_spark.plans.rotation import DRIVER_SLOTS
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
