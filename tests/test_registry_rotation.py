@@ -108,3 +108,14 @@ def test_driver_priority_names_exist():
         f"{len(DRIVER_PRIORITY)} entries for {DRIVER_SLOTS} driver slots: "
         f"overflow {DRIVER_PRIORITY[DRIVER_SLOTS:]}"
     )
+
+
+def test_no_oracle_less_query_occupies_a_driver_slot():
+    """An oracle-less registration in the window records err:no_oracle
+    — a wasted slot (observed round 9). rotation sorts them last; pin
+    it on the actual queries() ordering the driver consumes."""
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    wasted = [n for n in _registry_names()[:DRIVER_SLOTS] if n not in oracles]
+    assert not wasted, f"oracle-less queries inside the driver window: {wasted}"
