@@ -119,3 +119,56 @@ def test_no_oracle_less_query_occupies_a_driver_slot():
     oracles = E.oracle_sql()
     wasted = [n for n in _registry_names()[:DRIVER_SLOTS] if n not in oracles]
     assert not wasted, f"oracle-less queries inside the driver window: {wasted}"
+
+
+def test_compute_priority_ordering_properties_random():
+    """Property check on the pure ordering function: for arbitrary
+    artifact states, never-verified precede code-changed precede
+    stale-green, staleness is non-increasing within the green tier,
+    and oracle-less names never enter the window."""
+    import random
+
+    from nt_data_pipelines_spark.plans.rotation import compute_driver_priority
+
+    rng = random.Random(7)
+    for _ in range(25):
+        names = [f"q{i:03d}" for i in range(rng.randint(5, 120))]
+        has_oracle = {n: rng.random() > 0.05 for n in names}
+        freshest = {n: rng.randint(1, 10) for n in names if rng.random() > 0.2}
+        changed = {
+            n: freshest[n] + 1
+            for n in rng.sample(sorted(freshest), k=min(4, len(freshest)))
+        }
+        slots = rng.choice([5, 20, 50])
+
+        import nt_data_pipelines_spark.plans.rotation as R
+
+        orig = R.freshest_green_rounds
+        R.freshest_green_rounds = lambda _=None: dict(freshest)
+        try:
+            out = compute_driver_priority(
+                names, has_oracle, code_changed=changed, slots=slots
+            )
+        finally:
+            R.freshest_green_rounds = orig
+
+        assert len(out) == min(slots, len(names))
+        assert len(set(out)) == len(out)
+
+        def tier(n):
+            if not has_oracle[n]:
+                return 3
+            if n not in freshest:
+                return 0
+            if freshest[n] < changed.get(n, -1):
+                return 1
+            return 2
+
+        tiers = [tier(n) for n in out]
+        assert tiers == sorted(tiers), "tier ordering violated"
+        greens = [freshest[n] for n in out if tier(n) == 2]
+        assert greens == sorted(greens), "staleness ordering violated"
+        # an oracle-less name may appear only if every eligible name fit
+        eligible = sum(1 for n in names if tier(n) < 3)
+        if eligible >= slots:
+            assert all(tier(n) < 3 for n in out)
