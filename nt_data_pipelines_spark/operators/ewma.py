@@ -25,6 +25,7 @@ Arrow-batched grouped map.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pandas as pd
@@ -87,16 +88,52 @@ def _n_buckets(conf_partitions: int, n_rows: int) -> int:
 _EST_BYTES_PER_BUCKET = 128 * 1024 * 1024
 
 
-def _auto_buckets(conf_partitions: int, est_bytes: int | None, count_rows) -> int:
+def _auto_buckets(
+    conf_partitions: int,
+    est_bytes: int | None,
+    count_rows,
+    grows_rows: bool = False,
+    scan_fanout: float | None = None,
+) -> int:
     """Two-tier sizing: the free Catalyst byte estimate decides whether
     the input can even exceed the per-bucket budget at the session's
     conf; only then is one column-pruned count job paid for an exact
     row figure (measured: an unconditional count cost ~27% on the sf1
     bench kernel). ``count_rows`` is a thunk so the cheap path never
-    runs a job; an unknown estimate falls through to the count."""
-    if est_bytes is not None and est_bytes <= conf_partitions * _EST_BYTES_PER_BUCKET:
-        return conf_partitions
+    runs a job; an unknown estimate falls through to the count.
+
+    Leaf bytes only bound SCANNED data, so when the lineage contains a
+    row-growing node (``grows_rows``: join/explode/expand — ADVICE
+    r11) the cheap path is trusted only if the caller declared a
+    ``scan_fanout`` bound on output-rows-per-scanned-row; undeclared
+    fan-out pays the count rather than risking a multi-GB frame.
+    """
+    if est_bytes is not None:
+        fanout = 1.0 if not grows_rows else scan_fanout
+        if fanout is not None and (
+            est_bytes * fanout <= conf_partitions * _EST_BYTES_PER_BUCKET
+        ):
+            return conf_partitions
     return _n_buckets(conf_partitions, count_rows())
+
+
+#: Optimized-plan node names whose output can exceed the leaf row
+#: count: joins (many:many), Generate (explode/posexplode/inline),
+#: Expand (unpivot/rollup/cube). Matched at line start after the
+#: tree-drawing prefix so column names can't false-positive.
+_ROW_GROWING_NODE_RE = re.compile(r"(?m)^[\s+:*()\d-]*(?:\w*Join|Generate|Expand)\b")
+
+
+def _plan_grows_rows(df: DataFrame) -> bool:
+    """True if the optimized plan contains a node that can emit more
+    rows than the leaves scan (join / generate / expand). A parse
+    failure reports True — the conservative direction (forces the
+    exact count instead of trusting the leaf-byte bound)."""
+    try:
+        plan_str = str(df._jdf.queryExecution().optimizedPlan().toString())
+        return bool(_ROW_GROWING_NODE_RE.search(plan_str))
+    except Exception:  # noqa: BLE001
+        return True
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
@@ -108,11 +145,10 @@ def _estimated_bytes(df: DataFrame) -> int | None:
     1000x1000-row join estimates 460 MB), so any join in the lineage
     would blow the budget and force the count job — which re-executes
     the whole upstream (including pandas kernels) once at plan-build
-    time. Leaf sizes bound the SCANNED data instead; enrichment joins
-    in the quant pipelines are ~1:1, so scanned bytes track the
-    kernel's input within a small factor. Inputs that genuinely
-    explode past the leaves are exactly the ones where one count job
-    is amortized by the grouped map it sizes.
+    time. Leaf sizes bound the SCANNED data instead; whether that
+    bound is trusted for kernel sizing is :func:`_plan_grows_rows`'s
+    call (ADVICE r11: an explode/many:many join upstream grows rows
+    past the leaves, so the leaf sum alone may under-bucket).
     """
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -132,6 +168,7 @@ def _ewm_grouped(
     half_life: float,
     adjust: bool,
     n_buckets: int | None = None,
+    scan_fanout: float | None = None,
 ) -> DataFrame:
     """Shared kernel: EWMA per key group, one grouped map per hash
     BUCKET of keys rather than per key.
@@ -156,7 +193,11 @@ def _ewm_grouped(
     )
     if n_buckets is None:
         n_buckets = _auto_buckets(
-            _conf_partitions(df), _estimated_bytes(slim), slim.count
+            _conf_partitions(df),
+            _estimated_bytes(slim),
+            slim.count,
+            grows_rows=_plan_grows_rows(slim),
+            scan_fanout=scan_fanout,
         )
     bucketed = slim.withColumn(
         "__b", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
@@ -192,17 +233,25 @@ def ewm_mean(
     out_col: str = "ewma",
     adjust: bool = True,
     n_buckets: int | None = None,
+    scan_fanout: float | None = None,
 ) -> DataFrame:
     """EWMA per key group ordered by ``order_by``.
 
     Returns ONLY (partition keys, order keys, ``value_col``,
     ``out_col``) — callers needing other columns join back on
     (keys, order). See :func:`_ewm_grouped` for the kernel shape.
+
+    ``scan_fanout``: caller-declared upper bound on kernel-input rows
+    per scanned leaf row, consulted only when the lineage contains a
+    row-growing node (join/explode/expand). Declare 1.0 for ~1:1
+    enrichment joins, k for a k-way unpivot, etc.; leave ``None`` to
+    pay one exact count job instead (the safe default — ADVICE r11).
     """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
     return _ewm_grouped(
-        df, keys, order, [(value_col, out_col)], half_life, adjust, n_buckets
+        df, keys, order, [(value_col, out_col)], half_life, adjust, n_buckets,
+        scan_fanout,
     )
 
 
@@ -215,15 +264,17 @@ def ewm_mean_many(
     suffix: str = "_ewma",
     adjust: bool = True,
     n_buckets: int | None = None,
+    scan_fanout: float | None = None,
 ) -> DataFrame:
     """EWMA several columns in one grouped-map pass (one shuffle total).
 
     Same slim contract as :func:`ewm_mean`: returns (keys, order,
-    value columns, one ``suffix`` column per value).
+    value columns, one ``suffix`` column per value); ``scan_fanout``
+    as in :func:`ewm_mean`.
     """
     keys = _as_list(partition_by)
     order = _as_list(order_by)
     return _ewm_grouped(
         df, keys, order, [(c, c + suffix) for c in value_cols], half_life, adjust,
-        n_buckets,
+        n_buckets, scan_fanout,
     )

@@ -49,6 +49,8 @@ def estimate_betas(
         value_col="historical_beta",
         half_life=half_life,
         out_col="predicted_beta",
+        # stock x benchmark enrichment join is 1:1 per (ticker, date)
+        scan_fanout=1.0,
     )
     return smoothed.select(
         "ticker",

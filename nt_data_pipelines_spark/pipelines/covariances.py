@@ -68,6 +68,10 @@ def estimate_factor_covariances(
         value_col="cov_raw",
         half_life=half_life,
         out_col="covariance",
+        # pivot first SHRINKS to one row per date, then the k^2-pair
+        # unpivot fans out — net rows per scanned return row stay ~1
+        # for any ticker universe wider than k^2; k^2 is the hard bound
+        scan_fanout=float(len(factors) * len(factors)),
     )
     return smoothed.select(
         "date",

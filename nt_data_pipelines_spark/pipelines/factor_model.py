@@ -94,6 +94,9 @@ def clean_factor_loadings(
         value_col="loading_raw",
         half_life=half_life,
         out_col="loading",
+        # unpivot fans out by exactly len(factors); the enrichment
+        # joins upstream are 1:1, so this bounds rows-per-scanned-row
+        scan_fanout=float(len(factors)),
     )
     return smoothed.select(
         "ticker", "date", F.year("date").cast("int").alias("year"), "factor", "loading"
@@ -117,6 +120,8 @@ def clean_idio_vol(fitted: DataFrame, window: int = WINDOW, half_life: float = H
         value_col="vol_raw",
         half_life=half_life,
         out_col="idio_vol",
+        # fitted's lineage joins are 1:1 per (ticker, date)
+        scan_fanout=1.0,
     )
     return smoothed.select(
         "ticker", "date", F.year("date").cast("int").alias("year"), "idio_vol"

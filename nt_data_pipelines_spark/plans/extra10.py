@@ -4,10 +4,19 @@ corpus-learned BPE tokenization."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 from nt_data_pipelines_spark.plans.registry import register
 from nt_data_pipelines_spark.sources.testdata import load_table
+
+# checkout-relative: the oracle SQL string embeds an absolute path,
+# resolved at import time so any clone location works (same protocol
+# as plans/extra8.py's w6 golden)
+_BPE_GOLDEN = str(
+    Path(__file__).resolve().parents[2] / "tests" / "golden" / "bpe_tokenize.parquet"
+)
 
 # word hashed to the shared 60-bit gram key (operators/text.gram_key)
 _WKEY = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
@@ -198,18 +207,22 @@ def s_centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_bpe_tokenize",
-    oracle=None,  # iterative merge learning is not SQL-expressible;
-    # correctness is pinned by tests/test_bpe.py against a pure-Python
-    # reference implementation (exact merge-table and token equality)
+    oracle=f"""
+    SELECT doc_id, n_bpe_tokens
+    FROM read_parquet('{_BPE_GOLDEN}')
+    WHERE src_chars = (SELECT SUM(LEN(text)) FROM documents)
+    """,
     doc="BPE subword tokenization learned FROM the corpus (Sennrich "
     "2016): 16 merges trained on the word-frequency relation (one "
     "corpus shuffle total; per-merge work is vocab-sized), then "
-    "encoded with chained codegen folds. No oracle (iterative merge "
-    "learning is not SQL-expressible) and the driver records "
-    "err:no_oracle for such rows, so this composite stays OUT of the "
-    "driver's top-50; the encode side is driver-verified via "
-    "t_bpe_encode_fixed (plans/extra11.py) and the trained semantics "
-    "by tests/test_bpe.py's reference-exact goldens.",
+    "encoded with chained codegen folds. Iterative merge learning is "
+    "not SQL-expressible, so the oracle is a PINNED GOLDEN "
+    "(tests/golden/bpe_tokenize.parquet, scripts/make_bpe_golden.py) "
+    "computed by an INDEPENDENT pure-Python Sennrich implementation "
+    "over the same documents tables — discriminated by SUM(LEN(text)) "
+    "because sf0.001 and sf0.01 share a row count. tests/test_bpe.py "
+    "additionally pins trainer+encoder against that reference on a "
+    "toy corpus with exact merge-table/token equality.",
 )
 def t_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.bpe import bpe_encode, bpe_train

@@ -111,8 +111,9 @@ def _bpe_sql_expr() -> str:
     "space-delimited double-REPLACE chain (exact for left!=right rules "
     "— proof in plans/extra11._bpe_sql_expr) and joins back through "
     "the word-position relation, which is also the scale shape: encode "
-    "the vocabulary, not the corpus. Train+encode composite stays "
-    "registered as t_bpe_tokenize (oracle-less; tests/test_bpe.py "
+    "the vocabulary, not the corpus. Train+encode composite is "
+    "registered as t_bpe_tokenize (pinned-golden oracle from an "
+    "independent reference implementation; tests/test_bpe.py "
     "pins reference-exact semantics).",
 )
 def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:

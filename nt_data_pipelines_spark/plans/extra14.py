@@ -13,10 +13,15 @@ from nt_data_pipelines_spark.sources.testdata import load_table
     "j_band_join",
     oracle="""
     WITH l AS (
+      -- +-2 band offsets: MUST mirror numeric_band_join's slack=2
+      -- fan-out exactly, or engine and oracle disagree on the IEEE
+      -- floor-flip corner cases the slack exists to catch (ADVICE r11)
       SELECT s_suppkey, s_acctbal,
-             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
+             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 2,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
                      CAST(FLOOR(s_acctbal / 5.0) AS BIGINT),
-                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1]) AS band
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 2]) AS band
       FROM supplier
     ),
     r AS (
@@ -151,10 +156,13 @@ def a_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j_nearest_balance",
     oracle="""
     WITH l AS (
+      -- +-2 band offsets: mirrors numeric_band_join's slack=2 (ADVICE r11)
       SELECT s_suppkey, s_acctbal,
-             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
+             UNNEST([CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 2,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) - 1,
                      CAST(FLOOR(s_acctbal / 5.0) AS BIGINT),
-                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1]) AS band
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 1,
+                     CAST(FLOOR(s_acctbal / 5.0) AS BIGINT) + 2]) AS band
       FROM supplier
     ),
     r AS (
@@ -170,7 +178,9 @@ def a_quantile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal, band_gap
     FROM m
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY s_suppkey
+    -- partition by (key, val): mirrors nearest_value_join's identity
+    -- contract — a duplicate left key with two values ranks per VALUE
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY s_suppkey, s_acctbal
                                ORDER BY band_gap, c_acctbal, c_custkey) = 1
     """,
     doc="Nearest-match join: for each supplier, the SINGLE closest "

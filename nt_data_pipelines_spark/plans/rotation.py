@@ -30,14 +30,21 @@ weaker rows-only checks.
 
 ``scripts/gen_driver_priority.py`` materializes the computed order
 into ``plans/_driver_priority.py`` so the fronting list is reviewable
-in a diff; ``tests/test_registry_rotation.py`` asserts the snapshot
-equals the computed order, so registering a query without regenerating
-fails CI instead of silently aging the rotation.
+in a diff, together with the **fingerprint of the artifact set it was
+computed from** (filename -> sha256). ``tests/test_registry_rotation.py``
+recomputes against that RECORDED set — not whatever is on disk — so
+registering a query or hand-editing an artifact without regenerating
+fails CI, while the driver landing a NEW ``CORRECTNESS_r*.json``
+after the commit does not (VERDICT r11 #1: the old
+snapshot-equals-disk guard guaranteed a red suite at the start of
+every round). A separate non-fatal check warns when newer artifacts
+exist so the regeneration still happens early each round.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import re
@@ -57,10 +64,10 @@ CODE_CHANGED: dict[str, int] = {
     "a_hll_distinct": 11,
     # round 11: ks_drift_by_group null-guard for single-group inputs
     "a_ks_drift": 11,
-    # round 11: numeric_band_join fan-out widened/documented
-    "j_band_join": 11,
-    # round 11: nearest_value_join window now includes left_val
-    "j_nearest_balance": 11,
+    # round 12: oracle UNNEST widened to +-2 to mirror slack=2 (ADVICE r11)
+    "j_band_join": 12,
+    # round 12: oracle QUALIFY now partitions by (key, val) (ADVICE r11)
+    "j_nearest_balance": 12,
     # round 11: pairwise_corr positional internal aliases
     "a_corr_matrix": 11,
 }
@@ -70,11 +77,42 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def freshest_green_rounds(repo_root: str | None = None) -> dict[str, int]:
-    """Map query name -> latest round with a green driver row."""
+def artifact_files(repo_root: str | None = None) -> list[str]:
+    """Sorted basenames of the CORRECTNESS artifacts on disk."""
+    root = repo_root or _repo_root()
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+
+
+def artifact_fingerprint(
+    repo_root: str | None = None, files: list[str] | None = None
+) -> dict[str, str]:
+    """filename -> sha256 of contents, for the snapshot's recorded set."""
+    root = repo_root or _repo_root()
+    out: dict[str, str] = {}
+    for name in files if files is not None else artifact_files(root):
+        try:
+            with open(os.path.join(root, name), "rb") as f:
+                out[name] = hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            out[name] = "MISSING"
+    return out
+
+
+def freshest_green_rounds(
+    repo_root: str | None = None, files: list[str] | None = None
+) -> dict[str, int]:
+    """Map query name -> latest round with a green driver row.
+
+    ``files`` restricts the scan to a recorded artifact set (snapshot
+    reproducibility); default is every artifact on disk.
+    """
     root = repo_root or _repo_root()
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    names = files if files is not None else artifact_files(root)
+    for path in (os.path.join(root, n) for n in names):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -102,9 +140,10 @@ def compute_driver_priority(
     repo_root: str | None = None,
     code_changed: dict[str, int] | None = None,
     slots: int = DRIVER_SLOTS,
+    files: list[str] | None = None,
 ) -> list[str]:
     """Staleness-first fronting order, truncated to the driver window."""
-    freshest = freshest_green_rounds(repo_root)
+    freshest = freshest_green_rounds(repo_root, files=files)
     changed = CODE_CHANGED if code_changed is None else code_changed
 
     def key(item: tuple[int, str]) -> tuple[int, int, int]:

@@ -247,3 +247,94 @@ def test_ewma_estimated_bytes_real_scan(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     est = _estimated_bytes(ev.select("user_id", "value"))
     assert est is not None and est > 0
+
+
+def test_ewma_auto_buckets_row_growing_lineage():
+    """ADVICE r11: leaf bytes only bound SCANNED data — when the
+    lineage grows rows (join/explode/expand), the cheap path is
+    trusted only with a caller-declared scan_fanout bound; undeclared
+    fan-out must pay the count."""
+    from nt_data_pipelines_spark.operators.ewma import (
+        _EST_BYTES_PER_BUCKET,
+        _auto_buckets,
+    )
+
+    def boom():
+        raise AssertionError("count job must not run on the cheap path")
+
+    small = 10_000_000  # well under 8 * _EST_BYTES_PER_BUCKET
+    # non-growing lineage: estimate trusted as before
+    assert _auto_buckets(8, small, boom, grows_rows=False) == 8
+    # growing lineage, no declared bound: count runs, rows govern
+    assert _auto_buckets(8, small, lambda: 50_000_000, grows_rows=True) == 10
+    # growing lineage, declared bound keeps estimate under budget: cheap
+    assert _auto_buckets(8, small, boom, grows_rows=True, scan_fanout=2.0) == 8
+    # declared bound pushes the estimate OVER budget: count runs
+    big_fanout = (8 * _EST_BYTES_PER_BUCKET / small) + 1
+    assert (
+        _auto_buckets(8, small, lambda: 50_000_000, grows_rows=True,
+                      scan_fanout=big_fanout)
+        == 10
+    )
+    # unknown estimate always counts, growing or not
+    assert _auto_buckets(2, None, lambda: 50_000_000, grows_rows=True) == 10
+
+
+def test_ewma_plan_grows_rows_detection(spark):
+    """_plan_grows_rows must flag joins, explodes and unpivots on real
+    optimized plans, and stay quiet for scan->filter->project."""
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.ewma import _plan_grows_rows
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+
+    linear = ev.select("user_id", "value").filter(F.col("value") > 0)
+    assert not _plan_grows_rows(linear)
+
+    agg = ev.groupBy("user_id").agg(F.sum("value").alias("s"))
+    assert not _plan_grows_rows(agg)
+
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    assert _plan_grows_rows(joined)
+
+    exploded = ev.select("user_id", F.explode(F.array("value", "value")).alias("v"))
+    assert _plan_grows_rows(exploded)
+
+    unpivoted = cust.select("c_custkey", "c_acctbal", "c_nationkey").unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="k",
+        valueColumnName="v",
+    )
+    assert _plan_grows_rows(unpivoted)
+
+
+def test_ewma_values_identical_on_join_lineage(spark):
+    """End-to-end: a join in the lineage changes only the bucket
+    sizing path, never the math — with and without scan_fanout the
+    EWMA values match the no-join baseline."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b"] * 30,
+            "t": list(range(30)) * 2,
+            "x": [float(i) for i in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    dim = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "w": [1.0, 1.0]}))
+    joined = df.join(dim, "k").withColumn("x", df.x * F.col("w"))
+
+    base = ewm_mean(df, "k", "t", "x", 20.0, out_col="e").orderBy("k", "t").collect()
+    counted = ewm_mean(joined, "k", "t", "x", 20.0, out_col="e")
+    hinted = ewm_mean(
+        joined, "k", "t", "x", 20.0, out_col="e", scan_fanout=1.0
+    )
+    for variant in (counted, hinted):
+        got = variant.orderBy("k", "t").collect()
+        assert [r.e for r in got] == [r.e for r in base]

@@ -61,13 +61,17 @@ def test_never_verified_queries_are_fronted_first():
 
 def test_driver_priority_matches_computed_order():
     """The snapshot in plans/_driver_priority.py must equal the order
-    computed from the CORRECTNESS artifacts (plans/rotation.py) —
+    computed from its RECORDED artifact set (plans/rotation.py) —
     registering a query or touching rotation.CODE_CHANGED without
     re-running scripts/gen_driver_priority.py fails here instead of
-    silently aging the rotation (VERDICT r10 #1)."""
+    silently aging the rotation (VERDICT r10 #1). Recomputing against
+    the recorded set, not the disk glob, means the driver landing a
+    new CORRECTNESS artifact after the commit cannot redden the suite
+    (VERDICT r11 #1) — that case only warns (see the next test)."""
     import __spark_entry__  # noqa: F401  (populates REGISTRY)
 
     from nt_data_pipelines_spark.plans import REGISTRY
+    from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
     from nt_data_pipelines_spark.plans.registry import DRIVER_PRIORITY
     from nt_data_pipelines_spark.plans.rotation import compute_driver_priority
 
@@ -75,23 +79,72 @@ def test_driver_priority_matches_computed_order():
         list(REGISTRY),
         {n: s.oracle is not None for n, s in REGISTRY.items()},
         repo_root=REPO,
+        files=sorted(ARTIFACT_SET),
     )
     assert DRIVER_PRIORITY == computed, (
         "snapshot is stale — run scripts/gen_driver_priority.py"
     )
 
 
-def test_r7_stale_cohort_fully_fronted():
-    """Round-11 acceptance bar (VERDICT r10 #1): every query whose
-    freshest green row predates r8 must sit inside the driver's 50
-    slots this round."""
+def test_recorded_artifacts_unmodified():
+    """A recorded artifact whose on-disk sha256 changed means someone
+    edited driver output — fatal (the snapshot's inputs are no longer
+    what it claims). A missing recorded artifact is equally fatal."""
+    from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
+    from nt_data_pipelines_spark.plans.rotation import artifact_fingerprint
+
+    on_disk = artifact_fingerprint(REPO, files=sorted(ARTIFACT_SET))
+    diverged = {n for n in ARTIFACT_SET if on_disk.get(n) != ARTIFACT_SET[n]}
+    assert not diverged, (
+        f"recorded CORRECTNESS artifacts changed on disk: {sorted(diverged)} — "
+        "driver artifacts are append-only; if intentional, re-run "
+        "scripts/gen_driver_priority.py"
+    )
+
+
+def test_newer_artifacts_warn_not_fail():
+    """Artifacts on disk that postdate the snapshot's recorded set are
+    expected mid-round (the driver writes after the commit) — emit a
+    loud regenerate warning, never a failure."""
+    import warnings
+
+    from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
+    from nt_data_pipelines_spark.plans.rotation import artifact_files
+
+    newer = sorted(set(artifact_files(REPO)) - set(ARTIFACT_SET))
+    if newer:
+        warnings.warn(
+            f"CORRECTNESS artifacts newer than the rotation snapshot: {newer} "
+            "— run scripts/gen_driver_priority.py to refresh the driver "
+            "fronting order for the next round",
+            stacklevel=1,
+        )
+
+
+def test_stale_cohort_fully_fronted():
+    """Rolling acceptance bar (VERDICT r10 #1 / r11): relative to the
+    snapshot's recorded artifact set, every query whose freshest green
+    row is >= 3 rounds older than the newest recorded round must sit
+    inside the driver's slots — staleness stays structurally bounded
+    as rounds advance."""
+    import re as _re
+
+    from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
     from nt_data_pipelines_spark.plans.rotation import freshest_green_rounds
 
+    rounds = [
+        int(m.group(1))
+        for m in (_re.search(r"r(\d+)", n) for n in ARTIFACT_SET)
+        if m
+    ]
+    bar = max(rounds) - 2  # freshest < bar means >= 3 rounds stale
     names = _registry_names()
     fronted = set(names[:DRIVER_SLOTS])
-    freshest = freshest_green_rounds(REPO)
-    overdue = [n for n, r in freshest.items() if r < 8 and n not in fronted]
-    assert not overdue, f"pre-r8-stale queries outside the driver window: {overdue}"
+    freshest = freshest_green_rounds(REPO, files=sorted(ARTIFACT_SET))
+    overdue = [n for n, r in freshest.items() if r < bar and n not in fronted]
+    assert not overdue, (
+        f"pre-r{bar}-stale queries outside the driver window: {overdue}"
+    )
 
 
 def test_driver_priority_names_exist():
@@ -144,7 +197,7 @@ def test_compute_priority_ordering_properties_random():
         import nt_data_pipelines_spark.plans.rotation as R
 
         orig = R.freshest_green_rounds
-        R.freshest_green_rounds = lambda _=None: dict(freshest)
+        R.freshest_green_rounds = lambda _=None, files=None: dict(freshest)
         try:
             out = compute_driver_priority(
                 names, has_oracle, code_changed=changed, slots=slots
