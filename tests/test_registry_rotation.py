@@ -174,6 +174,59 @@ def test_no_oracle_less_query_occupies_a_driver_slot():
     assert not wasted, f"oracle-less queries inside the driver window: {wasted}"
 
 
+def test_new_artifact_after_snapshot_does_not_change_recorded_order(tmp_path):
+    """The r11 failure mode, simulated end-to-end: a snapshot computed
+    from artifact set A must recompute IDENTICALLY after the driver
+    drops a new artifact on disk (recorded-set restriction), while the
+    all-artifacts computation legitimately differs — that difference
+    is what the non-fatal warning flags, never the equality guard."""
+    import json as _json
+
+    from nt_data_pipelines_spark.plans.rotation import (
+        artifact_files,
+        artifact_fingerprint,
+        compute_driver_priority,
+    )
+
+    names = [f"q{i:02d}" for i in range(8)]
+    has_oracle = {n: True for n in names}
+
+    def write_artifact(rnd: int, green: list[str]) -> None:
+        rows = {
+            n: {"rows_match": True, "schema_match": True, "hash_match": True}
+            for n in green
+        }
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(_json.dumps(rows))
+
+    write_artifact(1, names[:4])
+    write_artifact(2, names[4:])
+    recorded = artifact_files(str(tmp_path))
+    fp_before = artifact_fingerprint(str(tmp_path), files=recorded)
+    order_before = compute_driver_priority(
+        names, has_oracle, repo_root=str(tmp_path), code_changed={}, files=recorded
+    )
+
+    # driver lands round 3 AFTER the snapshot commit
+    write_artifact(3, names[:4])
+
+    order_recorded = compute_driver_priority(
+        names, has_oracle, repo_root=str(tmp_path), code_changed={}, files=recorded
+    )
+    assert order_recorded == order_before  # the equality guard stays green
+    assert artifact_fingerprint(str(tmp_path), files=recorded) == fp_before
+    newer = set(artifact_files(str(tmp_path))) - set(recorded)
+    assert newer == {"CORRECTNESS_r03.json"}  # what the warning reports
+    order_all = compute_driver_priority(
+        names, has_oracle, repo_root=str(tmp_path), code_changed={}, files=None
+    )
+    assert order_all != order_before  # regeneration genuinely reorders
+
+    # a recorded artifact EDITED on disk is the fatal case
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({}))
+    fp_after = artifact_fingerprint(str(tmp_path), files=recorded)
+    assert fp_after["CORRECTNESS_r01.json"] != fp_before["CORRECTNESS_r01.json"]
+
+
 def test_compute_priority_ordering_properties_random():
     """Property check on the pure ordering function: for arbitrary
     artifact states, never-verified precede code-changed precede
