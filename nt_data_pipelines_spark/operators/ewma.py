@@ -187,6 +187,10 @@ def _ewm_grouped(
     """
     if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if scan_fanout is not None and not scan_fanout > 0:
+        # 0/negative/NaN would make est_bytes * fanout <= budget hold
+        # vacuously, silently disabling the row-growth guard
+        raise ValueError(f"scan_fanout must be > 0, got {scan_fanout}")
     slim = _slim(df, keys, order, [v for v, _ in outputs])
     out_schema = T.StructType(
         slim.schema.fields + [T.StructField(o, T.DoubleType()) for _, o in outputs]

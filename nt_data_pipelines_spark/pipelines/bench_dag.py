@@ -101,7 +101,9 @@ def run_dag_benchmark(
     )
     # an empty metrics table aggregates to med=None; fail with the
     # real cause instead of a TypeError in the band compare below
-    assert risk.med is not None, "portfolio_metrics is empty"
+    # (explicit raise, not assert: must survive python -O)
+    if risk.med is None:
+        raise AssertionError("portfolio_metrics is empty")
     # the line-search stops within LAMBDA_TOL after <= LAMBDA_MAX_ITER
     # steps, so individual dates can overshoot; the MEDIAN landing an
     # order of magnitude off target is a solver regression

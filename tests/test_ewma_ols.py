@@ -313,6 +313,21 @@ def test_ewma_plan_grows_rows_detection(spark):
     assert _plan_grows_rows(unpivoted)
 
 
+def test_ewma_scan_fanout_validated(spark):
+    """A non-positive (or NaN) scan_fanout would make the byte-budget
+    compare hold vacuously and silently disable the row-growth guard
+    — must raise instead (review r12)."""
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "t": [0], "x": [1.0]})
+    )
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="scan_fanout"):
+            ewm_mean(df, "k", "t", "x", 20.0, scan_fanout=bad)
+
+
 def test_ewma_values_identical_on_join_lineage(spark):
     """End-to-end: a join in the lineage changes only the bucket
     sizing path, never the math — with and without scan_fanout the

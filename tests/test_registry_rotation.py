@@ -102,23 +102,12 @@ def test_recorded_artifacts_unmodified():
     )
 
 
-def test_newer_artifacts_warn_not_fail():
-    """Artifacts on disk that postdate the snapshot's recorded set are
-    expected mid-round (the driver writes after the commit) — emit a
-    loud regenerate warning, never a failure."""
-    import warnings
-
-    from nt_data_pipelines_spark.plans._driver_priority import ARTIFACT_SET
-    from nt_data_pipelines_spark.plans.rotation import artifact_files
-
-    newer = sorted(set(artifact_files(REPO)) - set(ARTIFACT_SET))
-    if newer:
-        warnings.warn(
-            f"CORRECTNESS artifacts newer than the rotation snapshot: {newer} "
-            "— run scripts/gen_driver_priority.py to refresh the driver "
-            "fronting order for the next round",
-            stacklevel=1,
-        )
+# Artifacts on disk that postdate the snapshot's recorded set are the
+# EXPECTED state mid-round (the driver writes after the commit) — the
+# regenerate notice is emitted by conftest.pytest_terminal_summary,
+# not a test: a warning-based test would turn fatal under a future
+# `filterwarnings = error` hardening, recreating the red-suite-every-
+# round coupling the recorded-set design eliminates (review r12).
 
 
 def test_stale_cohort_fully_fronted():
