@@ -25,7 +25,6 @@ Arrow-batched grouped map.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Sequence
 
 import pandas as pd
@@ -118,20 +117,42 @@ def _auto_buckets(
 
 
 #: Optimized-plan node names whose output can exceed the leaf row
-#: count: joins (many:many), Generate (explode/posexplode/inline),
-#: Expand (unpivot/rollup/cube). Matched at line start after the
-#: tree-drawing prefix so column names can't false-positive.
-_ROW_GROWING_NODE_RE = re.compile(r"(?m)^[\s+:*()\d-]*(?:\w*Join|Generate|Expand)\b")
+#: count. Exact names: Generate (explode/posexplode/inline), Expand
+#: (unpivot/rollup/cube). Suffix "Join" covers every logical join
+#: (many:many). Prefixes cover the Python eval nodes whose output
+#: cardinality is arbitrary (a grouped map may emit any number of
+#: rows per group): FlatMapGroupsInPandas/Arrow, FlatMapCoGroupsIn*,
+#: FlatMapGroupsWithState, MapInPandas/PythonMapInArrow.
+_GROWING_EXACT = frozenset({"Generate", "Expand"})
+_GROWING_PREFIXES = ("FlatMap", "MapIn", "PythonMapIn")
+
+
+def _node_grows(node_name: str) -> bool:
+    return (
+        node_name in _GROWING_EXACT
+        or node_name.endswith("Join")
+        or node_name.startswith(_GROWING_PREFIXES)
+    )
 
 
 def _plan_grows_rows(df: DataFrame) -> bool:
     """True if the optimized plan contains a node that can emit more
-    rows than the leaves scan (join / generate / expand). A parse
-    failure reports True — the conservative direction (forces the
-    exact count instead of trusting the leaf-byte bound)."""
+    rows than the leaves scan (join / generate / expand / Python
+    grouped-or-mapped eval). Walks the logical tree and matches exact
+    node names — a column literally named "Join" can't false-positive
+    the way plan-string grepping could. Any py4j/analysis failure
+    reports True, the conservative direction (forces the exact count
+    instead of trusting the leaf-byte bound)."""
     try:
-        plan_str = str(df._jdf.queryExecution().optimizedPlan().toString())
-        return bool(_ROW_GROWING_NODE_RE.search(plan_str))
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if _node_grows(str(node.nodeName())):
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
     except Exception:  # noqa: BLE001
         return True
 

@@ -312,6 +312,19 @@ def test_ewma_plan_grows_rows_detection(spark):
     )
     assert _plan_grows_rows(unpivoted)
 
+    # a grouped map can emit ANY number of rows per group — its output
+    # is not bounded by the leaves either (tree-walk upgrade, r12)
+    import pandas as pd
+
+    grouped_map = ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        lambda pdf: pdf, schema="user_id long, value double"
+    )
+    assert _plan_grows_rows(grouped_map)
+
+    # a column literally named "Join" must not false-positive
+    named_join = ev.select("user_id", F.col("value").alias("Join"))
+    assert not _plan_grows_rows(named_join)
+
 
 def test_ewma_scan_fanout_validated(spark):
     """A non-positive (or NaN) scan_fanout would make the byte-budget
