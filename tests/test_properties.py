@@ -316,3 +316,83 @@ def test_pps_sample_invariants(spark, weights, m):
         for r in pps_systematic_sample(df.repartition(5), "doc_id", "w", m).collect()
     }
     assert re_got == got
+
+
+# Band/nearest joins: adversarial floats cluster near multiples of
+# delta (the floor-flip boundary the +-2 slack exists for), mixed
+# with uniform draws and negatives.
+_DELTA = 5.0
+_BAND_VALS = st.one_of(
+    st.integers(min_value=-40, max_value=40).map(
+        # values an ulp's nudge around k*delta: floor(v/delta) can
+        # land on either side, exactly the recall corner case
+        lambda k: k * _DELTA + (1e-9 if k % 2 == 0 else -1e-9)
+    ),
+    st.floats(min_value=-200.0, max_value=200.0, allow_nan=False, width=32),
+)
+_BAND_SETS = st.tuples(
+    st.lists(_BAND_VALS, min_size=1, max_size=18),
+    st.lists(_BAND_VALS, min_size=1, max_size=18),
+)
+
+
+@given(sets=_BAND_SETS)
+@settings(**_SETTINGS)
+def test_band_join_recall_equals_brute_force(spark, sets):
+    """For ANY float inputs (including values straddling bucket
+    boundaries), numeric_band_join's pair set must equal the O(n*m)
+    brute-force |a-b| <= delta set — the exact-recall contract the
+    +-2 slack claims (docstring: exact for |val|/delta < 2^51)."""
+    from nt_data_pipelines_spark.operators.interval import numeric_band_join
+
+    lvals, rvals = sets
+    left = spark.createDataFrame(list(enumerate(lvals)), "lid long, lv double")
+    right = spark.createDataFrame(list(enumerate(rvals)), "rid long, rv double")
+    rows = numeric_band_join(left, right, "lv", "rv", _DELTA).collect()
+    got = {(r["lid"], r["rid"]) for r in rows}
+    expect = {
+        (li, ri)
+        for li, a in enumerate(lvals)
+        for ri, b in enumerate(rvals)
+        if abs(a - b) <= _DELTA
+    }
+    assert got == expect
+    # and the reported gap is the row-level IEEE difference, exact
+    for r in rows:
+        assert r["band_gap"] == abs(lvals[r["lid"]] - rvals[r["rid"]])
+
+
+@given(sets=_BAND_SETS)
+@settings(**_SETTINGS)
+def test_nearest_join_equals_brute_force_with_duplicate_keys(spark, sets):
+    """nearest_value_join resolves per (left_key, left_value) row to
+    the brute-force argmin by (gap, right_val, right_key) — pinned
+    WITH duplicate left keys carrying different values, the case the
+    r12 oracle fix mirrors (rank partitions by key AND value)."""
+    from nt_data_pipelines_spark.operators.interval import nearest_value_join
+
+    lvals, rvals = sets
+    # duplicate every left key across two values: key i holds
+    # lvals[i] AND (when available) lvals[i+1]
+    lrows = [(i, v) for i, v in enumerate(lvals)] + [
+        (i, lvals[i + 1]) for i in range(len(lvals) - 1)
+    ]
+    # drop (key, value) duplicates the construction can produce —
+    # identical rows collapse to one output row by the contract
+    lrows = sorted(set(lrows))
+    left = spark.createDataFrame(lrows, "lk long, lv double")
+    right = spark.createDataFrame(list(enumerate(rvals)), "rk long, rv double")
+    rows = nearest_value_join(left, right, "lk", "lv", "rk", "rv", _DELTA).collect()
+    got = {(r["lk"], r["lv"]): (r["rk"], r["rv"]) for r in rows}
+    assert len(rows) == len(got), "one output row per (key, value)"
+    for lk, lv in lrows:
+        cands = [
+            (abs(lv - rv), rv, rk)
+            for rk, rv in enumerate(rvals)
+            if abs(lv - rv) <= _DELTA
+        ]
+        if not cands:
+            assert (lk, lv) not in got
+        else:
+            gap, rv, rk = min(cands)
+            assert got[(lk, lv)] == (rk, rv), (lk, lv, cands)
