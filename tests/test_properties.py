@@ -396,3 +396,100 @@ def test_nearest_join_equals_brute_force_with_duplicate_keys(spark, sets):
         else:
             gap, rv, rk = min(cands)
             assert got[(lk, lv)] == (rk, rv), (lk, lv, cands)
+
+
+# As-of join vs pandas merge_asof: random multi-key event streams,
+# both directions, with and without tolerance — ties (equal
+# timestamps on either side) included deliberately via the small
+# second-offset domain.
+_ASOF_CASE = st.tuples(
+    st.lists(  # left: (key, second offset)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 10.0]),
+)
+
+
+@given(case=_ASOF_CASE)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_randomized(spark, case):
+    """For ANY keyed event streams (duplicate timestamps allowed on
+    the RIGHT side; pandas rejects them on the left), both directions
+    and an optional tolerance, asof_join's carried value must equal
+    pd.merge_asof on the same frames."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.asof import asof_join
+
+    lrows, rrows, direction, tol = case
+    base = _dt.datetime(2024, 1, 1)
+    # pandas merge_asof requires strictly sorted 'on' per frame and
+    # no duplicate left timestamps WITHIN a by-group for a stable
+    # compare: dedupe left on (key, ts), keep right duplicates (the
+    # tie contract is exercised by equal left/right stamps instead)
+    lrows = sorted(set(lrows))
+    rrows = sorted(rrows)
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in lrows],
+            "ts": [base + _dt.timedelta(seconds=s) for _, s in lrows],
+            "x": [float(i) for i in range(len(lrows))],
+        }
+    ).sort_values(["ts", "k"], kind="mergesort").reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rrows],
+            "ts": [base + _dt.timedelta(seconds=s) for _, s in rrows],
+            "y": [float(i) for i in range(len(rrows))],
+        }
+    ).sort_values(["ts", "k"], kind="mergesort").reset_index(drop=True)
+    # pandas keeps the LAST right row on duplicate (key, ts) for
+    # backward; our operator pins the same tie rule (test_asof.py) —
+    # dedupe right per (k, ts) keeping the max y to make the compare
+    # well-defined under BOTH engines' tie rules
+    rpdf = rpdf.groupby(["k", "ts"], as_index=False).agg({"y": "max"})
+    rpdf = rpdf.sort_values(["ts", "k"], kind="mergesort").reset_index(drop=True)
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance_seconds=tol,
+        )
+        .orderBy("ts", "k")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        lpdf,
+        rpdf,
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    ).sort_values(["ts", "k"], kind="mergesort")
+    lhs = got.sort_values(["ts", "k"], kind="mergesort")["right_y"].to_numpy()
+    rhs = want["y"].to_numpy()
+    assert ((lhs == rhs) | (pd.isna(lhs) & pd.isna(rhs))).all(), (
+        direction,
+        tol,
+        list(zip(lhs, rhs)),
+    )
