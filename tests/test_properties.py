@@ -493,3 +493,39 @@ def test_asof_join_matches_pandas_randomized(spark, case):
         tol,
         list(zip(lhs, rhs)),
     )
+
+
+# Connected components: random multigraphs over a small id space so
+# clusters merge through duplicate edges, self-loops and cross-links
+# — the adversarial interleavings for min-label + pointer jumping.
+_CC_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(edges=_CC_EDGES)
+@settings(**_SETTINGS)
+def test_distributed_cc_equals_union_find_on_random_graphs(spark, edges):
+    """resolve_dup_groups_distributed (the 100-TB min-label +
+    pointer-jumping path) must produce EXACTLY the driver union-find's
+    (node, canonical_id) mapping on ANY multigraph — self-loops,
+    duplicate/reversed edges and chains merged mid-round included."""
+    from nt_data_pipelines_spark.operators.dedup import (
+        resolve_dup_groups,
+        resolve_dup_groups_distributed,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {
+        r["doc_id"]: r["canonical_id"] for r in resolve_dup_groups(pairs).collect()
+    }
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_dup_groups_distributed(pairs).collect()
+    }
+    assert got == want
