@@ -52,10 +52,11 @@ def pct_change(
     ``pct_change().over("ticker")`` then ``drop_nulls``).
 
     ``zero_base`` picks the semantics for a zero previous value:
-    "inf" (default) matches Polars float division (x/0 -> +-inf,
-    0/0 -> NaN; the row survives drop_nulls), "null" matches SQL
-    engines (DuckDB x/0 -> NULL; the row is dropped) — the oracle-
-    paired query uses "null".
+    "inf" (default) matches Polars/IEEE float division (x/0 -> +-inf
+    with the SIGN of both operands honored — x/-0.0 flips it, as
+    IEEE-754 defines; 0/0 -> NaN; the row survives drop_nulls),
+    "null" matches SQL engines (DuckDB x/0 -> NULL; the row is
+    dropped) — the oracle-paired query uses "null".
     """
     w = keyed_window(partition_by, order_by)
     prev = F.lag(value_col, 1).over(w)
@@ -63,10 +64,16 @@ def pct_change(
         ratio = F.try_divide(F.col(value_col), prev)
     else:
         x = F.col(value_col)
+        # SQL equality folds -0.0 == 0.0 and signum(-0.0) == 0, so the
+        # zero's IEEE sign is only recoverable from its rendering
+        # ("-0.0"); property fuzzing caught the +inf-for-x/-0.0 case
+        zero_sign = F.when(
+            prev.cast("string").startswith("-"), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
         ratio = F.when(prev != 0, x / prev).when(
             prev == 0,
-            F.when(x > 0, F.lit(float("inf")))
-            .when(x < 0, F.lit(float("-inf")))
+            F.when(x > 0, zero_sign * F.lit(float("inf")))
+            .when(x < 0, zero_sign * F.lit(float("-inf")))
             .otherwise(F.lit(float("nan"))),
         )  # prev NULL (first row) -> NULL
     out = df.withColumn(out_col, ratio - 1)

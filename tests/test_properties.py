@@ -529,3 +529,91 @@ def test_distributed_cc_equals_union_find_on_random_graphs(spark, edges):
         for r in resolve_dup_groups_distributed(pairs).collect()
     }
     assert got == want
+
+
+# Rolling-window kernels vs pandas on random keyed series: the W1-W3
+# quant surface already has fixed goldens; this closes the randomized
+# tier (full-window gating, ddof=1, per-key isolation, null seams).
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(rows=_SERIES, window=st.sampled_from([2, 3, 5]))
+@settings(**_SETTINGS)
+def test_rolling_sum_std_match_pandas_randomized(spark, rows, window):
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import rolling_std, rolling_sum
+
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rows],
+            "t": list(range(len(rows))),
+            "x": [v for _, v in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling_std(
+            rolling_sum(df, "k", "t", "x", window, out_col="rs"),
+            "k",
+            "t",
+            "x",
+            window,
+            out_col="rstd",
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    g = pdf.sort_values(["k", "t"], kind="mergesort").groupby("k")["x"]
+    want_rs = g.rolling(window, min_periods=window).sum().reset_index(drop=True)
+    want_rstd = g.rolling(window, min_periods=window).std(ddof=1).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["rs"].to_numpy(dtype=float), want_rs.to_numpy(dtype=float),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["rstd"].to_numpy(dtype=float), want_rstd.to_numpy(dtype=float),
+        rtol=1e-7, atol=1e-9, equal_nan=True,
+    )
+
+
+@given(rows=_SERIES)
+@settings(**_SETTINGS)
+def test_pct_change_matches_pandas_randomized(spark, rows):
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import pct_change
+
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rows],
+            "t": list(range(len(rows))),
+            "x": [v for _, v in rows],
+        }
+    )
+    # zero bases make pandas emit inf while the operator's default
+    # zero_base='inf' matches; keep zeros IN deliberately
+    df = spark.createDataFrame(pdf)
+    got = (
+        pct_change(df, "k", "t", "x", drop_null=False)
+        .orderBy("k", "t")
+        .toPandas()["pct_change"]
+        .to_numpy(dtype=float)
+    )
+    want = (
+        pdf.sort_values(["k", "t"], kind="mergesort")
+        .groupby("k")["x"]
+        .pct_change(fill_method=None)
+        .reset_index(drop=True)
+        .to_numpy(dtype=float)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=0, equal_nan=True)
