@@ -617,3 +617,86 @@ def test_pct_change_matches_pandas_randomized(spark, rows):
         .to_numpy(dtype=float)
     )
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=0, equal_nan=True)
+
+
+# EWMA kernel vs pandas on random keyed series WITH nulls: the fixed
+# goldens use one seed; this randomizes keys, values and null seams
+# (adjust=True, ignore_na=False — the Polars-exact contract).
+_EWMA_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        ),
+    ),
+    min_size=2,
+    max_size=50,
+)
+
+
+@given(rows=_EWMA_ROWS, half_life=st.sampled_from([1.0, 10.0, 60.0]))
+@settings(**_SETTINGS)
+def test_ewma_matches_pandas_randomized(spark, rows, half_life):
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.ewma import ewm_mean
+
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rows],
+            "t": list(range(len(rows))),
+            "x": [v for _, v in rows],
+        }
+    )
+    got = (
+        ewm_mean(spark.createDataFrame(pdf), "k", "t", "x", half_life, out_col="e")
+        .orderBy("k", "t")
+        .toPandas()["e"]
+        .to_numpy(dtype=float)
+    )
+    want = (
+        pdf.sort_values(["k", "t"], kind="mergesort")
+        .groupby("k")["x"]
+        .apply(
+            lambda s: s.ewm(halflife=half_life, adjust=True, ignore_na=False).mean()
+        )
+        .reset_index(drop=True)
+        .to_numpy(dtype=float)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12, equal_nan=True)
+
+
+@given(rows=_SERIES, window=st.sampled_from([2, 3, 5]))
+@settings(**_SETTINGS)
+def test_rolling_cov_matches_pandas_randomized(spark, rows, window):
+    """Pair-complete gated rolling covariance vs pandas
+    rolling(min_periods=window).cov() on random keyed pairs — the
+    gate must count PAIRWISE-complete rows, not either column's."""
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import rolling_cov
+
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rows],
+            "t": list(range(len(rows))),
+            "x": [v for _, v in rows],
+            "y": [v * 0.5 + (i % 7) for i, (_, v) in enumerate(rows)],
+        }
+    )
+    got = (
+        rolling_cov(spark.createDataFrame(pdf), "k", "t", "x", "y", window)
+        .orderBy("k", "t")
+        .toPandas()["rolling_cov"]
+        .to_numpy(dtype=float)
+    )
+    srt = pdf.sort_values(["k", "t"], kind="mergesort")
+    pieces = [
+        g["x"].rolling(window, min_periods=window).cov(g["y"])
+        for _, g in srt.groupby("k", sort=True)
+    ]
+    want = pd.concat(pieces).to_numpy(dtype=float)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9, equal_nan=True)
