@@ -700,3 +700,92 @@ def test_rolling_cov_matches_pandas_randomized(spark, rows, window):
     ]
     want = pd.concat(pieces).to_numpy(dtype=float)
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9, equal_nan=True)
+
+
+@given(rows=_SERIES)
+@settings(**_SETTINGS)
+def test_drawdown_matches_cummax_formula_randomized(spark, rows):
+    """Running peak/drawdown per key equals the pure-python cummax
+    recurrence x/max_so_far - 1 for ANY keyed series."""
+    import math
+
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import drawdown
+
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rows],
+            "t": list(range(len(rows))),
+            # keep values positive: price-like domain (a zero/negative
+            # running peak makes the ratio sign-ambiguous by design)
+            "x": [abs(v) + 1.0 for _, v in rows],
+        }
+    )
+    got = {
+        (r["k"], r["t"]): (r["running_peak"], r["drawdown"])
+        for r in drawdown(spark.createDataFrame(pdf), "k", "t", "x").collect()
+    }
+    peaks: dict = {}
+    for _, row in pdf.sort_values(["k", "t"], kind="mergesort").iterrows():
+        k = row["k"]
+        peaks[k] = max(peaks.get(k, -math.inf), row["x"])
+        g_peak, g_dd = got[(k, row["t"])]
+        assert g_peak == peaks[k]
+        assert g_dd == row["x"] / peaks[k] - 1
+
+
+# OHLC bars: random (key, minute, value) points with unique (key, ts)
+# so open/close are well-defined without engine tie rules; the
+# operator's (ts, id) tie-break is separately pinned on crafted ties
+# in tests/test_sessions_resample.py.
+_OHLC_POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=5_000),  # minute offset
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(points=_OHLC_POINTS)
+@settings(**_SETTINGS)
+def test_resample_ohlc_matches_reference_randomized(spark, points):
+    import datetime as _dt
+
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.sessions import resample_ohlc
+
+    base = _dt.datetime(2024, 3, 1)
+    pdf = pd.DataFrame(
+        {
+            "k": [str(k) for k, _, _ in points],
+            "ts": [base + _dt.timedelta(minutes=m) for _, m, _ in points],
+            "v": [v for _, _, v in points],
+            "eid": list(range(len(points))),
+        }
+    )
+    bars = resample_ohlc(
+        spark.createDataFrame(pdf), ["k"], "ts", "v", "eid", freq="hour"
+    ).collect()
+    got = {
+        (r["k"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_points"])
+        for r in bars
+    }
+    # independent reference: pure-python bucketing
+    ref: dict = {}
+    for _, row in pdf.iterrows():
+        b = row["ts"].replace(minute=0, second=0, microsecond=0)
+        ref.setdefault((row["k"], b), []).append((row["ts"], row["v"]))
+    assert set(got) == set(ref)
+    for key, pts in ref.items():
+        pts.sort()
+        o, h, lo, c, n = got[key]
+        vals = [v for _, v in pts]
+        assert (o, c) == (pts[0][1], pts[-1][1])
+        assert (h, lo) == (max(vals), min(vals))
+        assert n == len(pts)
