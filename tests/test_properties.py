@@ -789,3 +789,95 @@ def test_resample_ohlc_matches_reference_randomized(spark, points):
         assert (o, c) == (pts[0][1], pts[-1][1])
         assert (h, lo) == (max(vals), min(vals))
         assert n == len(pts)
+
+
+@given(rows=_SERIES)
+@settings(**_SETTINGS)
+def test_robust_zscore_matches_numpy_randomized(spark, rows):
+    """Median/MAD z-score per group vs numpy medians — even-count
+    middle-averaging, the consistency constant, and the zero-MAD ->
+    null contract on arbitrary keyed values."""
+    import numpy as np
+
+    from nt_data_pipelines_spark.operators.windows import robust_zscore
+
+    data = [(k, float(i), v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, rid double, x double")
+    got = {
+        (r["k"], r["rid"]): r["robust_z"]
+        for r in robust_zscore(df, "k", "x").collect()
+    }
+    by_key: dict = {}
+    for k, rid, v in data:
+        by_key.setdefault(k, []).append((rid, v))
+    C = 0.6744897501960817
+    for k, members in by_key.items():
+        vals = np.array([v for _, v in members])
+        med = np.median(vals)
+        mad = np.median(np.abs(vals - med))
+        for rid, v in members:
+            if mad == 0:
+                assert got[(k, rid)] is None
+            else:
+                assert got[(k, rid)] == pytest.approx(
+                    C * (v - med) / mad, rel=1e-9, abs=1e-12
+                )
+
+
+# Interval join: random points and random (start, end) spans with
+# small integer minute offsets so boundary-equal (ts == start or
+# ts == end) cases occur constantly; compare to the O(n*m) scan.
+_IJ_CASE = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([60, 600, 3600]),
+)
+
+
+@given(case=_IJ_CASE)
+@settings(**_SETTINGS)
+def test_interval_join_equals_brute_force_randomized(spark, case):
+    """Bucketed interval join == brute-force BETWEEN for ANY points,
+    spans (including zero-length and boundary-touching) and bucket
+    size — the recall contract of the time-bucket blocking."""
+    import datetime as _dt
+
+    from nt_data_pipelines_spark.operators.interval import interval_join
+
+    minutes, spans, bucket_seconds = case
+    base = _dt.datetime(2024, 5, 1)
+    points = spark.createDataFrame(
+        [(i, base + _dt.timedelta(minutes=m)) for i, m in enumerate(minutes)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                100 + j,
+                base + _dt.timedelta(minutes=s),
+                base + _dt.timedelta(minutes=s + d),
+            )
+            for j, (s, d) in enumerate(spans)
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", bucket_seconds=bucket_seconds
+        ).collect()
+    }
+    expect = {
+        (i, 100 + j)
+        for i, m in enumerate(minutes)
+        for j, (s, d) in enumerate(spans)
+        if s <= m <= s + d
+    }
+    assert got == expect
