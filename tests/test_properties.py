@@ -881,3 +881,86 @@ def test_interval_join_equals_brute_force_randomized(spark, case):
         if s <= m <= s + d
     }
     assert got == expect
+
+
+# Sequence packing / chunking: random word-count docs, random
+# capacity — compare against an independent greedy replay.
+_PACK_DOCS = st.lists(
+    st.integers(min_value=0, max_value=40),  # words per doc
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(n_words=_PACK_DOCS, capacity=st.sampled_from([8, 16, 64]))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_greedy_replay(spark, n_words, capacity):
+    """Within every shard, bin_id must equal floor(offset/capacity) of
+    an id-ordered greedy cumsum — replayed independently in python —
+    and every document must appear exactly once."""
+    from nt_data_pipelines_spark.operators.text import pack_sequences
+
+    # pure-letter words: token_count's regex counts "w10" as TWO
+    # tokens (letter run + digit run); single letters count as one
+    docs = [
+        (i, " ".join("abcdefghij"[j % 10] for j in range(n)))
+        for i, n in enumerate(n_words)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pack_sequences(df, "doc_id", capacity=capacity, num_shards=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(docs)))
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        offset = 0
+        for r in sorted(members, key=lambda r: r["doc_id"]):
+            assert r["n_tokens"] == n_words[r["doc_id"]]
+            assert r["bin_id"] == offset // capacity
+            offset += r["n_tokens"]
+
+
+_CHUNK_CASE = st.tuples(
+    st.integers(min_value=0, max_value=60),  # words in the doc
+    st.integers(min_value=2, max_value=10),  # chunk_size
+    st.integers(min_value=0, max_value=8),  # overlap (< chunk_size enforced)
+)
+
+
+@given(case=_CHUNK_CASE)
+@settings(**_SETTINGS)
+def test_chunk_documents_covers_doc_randomized(spark, case):
+    """For ANY doc length and (chunk_size, overlap): chunks start at
+    step multiples, reassemble to the full word sequence with the
+    declared overlap, and no chunk is fully contained in another."""
+    from nt_data_pipelines_spark.operators.text import chunk_documents
+
+    n, chunk_size, overlap = case
+    overlap = min(overlap, chunk_size - 1)
+    words = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = sorted(
+        chunk_documents(df, "doc_id", chunk_size=chunk_size, overlap=overlap).collect(),
+        key=lambda r: r["chunk_start"],
+    )
+    if n == 0:
+        # split-on-space semantics: '' has one (empty) word — engine
+        # and DuckDB oracle agree (string_split('', ' ') = ['']), so
+        # an empty doc yields exactly one empty chunk
+        assert [(r["chunk_start"], r["n_chunk_words"], r["chunk_text"]) for r in got] == [
+            (0, 1, "")
+        ]
+        return
+    step = chunk_size - overlap
+    covered: set = set()
+    prev_end = -1
+    for r in got:
+        s, cn = r["chunk_start"], r["n_chunk_words"]
+        assert s % step == 0
+        assert r["chunk_text"] == " ".join(words[s : s + cn])
+        assert cn == min(chunk_size, n - s)
+        end = s + cn
+        assert end > prev_end, "chunk fully contained in its predecessor"
+        prev_end = end
+        covered.update(range(s, end))
+    assert covered == set(range(n)), "chunks must cover every word"
