@@ -964,3 +964,77 @@ def test_chunk_documents_covers_doc_randomized(spark, case):
         prev_end = end
         covered.update(range(s, end))
     assert covered == set(range(n)), "chunks must cover every word"
+
+
+_JACCARD_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=_JACCARD_DOCS, threshold=st.sampled_from([0.2, 0.5, 0.8]))
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pairs_equals_set_jaccard(spark, docs, threshold):
+    """The verify tier's exact Jaccard must equal python set Jaccard
+    for every pair over ANY small vocabulary (word repeats collapse
+    to sets; pairs below threshold or sharing nothing are absent)."""
+    from nt_data_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=threshold).collect()
+    }
+    sets = [set(ws) for ws in docs]
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= threshold:
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == expect
+
+
+@given(rows=_SERIES)
+@settings(**_SETTINGS)
+def test_xsec_rank_matches_pandas_randomized(spark, rows):
+    """Cross-sectional rank per group == pandas rank(method='min') on
+    ANY keyed values (ties included via the coarse float domain);
+    deciles partition each group into contiguous rank blocks."""
+    import pandas as pd
+
+    from nt_data_pipelines_spark.operators.windows import xsec_rank
+
+    pdf = pd.DataFrame(
+        {
+            "g": [k for k, _ in rows],
+            "rid": list(range(len(rows))),
+            # quantize to force ties
+            "x": [round(v / 100.0) for _, v in rows],
+        }
+    )
+    got = (
+        xsec_rank(spark.createDataFrame(pdf), "g", ["x", "rid"], buckets=3)
+        .orderBy("g", "rid")
+        .toPandas()
+    )
+    want = (
+        pdf.sort_values(["g", "rid"], kind="mergesort")
+        .groupby("g")[["x", "rid"]]
+        .apply(lambda t: t[["x", "rid"]].apply(tuple, axis=1).rank(method="min"))
+        .to_numpy(dtype=float)
+    )
+    assert (got["rank"].to_numpy(dtype=float) == want.ravel()).all()
+    # ntile: within each group, bucket ids are non-decreasing in rank
+    # and sizes differ by at most one
+    for _, grp in got.groupby("g"):
+        srt = grp.sort_values("rank")
+        assert (srt["decile"].diff().fillna(0) >= 0).all()
+        sizes = srt.groupby("decile").size()
+        assert sizes.max() - sizes.min() <= 1
