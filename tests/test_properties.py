@@ -1038,3 +1038,85 @@ def test_xsec_rank_matches_pandas_randomized(spark, rows):
         assert (srt["decile"].diff().fillna(0) >= 0).all()
         sizes = srt.groupby("decile").size()
         assert sizes.max() - sizes.min() <= 1
+
+
+_MIX_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.integers(min_value=1, max_value=20),  # words per doc
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(docs=_MIX_DOCS, budget=st.sampled_from([5, 25, 100]))
+@settings(**_SETTINGS)
+def test_mix_sources_budget_and_determinism(spark, docs, budget):
+    """For ANY corpus and budget: under-budget sources pass through
+    whole, over-budget sources keep a subset, the kept set replays
+    identically under repartitioning (content-hash, not RNG), and
+    kept docs are a SUBSET selected by the md5 bucket — never
+    invented rows."""
+    from nt_data_pipelines_spark.operators.text import mix_sources_to_budget
+
+    rows = [
+        (i, src, " ".join("abcde"[j % 5] for j in range(n)))
+        for i, (src, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = {
+        r["doc_id"]: r["n_tokens"]
+        for r in mix_sources_to_budget(df, "source", "doc_id", budget).collect()
+    }
+    totals: dict = {}
+    for i, (src, n) in enumerate(docs):
+        totals[src] = totals.get(src, 0) + n
+        assert kept.get(i, n) == n  # token counts pass through unchanged
+    for src, total in totals.items():
+        members = [i for i, (s, _) in enumerate(docs) if s == src]
+        kept_members = [i for i in members if i in kept]
+        if total <= budget:
+            assert kept_members == members, f"under-budget {src} must be whole"
+        else:
+            assert set(kept_members) <= set(members)
+    re_kept = {
+        r["doc_id"]: r["n_tokens"]
+        for r in mix_sources_to_budget(
+            df.repartition(7), "source", "doc_id", budget
+        ).collect()
+    }
+    assert re_kept == kept
+
+
+@given(rows=ROWS, p=st.sampled_from([0.0, 0.3, 1.0]))
+@settings(**_SETTINGS)
+def test_stratified_sample_deterministic_and_monotone(spark, rows, p):
+    """Content-hash Bernoulli: p=0 keeps nothing, p=1 keeps all, the
+    kept set is partitioning-independent, and raising the fraction
+    only ADDS rows (bucket-threshold monotonicity — the property that
+    makes backfill resume stable when a split is widened)."""
+    from nt_data_pipelines_spark.operators.text import (
+        deterministic_stratified_sample,
+    )
+
+    data = [(i, "a" if k % 2 == 0 else "b") for i, (k, _, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, stratum string")
+
+    def keep(frac_a, frame):
+        return {
+            r["id"]
+            for r in deterministic_stratified_sample(
+                frame, "stratum", "id", {"a": frac_a}, default_fraction=0.5
+            ).collect()
+        }
+
+    got = keep(p, df)
+    a_ids = {i for i, s in data if s == "a"}
+    if p == 0.0:
+        assert got & a_ids == set()
+    if p == 1.0:
+        assert a_ids <= got
+    assert keep(p, df.repartition(5)) == got
+    wider = keep(min(p + 0.3, 1.0), df)
+    assert got <= wider, "widening the fraction must only add rows"
