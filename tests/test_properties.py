@@ -1120,3 +1120,55 @@ def test_stratified_sample_deterministic_and_monotone(spark, rows, p):
     assert keep(p, df.repartition(5)) == got
     wider = keep(min(p + 0.3, 1.0), df)
     assert got <= wider, "widening the fraction must only add rows"
+
+
+_PR_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=_PR_EDGES, iterations=st.sampled_from([1, 3]))
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_power_iteration(spark, edges, iterations):
+    """Damped PageRank vs a pure-python replay of the same recurrence
+    (multi-edges add, dangling mass redistributes uniformly, round-6
+    per iteration) on ANY small digraph — self-loops included. Ranks
+    must agree to the last rounded digit and preserve total mass."""
+    from nt_data_pipelines_spark.operators.graph import pagerank
+
+    d = 0.85
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iterations=iterations,
+            damping=d,
+        ).collect()
+    }
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out: dict = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: round(1.0 / n, 6) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        dang = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: round((1.0 - d) / n + d * (contrib[v] + dang / n), 6)
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        # one ulp of the round-6 grid: the engine sums contributions
+        # in decimal(38,12), the replay in binary floats — midpoint
+        # rounding may differ in the last digit, never more
+        assert abs(got[v] - rank[v]) <= 1.01e-6, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) <= n * 1e-6
