@@ -1172,3 +1172,54 @@ def test_pagerank_matches_python_power_iteration(spark, edges, iterations):
         # rounding may differ in the last digit, never more
         assert abs(got[v] - rank[v]) <= 1.01e-6, (v, got[v], rank[v])
     assert abs(sum(got.values()) - 1.0) <= n * 1e-6
+
+
+_FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.sampled_from(["A", "B", "C"]),  # event type
+        st.integers(min_value=0, max_value=50),  # second offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=_FUNNEL_EVENTS)
+@settings(**_SETTINGS)
+def test_funnel_conversion_matches_python_replay(spark, evs):
+    """Strictly-ordered funnel vs a per-user python replay: step i's
+    reach time is the earliest step-i event STRICTLY after the
+    step-(i-1) reach time — equal timestamps must NOT convert."""
+    import datetime as _dt
+
+    from nt_data_pipelines_spark.operators.events import funnel_conversion
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + _dt.timedelta(seconds=s)) for u, t, s in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    steps = ["A", "B", "C"]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_conversion(df, steps).collect()
+    }
+    # python replay
+    by_user: dict = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    counts = {1: 0, 2: 0, 3: 0}
+    for u, events_u in by_user.items():
+        reach = None
+        for i, step in enumerate(steps):
+            times = [
+                ts
+                for ts, t in events_u
+                if t == step and (reach is None if i == 0 else ts > reach)
+            ]
+            if not times:
+                break
+            reach = min(times)
+            counts[i + 1] += 1
+    assert got == counts
