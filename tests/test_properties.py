@@ -1223,3 +1223,67 @@ def test_funnel_conversion_matches_python_replay(spark, evs):
             reach = min(times)
             counts[i + 1] += 1
     assert got == counts
+
+
+@given(evs=_FUNNEL_EVENTS)
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_python_replay(spark, evs):
+    """Cohort x age counts vs a python replay: users cohort by their
+    FIRST event's day; each (cohort, age) counts distinct users
+    active that day — duplicate events must not double-count."""
+    import datetime as _dt
+
+    from nt_data_pipelines_spark.operators.events import cohort_retention
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + _dt.timedelta(hours=s * 13))  # spread across days
+        for u, _, s in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["age"]): r["n_users"]
+        for r in cohort_retention(df, period="day").collect()
+    }
+    first: dict = {}
+    for u, ts in rows:
+        d = ts.date()
+        first[u] = min(first.get(u, d), d)
+    expect: dict = {}
+    for u, d in {(u, ts.date()) for u, ts in rows}:
+        key = (first[u], (d - first[u]).days)
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+
+
+@given(evs=_FUNNEL_EVENTS)
+@settings(**_SETTINGS)
+def test_event_transitions_match_python_replay(spark, evs):
+    """Markov transition counts vs a python replay over the same
+    (ts, event_id) tie-broken per-user order — pair counts must match
+    exactly for arbitrary interleavings including equal timestamps."""
+    import datetime as _dt
+
+    from nt_data_pipelines_spark.operators.events import event_transitions
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, base + _dt.timedelta(seconds=s))
+        for i, (u, t, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(df).collect()
+    }
+    by_user: dict = {}
+    for i, u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    expect: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    assert got == expect
