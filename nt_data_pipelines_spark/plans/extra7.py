@@ -359,25 +359,39 @@ def _pagerank_oracle(iters: int) -> str:
     )""",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM nodes)",
         "outdeg AS (SELECT src_id AS node, CAST(COUNT(*) AS BIGINT) AS outd FROM knn GROUP BY src_id)",
-        "r0 AS (SELECT node, ROUND(1.0 / N, 6) AS rank FROM nodes CROSS JOIN nn)",
+        # integer micro-rank recurrence (registry rule 3): rank state is
+        # rank*1e6 as BIGINT; the only floating step is the per-edge
+        # IEEE share, floored to pico units — parenthesized exactly as
+        # operators/graph.py spells it so both engines round identically.
+        "r0 AS (SELECT node, (2 * 1000000 + N) // (2 * N) AS rank_micro"
+        " FROM nodes CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         p = f"r{i-1}"
         ctes.append(f"""c{i} AS (
       SELECT k.dst_id AS node,
-             CAST(SUM(CAST(r.rank / o.outd AS DECIMAL(38,12))) AS DOUBLE) AS cin
+             SUM(CAST(FLOOR(
+               (CAST(r.rank_micro AS DOUBLE) * 1000000.0)
+               * (1.0 / CAST(o.outd AS DOUBLE))) AS BIGINT)) AS in_pico
       FROM knn k JOIN {p} r ON k.src_id = r.node
       JOIN outdeg o ON o.node = k.src_id
       GROUP BY k.dst_id)""")
         ctes.append(f"""d{i} AS (
-      SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,12))) AS DOUBLE), 0.0) AS dang
+      SELECT COALESCE(SUM(r.rank_micro), CAST(0 AS BIGINT)) AS dang_micro
       FROM {p} r LEFT JOIN outdeg o ON r.node = o.node WHERE o.node IS NULL)""")
         ctes.append(f"""r{i} AS (
       SELECT n.node,
-             ROUND(0.15 / N + 0.85 * (COALESCE(c.cin, 0.0) + d.dang / N), 6) AS rank
+             (2 * (
+                (CAST(150000000000 AS BIGINT) // N)
+                + (CAST(850000 AS BIGINT) * (COALESCE(c.in_pico, CAST(0 AS BIGINT))
+                     + (d.dang_micro * 1000000) // N)) // 1000000
+              ) + 1000000) // (2 * 1000000) AS rank_micro
       FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
       CROSS JOIN nn CROSS JOIN d{i} d)""")
-    return f"WITH {','.join(ctes)}\n    SELECT node, rank FROM r{iters}"
+    return (
+        f"WITH {','.join(ctes)}\n    SELECT node,"
+        f" CAST(rank_micro AS DOUBLE) / 1000000.0 AS rank FROM r{iters}"
+    )
 
 
 @register(
@@ -386,8 +400,10 @@ def _pagerank_oracle(iters: int) -> str:
     doc="Damped PageRank (3 iterations) over the LSH-blocked k-NN "
     "graph — ranking cluster members by link structure (canonical-doc "
     "selection). Each iteration is one contribution shuffle on the dst "
-    "key + a scalar dangling-mass broadcast; ranks are round-6 and all "
-    "sums DECIMAL, so the unrolled SQL oracle reproduces them exactly.",
+    "key + a scalar dangling-mass broadcast; ranks are integer "
+    "micro-ranks (BIGINT, registry rule 3) with only the per-edge IEEE "
+    "share floating, so the unrolled SQL oracle reproduces them "
+    "bit-exactly with no reachable rounding midpoint.",
 )
 def g_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nt_data_pipelines_spark.operators.graph import pagerank

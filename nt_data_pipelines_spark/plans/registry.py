@@ -35,12 +35,11 @@ needs no rounding.
    ROUND(int/int) against it. Converted (round 9): logprob means,
    KL mean, contamination overlaps, repetition/gopher/lexical/corpus
    ratios, jaccard/containment, funnel/attribution/percent_rank,
-   embedding sums and centroids, RRF. Audited exemptions (midpoint
-   needs a ~1e-8+ denominator of form 2^7*5^b — negligible): w_rsi14
-   (gain/loss sums are 8-decimal ints of continuous diffs) and
-   g_pagerank_knn (iterative rational chain; N and out-degrees would
-   all have to align — converting the iteration to integer micro-rank
-   arithmetic is the fix if it ever flakes).
+   embedding sums and centroids, RRF; g_pagerank_knn converted round
+   13 (operators/graph.py holds rank state as integer micro-ranks —
+   no reachable midpoint remains). Audited exemption (midpoint needs
+   a ~1e-8+ denominator of form 2^7*5^b — negligible): w_rsi14
+   (gain/loss sums are 8-decimal ints of continuous diffs).
 """
 
 from __future__ import annotations

@@ -70,6 +70,9 @@ CODE_CHANGED: dict[str, int] = {
     "j_nearest_balance": 12,
     # round 11: pairwise_corr positional internal aliases
     "a_corr_matrix": 11,
+    # round 13: PageRank converted to integer micro-rank arithmetic
+    # (closes the registry rule-3 midpoint exposure)
+    "g_pagerank_knn": 13,
 }
 
 

@@ -1135,19 +1135,24 @@ _PR_EDGES = st.lists(
 @given(edges=_PR_EDGES, iterations=st.sampled_from([1, 3]))
 @settings(**_SETTINGS)
 def test_pagerank_matches_python_power_iteration(spark, edges, iterations):
-    """Damped PageRank vs a pure-python replay of the same recurrence
-    (multi-edges add, dangling mass redistributes uniformly, round-6
-    per iteration) on ANY small digraph — self-loops included. Ranks
-    must agree to the last rounded digit and preserve total mass."""
+    """Damped PageRank vs a pure-python replay of the same integer
+    micro-rank recurrence (multi-edges add, dangling mass
+    redistributes uniformly, integer pico update + half-up per
+    iteration) on ANY small digraph — self-loops included. The
+    arithmetic contract is exact (the per-edge share is the same
+    two IEEE ops on the same operands), so ranks must match
+    BIT-FOR-BIT and preserve total mass up to the micro grid."""
+    import math
+
     from nt_data_pipelines_spark.operators.graph import pagerank
 
-    d = 0.85
+    d_micro = 850_000
     got = {
         r["node"]: r["rank"]
         for r in pagerank(
             spark.createDataFrame(edges, "src long, dst long"),
             iterations=iterations,
-            damping=d,
+            damping=0.85,
         ).collect()
     }
     nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
@@ -1155,22 +1160,31 @@ def test_pagerank_matches_python_power_iteration(spark, edges, iterations):
     out: dict = {}
     for a, _ in edges:
         out[a] = out.get(a, 0) + 1
-    rank = {v: round(1.0 / n, 6) for v in nodes}
+    rank = {v: (2 * 1_000_000 + n) // (2 * n) for v in nodes}  # micro
     for _ in range(iterations):
-        contrib = {v: 0.0 for v in nodes}
+        in_pico = {v: 0 for v in nodes}
         for a, b in edges:
-            contrib[b] += rank[a] / out[a]
-        dang = sum(rank[v] for v in nodes if v not in out)
+            # replicate the engine's floating share exactly:
+            # (rank_micro·1e6) · (w/out), each op correctly rounded
+            in_pico[b] += math.floor(
+                (float(rank[a]) * 1000000.0) * (1.0 / float(out[a]))
+            )
+        dang = sum(rank[v] for v in nodes if v not in out)  # micro, exact
         rank = {
-            v: round((1.0 - d) / n + d * (contrib[v] + dang / n), 6)
+            v: (
+                2 * (
+                    ((1_000_000 - d_micro) * 1_000_000) // n
+                    + (d_micro * (in_pico[v] + (dang * 1_000_000) // n))
+                    // 1_000_000
+                )
+                + 1_000_000
+            )
+            // 2_000_000
             for v in nodes
         }
     assert set(got) == set(nodes)
     for v in nodes:
-        # one ulp of the round-6 grid: the engine sums contributions
-        # in decimal(38,12), the replay in binary floats — midpoint
-        # rounding may differ in the last digit, never more
-        assert abs(got[v] - rank[v]) <= 1.01e-6, (v, got[v], rank[v])
+        assert got[v] == float(rank[v]) / 1000000.0, (v, got[v], rank[v])
     assert abs(sum(got.values()) - 1.0) <= n * 1e-6
 
 
