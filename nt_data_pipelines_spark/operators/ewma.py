@@ -118,12 +118,15 @@ def _auto_buckets(
 
 #: Optimized-plan node names whose output can exceed the leaf row
 #: count. Exact names: Generate (explode/posexplode/inline), Expand
-#: (unpivot/rollup/cube). Suffix "Join" covers every logical join
-#: (many:many). Prefixes cover the Python eval nodes whose output
-#: cardinality is arbitrary (a grouped map may emit any number of
-#: rows per group): FlatMapGroupsInPandas/Arrow, FlatMapCoGroupsIn*,
+#: (unpivot/rollup/cube), Sample (with replacement a fraction > 1
+#: emits more rows than it scans — ADVICE r12; the withReplacement
+#: flag isn't worth introspecting, the guard is meant to be
+#: conservative). Suffix "Join" covers every logical join (many:many).
+#: Prefixes cover the Python eval nodes whose output cardinality is
+#: arbitrary (a grouped map may emit any number of rows per group):
+#: FlatMapGroupsInPandas/Arrow, FlatMapCoGroupsIn*,
 #: FlatMapGroupsWithState, MapInPandas/PythonMapInArrow.
-_GROWING_EXACT = frozenset({"Generate", "Expand"})
+_GROWING_EXACT = frozenset({"Generate", "Expand", "Sample"})
 _GROWING_PREFIXES = ("FlatMap", "MapIn", "PythonMapIn")
 
 

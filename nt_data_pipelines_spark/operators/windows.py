@@ -56,7 +56,9 @@ def pct_change(
     with the SIGN of both operands honored — x/-0.0 flips it, as
     IEEE-754 defines; 0/0 -> NaN; the row survives drop_nulls),
     "null" matches SQL engines (DuckDB x/0 -> NULL; the row is
-    dropped) — the oracle-paired query uses "null".
+    dropped) — the oracle-paired query uses "null". Signed-zero
+    detection is IEEE division itself, so types without a negative
+    zero (int/decimal) take the +zero branch, as they should.
     """
     w = keyed_window(partition_by, order_by)
     prev = F.lag(value_col, 1).over(w)
@@ -65,10 +67,14 @@ def pct_change(
     else:
         x = F.col(value_col)
         # SQL equality folds -0.0 == 0.0 and signum(-0.0) == 0, so the
-        # zero's IEEE sign is only recoverable from its rendering
-        # ("-0.0"); property fuzzing caught the +inf-for-x/-0.0 case
+        # zero's IEEE sign is only recoverable arithmetically:
+        # pow(prev, -1) == -inf iff prev is -0.0 (Math.pow — stays in
+        # codegen with no string allocation, and unlike `/` it carries
+        # no ANSI divide-by-zero guard; atan2 won't do — Spark
+        # normalizes its -0.0 operands). Property fuzzing caught the
+        # +inf-for-x/-0.0 case.
         zero_sign = F.when(
-            prev.cast("string").startswith("-"), F.lit(-1.0)
+            F.pow(prev, F.lit(-1.0)) == F.lit(float("-inf")), F.lit(-1.0)
         ).otherwise(F.lit(1.0))
         ratio = F.when(prev != 0, x / prev).when(
             prev == 0,

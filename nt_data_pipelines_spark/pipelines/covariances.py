@@ -70,7 +70,12 @@ def estimate_factor_covariances(
         out_col="covariance",
         # pivot first SHRINKS to one row per date, then the k^2-pair
         # unpivot fans out — net rows per scanned return row stay ~1
-        # for any ticker universe wider than k^2; k^2 is the hard bound
+        # for any ticker universe wider than k^2; k^2 is the hard
+        # bound. Deliberately loose (ADVICE r12): a tighter bound
+        # needs the universe width, which itself costs a job, so
+        # mid-size inputs (leaf bytes within k^2x of the budget) pay
+        # one column-pruned count instead — bounded, and cheaper than
+        # the job the tighter bound would spend every time.
         scan_fanout=float(len(factors) * len(factors)),
     )
     return smoothed.select(

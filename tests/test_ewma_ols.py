@@ -314,12 +314,15 @@ def test_ewma_plan_grows_rows_detection(spark):
 
     # a grouped map can emit ANY number of rows per group — its output
     # is not bounded by the leaves either (tree-walk upgrade, r12)
-    import pandas as pd
-
     grouped_map = ev.select("user_id", "value").groupBy("user_id").applyInPandas(
         lambda pdf: pdf, schema="user_id long, value double"
     )
     assert _plan_grows_rows(grouped_map)
+
+    # sample-with-replacement at fraction > 1 emits more rows than it
+    # scans (ADVICE r12) — Sample must count as a growing node
+    sampled = ev.select("user_id", "value").sample(True, 2.0, seed=7)
+    assert _plan_grows_rows(sampled)
 
     # a column literally named "Join" must not false-positive
     named_join = ev.select("user_id", F.col("value").alias("Join"))
