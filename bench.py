@@ -103,6 +103,56 @@ def _time_queries(
     return timings, spread
 
 
+def _contention_probe(spark, jobs: int = 8) -> dict:
+    """Fixed-work calibration anchor (VERDICT r12 #2).
+
+    Three consecutive rounds needed a manual idle-box re-run to tell
+    driver-box contention from a code regression (r10/r11 c7 drift,
+    r12 dag backfill 60.6 s vs idle 32.4 s). This probe times the same
+    two fixed workloads alongside every block that has no same-run
+    DuckDB anchor:
+
+    - ``cpu_secs``: a single-thread arithmetic loop (~0.1 s idle) —
+      moves with CPU steal/oversubscription;
+    - ``sched_secs_per_job``: median of ``jobs`` empty Spark SQL jobs
+      — moves with the local-mode job-scheduling floor, which is what
+      actually bounds the job-count-heavy blocks (curate, streaming,
+      DAG backfill).
+
+    Round-over-round adjudication: a block whose value moves WITH its
+    probe (stable ``ratio_to_*``) is box contention; a value move
+    against a flat probe is a real regression. No hand re-runs needed.
+    """
+    acc = 0
+    t0 = time.perf_counter()
+    for i in range(2_000_000):
+        acc += i * i
+    cpu = time.perf_counter() - t0
+    for _ in range(2):
+        spark.range(1).count()  # warm the path so the probe times the floor
+    runs = []
+    for _ in range(jobs):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        runs.append(time.perf_counter() - t0)
+    return {
+        "cpu_secs": round(cpu, 4),
+        "sched_secs_per_job": round(statistics.median(runs), 4),
+    }
+
+
+def _attach_probe(block: dict, spark) -> None:
+    """Record the probe + the block's ratio-to-probe in the block."""
+    probe = _contention_probe(spark)
+    block["contention_probe"] = probe
+    v = block.get("value")
+    if v:
+        block["contention_probe"]["ratio_to_cpu"] = round(v / probe["cpu_secs"], 1)
+        block["contention_probe"]["ratio_to_job"] = round(
+            v / probe["sched_secs_per_job"], 1
+        )
+
+
 def _duck_connect(data_dir: str):
     """DuckDB connection with the testdata tables registered as views
     over the same parquet Spark reads — the same-run oracle side."""
@@ -492,6 +542,7 @@ def _corpus_block(spark, data_dir: str, heavy: bool = True) -> dict:
     }
     if skipped:
         out["skipped"] = skipped
+    _attach_probe(out, spark)
     return out
 
 
@@ -595,6 +646,7 @@ def _streaming_block(spark, data_dir: str, n_batches: int = 3) -> dict:
         out["value"] = round(
             out["minhash_verified"]["value"] + out["ann_index"]["value"], 4
         )
+        _attach_probe(out, spark)
     finally:
         shutil.rmtree(lake, ignore_errors=True)
     return out
@@ -729,6 +781,10 @@ def main() -> None:
         lake = tempfile.mkdtemp(prefix="dag_bench_")
         try:
             out["dag_e2e"] = run_dag_benchmark(spark, os.path.join(lake, "lake"))
+            out["dag_e2e"]["value"] = round(
+                out["dag_e2e"]["backfill_secs"] + out["dag_e2e"]["daily_secs"], 4
+            )
+            _attach_probe(out["dag_e2e"], spark)
         finally:
             shutil.rmtree(lake, ignore_errors=True)
     # The FULL artifact (spreads, per-query prod detail) goes to a
@@ -755,7 +811,9 @@ def main() -> None:
         slim["gate"] = out["gate"]
     if "dag_e2e" in out:
         slim["dag_e2e"] = {
-            k: out["dag_e2e"][k] for k in ("backfill_secs", "daily_secs", "opt_dates")
+            k: out["dag_e2e"][k]
+            for k in ("backfill_secs", "daily_secs", "opt_dates", "contention_probe")
+            if k in out["dag_e2e"]
         }
     for key in prod_keys:
         block = out[key]
@@ -768,6 +826,7 @@ def main() -> None:
                 "duckdb_subset_value",
                 "subset_ratio_vs_duckdb",
                 "gate",
+                "contention_probe",
             )
             if k in block
         }
