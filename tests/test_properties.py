@@ -1301,3 +1301,173 @@ def test_event_transitions_match_python_replay(spark, evs):
         for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
             expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-boundary fuzz (VERDICT r12 #4): the fixed-layout
+# parity tests in tests/test_streaming*.py pin ONE batch split; these
+# properties let hypothesis choose the cut points over the same event
+# stream and assert the stateful operators are split-invariant — the
+# defining property of a correct cross-batch state recursion.
+# ---------------------------------------------------------------------------
+
+_CUTS = st.lists(st.integers(min_value=1, max_value=35), min_size=1, max_size=3, unique=True)
+
+
+def _stream_events(n=36, nan_every=None):
+    """Deterministic 3-key event stream, globally ts-ordered."""
+    import numpy as np
+
+    rng = np.random.RandomState(97)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        v = float(rng.uniform(1, 100))
+        if nan_every and i % nan_every == 0 and i > 0:
+            v = float("nan")
+        rows.append((i, base + dt.timedelta(minutes=i), i % 3, "view", v, "{}"))
+    return rows
+
+
+def _write_slices(spark, rows, cuts, src):
+    """One parquet file per slice -> one micro-batch per slice
+    (maxFilesPerTrigger=1); slices are ts-contiguous so the per-key
+    cross-batch monotone-order contract holds for ANY cut set."""
+    from nt_data_pipelines_spark.streaming.incremental import EVENT_SCHEMA
+
+    bounds = [0] + sorted(cuts) + [len(rows)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo < hi:
+            spark.createDataFrame(rows[lo:hi], EVENT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+
+def _drain(spark, src, op, ckpt):
+    from nt_data_pipelines_spark.streaming.incremental import EVENT_SCHEMA
+
+    collected: list = []
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: collected.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+@pytest.mark.slow
+@given(cuts=_CUTS)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_streaming_ewma_split_invariant(spark, tmp_path, cuts):
+    """EWMA over ANY batch split == pandas ewm over the unsplit series
+    (adjust=True, ignore_na=False — NaN rows decay but don't seed)."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.streaming.stateful import streaming_ewma
+
+    d = tmp_path / uuid.uuid4().hex
+    rows = _stream_events(nan_every=7)
+    _write_slices(spark, rows, cuts, str(d / "src"))
+    got = pd.DataFrame(
+        [r.asDict() for r in _drain(spark, str(d / "src"), lambda s: streaming_ewma(s, half_life=10.0), str(d / "ckpt"))]
+    )
+    assert len(got) == len(rows)
+    all_rows = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    for k in (0, 1, 2):
+        series = all_rows[all_rows.user_id == k].sort_values("ts")["value"]
+        want = series.ewm(halflife=10.0, adjust=True).mean().to_numpy()
+        got_k = got[got.user_id == k].sort_values("ts")["ewma"].astype(float).to_numpy()
+        np.testing.assert_allclose(got_k, want, rtol=1e-12)
+
+
+@pytest.mark.slow
+@given(cuts=_CUTS)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_streaming_drawdown_split_invariant(spark, tmp_path, cuts):
+    """Running peak / drawdown over ANY batch split == cummax over the
+    unsplit per-key series."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.streaming.stateful import streaming_drawdown
+
+    d = tmp_path / uuid.uuid4().hex
+    rows = _stream_events()
+    _write_slices(spark, rows, cuts, str(d / "src"))
+    got = pd.DataFrame(
+        [r.asDict() for r in _drain(spark, str(d / "src"), streaming_drawdown, str(d / "ckpt"))]
+    )
+    assert len(got) == len(rows)
+    all_rows = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    for k in (0, 1, 2):
+        series = all_rows[all_rows.user_id == k].sort_values("ts")["value"]
+        want_peak = series.cummax().to_numpy()
+        want_dd = series.to_numpy() / want_peak - 1.0
+        gk = got[got.user_id == k].sort_values("ts")
+        np.testing.assert_allclose(gk["running_peak"].to_numpy(), want_peak, rtol=0)
+        np.testing.assert_allclose(gk["drawdown"].to_numpy(), want_dd, rtol=1e-12)
+
+
+_DEDUP_PERM = st.permutations(list(range(12)))
+_DEDUP_CUTS = st.lists(st.integers(min_value=1, max_value=11), min_size=1, max_size=3, unique=True)
+
+
+@pytest.mark.slow
+@given(perm=_DEDUP_PERM, cuts=_DEDUP_CUTS)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_streaming_dedup_split_and_order_invariant(spark, tmp_path, perm, cuts):
+    """dedup_foreach_batch converges to the batch exact_dedup survivor
+    set for ANY doc arrival order and ANY batch split — unlike the
+    time-keyed operators, dedup has no ordering contract at all, so
+    hypothesis shuffles the rows AND cuts the batches."""
+    import uuid
+
+    from nt_data_pipelines_spark.operators.dedup import exact_dedup
+    from nt_data_pipelines_spark.streaming import dedup_foreach_batch, run_available_now
+    from nt_data_pipelines_spark.streaming.incremental import DEDUP_STATE_SCHEMA
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    texts = ["alpha", "beta", "gamma", "alpha", "delta", "beta", None, "alpha",
+             "epsilon", "gamma", "zeta", "delta"]
+    docs = [(100 + i, texts[i]) for i in range(12)]
+    shuffled = [docs[i] for i in perm]
+
+    d = tmp_path / uuid.uuid4().hex
+    src = str(d / "docs")
+    bounds = [0] + sorted(cuts) + [len(shuffled)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo < hi:
+            spark.createDataFrame(shuffled[lo:hi], doc_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    cat = Catalog(spark, str(d / "lake"))
+    cat.create("doc_dedup", DEDUP_STATE_SCHEMA, None, ["text_hash"])
+    stream = (
+        spark.readStream.schema(doc_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_available_now(
+        stream, dedup_foreach_batch(cat, "doc_dedup"), str(d / "ckpt"), output_mode="append"
+    )
+
+    full = spark.createDataFrame(docs, doc_schema)
+    want = {
+        (r["text_hash"], r["survivor_id"])
+        for r in exact_dedup(full, "doc_id").select("text_hash", "survivor_id").collect()
+    }
+    got = {(r["text_hash"], r["survivor_id"]) for r in cat.table("doc_dedup").collect()}
+    assert got == want
