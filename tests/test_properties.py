@@ -1471,3 +1471,69 @@ def test_streaming_dedup_split_and_order_invariant(spark, tmp_path, perm, cuts):
     }
     got = {(r["text_hash"], r["survivor_id"]) for r in cat.table("doc_dedup").collect()}
     assert got == want
+
+
+@pytest.mark.slow
+@given(cuts=_CUTS)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_streaming_rsi_split_invariant(spark, tmp_path, cuts):
+    """Wilder RSI over ANY batch split == a python replay of the
+    seed-then-smooth recursion over the unsplit per-key series (46
+    events / 3 keys gives each key one full 14-diff seed window plus
+    smoothed rows on both sides of most cuts)."""
+    import math
+    import uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from nt_data_pipelines_spark.streaming.stateful import streaming_rsi
+
+    PERIOD = 14
+    d = tmp_path / uuid.uuid4().hex
+    rows = _stream_events(n=46)
+    _write_slices(spark, rows, cuts, str(d / "src"))
+    got = pd.DataFrame(
+        [r.asDict() for r in _drain(spark, str(d / "src"), lambda s: streaming_rsi(s, period=PERIOD), str(d / "ckpt"))]
+    )
+    assert len(got) == len(rows)
+    all_rows = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+    def replay(series):
+        ag = al = 0.0
+        prev = float("nan")
+        n = 0
+        out = []
+        for x in series:
+            if math.isnan(prev):
+                out.append(None)
+                prev = x
+                continue
+            diff = x - prev
+            prev = x
+            n += 1
+            g, l = max(diff, 0.0), max(-diff, 0.0)
+            if n <= PERIOD:
+                # seed accumulation: simple average of first PERIOD diffs
+                ag += g / PERIOD
+                al += l / PERIOD
+                out.append(None if n < PERIOD else _rsi(ag, al))
+            else:
+                ag = (ag * (PERIOD - 1) + g) / PERIOD
+                al = (al * (PERIOD - 1) + l) / PERIOD
+                out.append(_rsi(ag, al))
+        return out
+
+    def _rsi(ag, al):
+        return 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+
+    for k in (0, 1, 2):
+        series = all_rows[all_rows.user_id == k].sort_values("ts")["value"].tolist()
+        want = replay(series)
+        got_k = got[got.user_id == k].sort_values("ts")["rsi"].tolist()
+        assert len(got_k) == len(want)
+        for g, w in zip(got_k, want):
+            if w is None:
+                assert g is None or (isinstance(g, float) and math.isnan(g))
+            else:
+                np.testing.assert_allclose(g, w, rtol=1e-12)
