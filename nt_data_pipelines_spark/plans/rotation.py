@@ -73,6 +73,9 @@ CODE_CHANGED: dict[str, int] = {
     # round 13: PageRank converted to integer micro-rank arithmetic
     # (closes the registry rule-3 midpoint exposure)
     "g_pagerank_knn": 13,
+    # round 13: distributed CC gained edge-list + per-round lineage
+    # checkpoints (perf-only; results locally parity-verified)
+    "s_lsh_dedup_groups": 13,
 }
 
 
