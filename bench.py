@@ -652,6 +652,137 @@ def _streaming_block(spark, data_dir: str, n_batches: int = 3) -> dict:
     return out
 
 
+def _hot_bucket_block(spark, n_hot: int = 200_000, n_bg: int = 50_000) -> dict:
+    """Adversarial hot-bucket dedup evidence (VERDICT r12 #5).
+
+    Synthesizes an sf5-sized corpus whose shape is the 100-TB failure
+    mode: ONE boilerplate cluster of ``n_hot`` near-identical docs
+    (shared 40-word template + 1 unique word each, Jaccard ~0.95, so
+    every doc lands in the same (band, band_hash) bucket in every
+    band) plus ``n_bg`` unique background docs. On this corpus the
+    naive all-pairs candidate join materializes ~bands * n_hot^2 / 2
+    pairs (~8e10 here — recorded as ``naive_projected_pairs`` from the
+    actual bucket histogram, never materialized); the block times the
+    linear-size paths that replace it:
+
+    - ``spanning_edges_secs``: chain-per-bucket edges (O(bucket) rows);
+    - ``verified_edges_secs``: capped candidates + exact Jaccard
+      (star-to-hub on the hot bucket, default ``bucket_cap``);
+    - ``cc_driver_secs`` / ``cc_distributed_secs``: union-find vs
+      min-label pointer-jumping on the SAME materialized edge set,
+      with a hard component-equality assertion between the two
+      (both label every node with its component minimum, so the
+      labelings must be row-identical — exceptAll both ways).
+
+    Corpus and edge set are localCheckpoint-materialized before the
+    clock starts, so each row times one path, not the shared lineage.
+    Single timed run per row: the block is scale evidence with a
+    contention probe for round-over-round adjudication, not a
+    median-tracked latency row.
+    """
+    from pyspark.sql import functions as F
+
+    from nt_data_pipelines_spark.operators.dedup import (
+        banded_minhash,
+        minhash_lsh_spanning_edges,
+        minhash_verified_dup_edges,
+        resolve_dup_groups,
+        resolve_dup_groups_distributed,
+    )
+    from nt_data_pipelines_spark.session import default_parallelism
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+
+    boiler = " ".join(f"boiler{w}" for w in range(40))
+    hot = spark.range(n_hot).select(
+        F.concat(F.lit("h"), F.lpad(F.col("id").cast("string"), 7, "0")).alias(
+            "doc_id"
+        ),
+        F.concat(F.lit(boiler + " u"), F.col("id").cast("string")).alias("text"),
+    )
+    bg = spark.range(n_bg).select(
+        F.concat(F.lit("b"), F.lpad(F.col("id").cast("string"), 7, "0")).alias(
+            "doc_id"
+        ),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda k: F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), k)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs = hot.unionByName(bg).repartition(default_parallelism()).localCheckpoint(
+        eager=True
+    )
+
+    out: dict = {"n_hot": n_hot, "n_bg": n_bg}
+    # the naive form's cost, from the real bucket histogram
+    buckets = (
+        banded_minhash(docs, "doc_id")
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            F.max("n").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    out["naive_projected_pairs"] = int(buckets["pairs"])
+    out["max_bucket"] = int(buckets["max_bucket"])
+
+    t0 = time.perf_counter()
+    edges = minhash_lsh_spanning_edges(docs, "doc_id").localCheckpoint(eager=True)
+    out["spanning_edges_secs"] = round(time.perf_counter() - t0, 4)
+    out["spanning_edges_rows"] = edges.count()
+
+    t0 = time.perf_counter()
+    vedges = minhash_verified_dup_edges(docs, "doc_id").localCheckpoint(eager=True)
+    out["verified_edges_rows"] = vedges.count()
+    out["verified_edges_secs"] = round(time.perf_counter() - t0, 4)
+    # the production path: groups from VERIFIED edges only. The hot
+    # cluster resolves to one group; the unique background docs must
+    # not appear in any group (over-merging them is the corpus-deleting
+    # failure the verify tier exists to prevent).
+    vlab = resolve_dup_groups(vedges)
+    out["n_groups_verified"] = vlab.select("canonical_id").distinct().count()
+    out["n_docs_grouped_verified"] = vlab.count()
+    out["bg_docs_grouped"] = vlab.filter(F.col("doc_id").startswith("b")).count()
+
+    t0 = time.perf_counter()
+    lab_driver = resolve_dup_groups(edges).localCheckpoint(eager=True)
+    out["cc_driver_secs"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    lab_dist = resolve_dup_groups_distributed(edges)
+    out["cc_distributed_secs"] = round(time.perf_counter() - t0, 4)
+
+    # component equality: both paths label every node with the
+    # component min, so the (doc_id, canonical_id) sets must match
+    mism = lab_driver.exceptAll(lab_dist).count() + lab_dist.exceptAll(
+        lab_driver
+    ).count()
+    out["components_equal"] = mism == 0
+    # spanning CC over-merges by design (unverified band collisions
+    # chain transitively — see minhash_verified_dup_edges docstring);
+    # recorded to show WHY the verified tier is the production path
+    out["n_groups_spanning"] = lab_driver.select("canonical_id").distinct().count()
+    if mism:
+        raise AssertionError(
+            f"hot-bucket CC mismatch: driver vs distributed differ on {mism} rows"
+        )
+    out["value"] = round(
+        out["spanning_edges_secs"]
+        + out["verified_edges_secs"]
+        + out["cc_driver_secs"]
+        + out["cc_distributed_secs"],
+        4,
+    )
+    _attach_probe(out, spark)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -787,6 +918,11 @@ def main() -> None:
             _attach_probe(out["dag_e2e"], spark)
         finally:
             shutil.rmtree(lake, ignore_errors=True)
+        # Adversarial hot-bucket dedup evidence (VERDICT r12 #5): the
+        # one-giant-boilerplate-cluster corpus where the naive form
+        # goes quadratic; proves the cap + chain-edge + pointer-jump
+        # paths at sf5-equivalent size with a component-equality gate.
+        out["c9_hot_bucket"] = _hot_bucket_block(spark)
     # The FULL artifact (spreads, per-query prod detail) goes to a
     # file so it survives any capture window — the round-5 official
     # sf0.1 headline was lost because the driver's tail capture
@@ -814,6 +950,26 @@ def main() -> None:
             k: out["dag_e2e"][k]
             for k in ("backfill_secs", "daily_secs", "opt_dates", "contention_probe")
             if k in out["dag_e2e"]
+        }
+    if "c9_hot_bucket" in out:
+        slim["c9_hot_bucket"] = {
+            k: out["c9_hot_bucket"][k]
+            for k in (
+                "value",
+                "naive_projected_pairs",
+                "max_bucket",
+                "spanning_edges_secs",
+                "verified_edges_secs",
+                "cc_driver_secs",
+                "cc_distributed_secs",
+                "components_equal",
+                "n_groups_spanning",
+                "n_groups_verified",
+                "n_docs_grouped_verified",
+                "bg_docs_grouped",
+                "contention_probe",
+            )
+            if k in out["c9_hot_bucket"]
         }
     for key in prod_keys:
         block = out[key]
