@@ -122,6 +122,8 @@ AUDITED: dict[str, str] = {
     "a_lang_confusion": "here:test_lang_confusion_recompute",
     # quantile / rank arithmetic
     "p_quantile_transform": "here:test_quantile_transform_recompute",
+    # graph rank recurrence (integer micro-rank form, round 13)
+    "g_pagerank_knn": "here:test_pagerank_knn_float_recompute",
     "p_pps_sample": (
         "tests/test_round10c_ops.py:test_pps_sample_matches_reference_and_is_exact"
         " (pure-python systematic-PPS reference; DIV is rank arithmetic)"
@@ -733,3 +735,52 @@ def test_quantile_transform_recompute(spark):
         for i, row in g.iterrows():
             want = 0.0 if n == 1 else i / (n - 1)
             assert abs(got[row.event_id].q - want) <= TOL, row.event_id
+
+
+# ------------------------------------------------------------- graph family
+
+
+def test_pagerank_knn_float_recompute(spark):
+    """Plain-float textbook PageRank over the same edge set.
+
+    The edge STRUCTURE is pinned independently (s_knn_graph has a full
+    SQL oracle plus recall/plan-shape tests), so the audit target here
+    is the rank recurrence: the registered query's integer micro-rank
+    arithmetic must agree with r = (1-d)/N + d*(sum in r/out + dang/N)
+    computed in ordinary python floats with no grids, no flooring, no
+    DIV. Tolerance: each of the 3 iterations half-ups node ranks to
+    the 1e-6 grid and the error propagates through in-degrees (~2x
+    out-degree here), so grid noise can reach a few micro — asserted
+    at 1e-5 absolute, which a swapped denominator or stray factor
+    still misses by orders of magnitude.
+    """
+    from nt_data_pipelines_spark.operators.similarity import knn_graph
+    from nt_data_pipelines_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = [
+        (r.src_id, r.dst_id)
+        for r in knn_graph(
+            emb, "vec_id", "embedding", k=3, num_planes=6, dim=64, bucket_cap=None
+        )
+        .select("src_id", "dst_id")
+        .collect()
+    ]
+    assert len(edges) > 100
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = Counter(s for s, _ in edges)
+    rank = dict.fromkeys(nodes, 1.0 / n)
+    d = 0.85
+    for _ in range(3):
+        dang = sum(rank[x] for x in nodes if out.get(x, 0) == 0)
+        acc = defaultdict(float)
+        for s, t in edges:
+            acc[t] += rank[s] / out[s]
+        rank = {x: (1 - d) / n + d * (acc[x] + dang / n) for x in nodes}
+    got = {row.node: row.rank for row in _run(spark, "g_pagerank_knn")}
+    assert set(got) == set(nodes)
+    for x in nodes:
+        assert abs(got[x] - rank[x]) <= 1e-5, x
+    # total mass stays 1 up to the micro grid
+    assert abs(sum(got.values()) - 1.0) <= n * 1e-6
