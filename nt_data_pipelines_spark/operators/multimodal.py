@@ -13,11 +13,12 @@ container, so the decode step is stubbed two ways:
   schema, batch iteration, partitioning — is identical either way and
   is what the tests pin down.
 
-Two REAL decode paths need no external codec at all and therefore run
-in every CI environment: ``decode_stub="png"`` (resize_images) and
-``decode_stub="wav"`` (audio_features) use the vendored pure-stdlib
-decoders in operators/purecodec.py — actual PNG scanline-filter
-reconstruction and RIFF/WAVE PCM decode, not fakes.
+Three REAL decode paths need no external codec at all and therefore
+run in every CI environment: ``decode_stub="png"`` (resize_images),
+``decode_stub="wav"`` (audio_features), and ``decode_stub="y4m"``
+(sample_frames) use the vendored pure-stdlib decoders in
+operators/purecodec.py — actual PNG scanline-filter reconstruction,
+RIFF/WAVE PCM decode, and YUV4MPEG2 frame parsing, not fakes.
 """
 
 from __future__ import annotations
@@ -49,6 +50,7 @@ _REAL_CODEC_PRESENT = {
     # even in containers without PIL/ffmpeg (VERDICT r12 #6)
     "png": lambda: True,
     "wav": lambda: True,
+    "y4m": lambda: True,
 }
 
 
@@ -240,13 +242,19 @@ def sample_frames(
     """Frame sampling via mapInPandas: one input row -> many frame rows.
 
     ``decode_stub='ffmpeg'`` (or ``'auto'`` where ffmpeg is on PATH)
-    seeks real keyframes and emits each as PNG bytes; the default
-    ``'fake'`` slices the payload every ``every_n_bytes``. The
-    one-to-many batch fan-out (the part that matters to Spark: output
-    rows != input rows per Arrow batch) is identical either way.
+    seeks real keyframes and emits each as PNG bytes; ``'y4m'``
+    REAL-decodes uncompressed YUV4MPEG2 payloads with the vendored
+    stdlib parser (operators/purecodec.py — always available, never
+    skips in CI), samples frames evenly up to ``max_frames``, and
+    emits each luma plane as greyscale PNG; the default ``'fake'``
+    slices the payload every ``every_n_bytes``. The one-to-many batch
+    fan-out (the part that matters to Spark: output rows != input
+    rows per Arrow batch) is identical in every branch.
     """
     decode_stub = _resolve_stub(
-        decode_stub, allowed=("fake", "error", "ffmpeg", "auto"), auto_real="ffmpeg"
+        decode_stub,
+        allowed=("fake", "error", "ffmpeg", "auto", "y4m"),
+        auto_real="ffmpeg",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,6 +265,17 @@ def sample_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if decode_stub == "ffmpeg":
                     frames = _ffmpeg_keyframes(bytes(payload), max_frames)
+                elif decode_stub == "y4m":
+                    from nt_data_pipelines_spark.operators.purecodec import (
+                        decode_y4m,
+                        encode_png,
+                    )
+
+                    _w, _h, planes = decode_y4m(bytes(payload))
+                    stride = max(1, len(planes) // max_frames)
+                    frames = [
+                        encode_png(p) for p in planes[::stride][:max_frames]
+                    ]
                 else:
                     frames = [
                         bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])

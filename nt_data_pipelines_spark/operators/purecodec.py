@@ -15,6 +15,9 @@ modality possible without any dependency:
   for real on every CI run, not faked.
 - :func:`decode_wav`: 8/16/32-bit PCM, any channel count (downmixed to
   mono float64 in [-1, 1)), via the stdlib ``wave`` reader.
+- :func:`decode_y4m` / :func:`encode_y4m`: uncompressed YUV4MPEG2
+  video (C420*/Cmono), luma planes per frame — the video modality's
+  always-on real container parse.
 - :func:`to_gray` / :func:`resize_nearest`: ITU-R 601 luma and
   nearest-neighbor resampling in numpy, the minimal real-resize path.
 
@@ -224,3 +227,65 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         wf.setframerate(sample_rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode an uncompressed YUV4MPEG2 stream to (w, h, [Y planes]).
+
+    Y4M is the simplest real video container there is — an ASCII
+    header, then per-frame ``FRAME\\n`` markers each followed by raw
+    planar YCbCr — which makes it the one video format decodable with
+    no codec at all. Only the luma plane is returned (the sampling
+    operator emits greyscale frames); C420* and Cmono are supported,
+    other subsamplings raise loudly.
+    """
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream (bad magic)")
+    nl = data.index(b"\n")
+    w = h = None
+    chroma = "420"
+    for p in data[:nl].split(b" ")[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            chroma = p[1:].decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = w * h * 3 // 2
+    elif chroma == "mono":
+        frame_size = w * h
+    else:
+        raise NotImplementedError(f"chroma subsampling C{chroma} unsupported")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("expected FRAME marker")
+        start = fnl + 1
+        if start + frame_size > len(data):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(data[start : start + w * h], dtype=np.uint8)
+        frames.append(y.reshape(h, w).copy())
+        pos = start + frame_size
+    return w, h, frames
+
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 30) -> bytes:
+    """Encode HxW uint8 luma planes as a C420 Y4M stream (neutral
+    chroma), for tests and fixtures; dimensions must be even."""
+    h, w = frames[0].shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even dimensions")
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()]
+    chroma = bytes([128]) * (w * h // 2)
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n")
+        out.append(np.asarray(f, dtype=np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)

@@ -5,8 +5,9 @@ are absent — including this container — so until now no CI run
 executed a real decode. The vendored pure-stdlib codecs
 (operators/purecodec.py) close that: every test here runs everywhere,
 and each drives a REAL format decode (PNG scanline-filter
-reconstruction, RIFF/WAVE PCM) through the same mapInPandas operators
-the fake stubs test.
+reconstruction, RIFF/WAVE PCM, YUV4MPEG2 frame parsing) through the
+same mapInPandas operators the fake stubs test — one per modality:
+image, audio, video.
 """
 
 from __future__ import annotations
@@ -21,8 +22,10 @@ from nt_data_pipelines_spark.operators import multimodal as M
 from nt_data_pipelines_spark.operators.purecodec import (
     decode_png,
     decode_wav,
+    decode_y4m,
     encode_png,
     encode_wav,
+    encode_y4m,
     resize_nearest,
     to_gray,
 )
@@ -161,3 +164,45 @@ def test_audio_features_wav_branch_always_on(spark):
     assert row["zero_crossing_rate"] == pytest.approx(zc, rel=1e-12)
     # a 440 Hz sine crosses zero ~880 times/s -> rate ~0.11
     assert 0.09 < row["zero_crossing_rate"] < 0.13
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def test_y4m_roundtrip():
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(6, 8), dtype=np.uint8) for _ in range(4)]
+    w, h, got = decode_y4m(encode_y4m(frames))
+    assert (w, h, len(got)) == (8, 6, 4)
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_y4m_rejects_bad_magic_and_chroma():
+    with pytest.raises(ValueError, match="magic"):
+        decode_y4m(b"RIFF....")
+    hdr = b"YUV4MPEG2 W4 H4 F30:1 C444\nFRAME\n" + bytes(48)
+    with pytest.raises(NotImplementedError, match="C444"):
+        decode_y4m(hdr)
+
+
+def test_sample_frames_y4m_branch_always_on(spark):
+    """REAL YUV4MPEG2 parse through the Spark operator: 10-frame clip
+    sampled to 4 greyscale-PNG frames whose decoded pixels equal the
+    source luma planes at the sampled indices (stride 10//4 = 2)."""
+    frames = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(10)]
+    payload = encode_y4m(frames)
+    df = spark.createDataFrame(
+        [(3, payload, "video/y4m", len(payload), hashlib.sha256(payload).hexdigest())],
+        "media_id long, payload binary, media_type string, n_bytes long, sha string",
+    )
+    rows = (
+        M.sample_frames(df, max_frames=4, decode_stub="y4m")
+        .orderBy("frame_index")
+        .collect()
+    )
+    assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
+    for i, r in enumerate(rows):
+        w, h, ch, px = decode_png(bytes(r["frame_payload"]))
+        assert (w, h, ch) == (6, 4, 1)
+        np.testing.assert_array_equal(px[:, :, 0], frames[2 * i])
