@@ -779,6 +779,11 @@ def _hot_bucket_block(spark, n_hot: int = 200_000, n_bg: int = 50_000) -> dict:
         + out["cc_distributed_secs"],
         4,
     )
+    # the block's localCheckpoints (corpus, edge sets, labelings) live
+    # in the block manager, not the SQL cache — release them so a
+    # bench invocation that runs more work afterwards starts clean
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
     _attach_probe(out, spark)
     return out
 

@@ -1312,6 +1312,8 @@ def test_event_transitions_match_python_replay(spark, evs):
 # ---------------------------------------------------------------------------
 
 _CUTS = st.lists(st.integers(min_value=1, max_value=35), min_size=1, max_size=3, unique=True)
+# the RSI stream is 46 events long, so its cut points range wider
+_CUTS46 = st.lists(st.integers(min_value=1, max_value=45), min_size=1, max_size=3, unique=True)
 
 
 def _stream_events(n=36, nan_every=None):
@@ -1474,7 +1476,7 @@ def test_streaming_dedup_split_and_order_invariant(spark, tmp_path, perm, cuts):
 
 
 @pytest.mark.slow
-@given(cuts=_CUTS)
+@given(cuts=_CUTS46)
 @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 def test_streaming_rsi_split_invariant(spark, tmp_path, cuts):
     """Wilder RSI over ANY batch split == a python replay of the
