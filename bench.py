@@ -146,11 +146,16 @@ def _attach_probe(block: dict, spark) -> None:
     probe = _contention_probe(spark)
     block["contention_probe"] = probe
     v = block.get("value")
-    if v:
-        block["contention_probe"]["ratio_to_cpu"] = round(v / probe["cpu_secs"], 1)
-        block["contention_probe"]["ratio_to_job"] = round(
-            v / probe["sched_secs_per_job"], 1
-        )
+    # explicit None/zero checks: a 0.0-rounded block value must still
+    # record ratios where possible, and a probe denominator that
+    # rounds to 0.0 must not kill the bench with ZeroDivisionError
+    if v is not None:
+        if probe["cpu_secs"] > 0:
+            block["contention_probe"]["ratio_to_cpu"] = round(v / probe["cpu_secs"], 1)
+        if probe["sched_secs_per_job"] > 0:
+            block["contention_probe"]["ratio_to_job"] = round(
+                v / probe["sched_secs_per_job"], 1
+            )
 
 
 def _duck_connect(data_dir: str):
@@ -693,6 +698,13 @@ def _hot_bucket_block(spark, n_hot: int = 200_000, n_bg: int = 50_000) -> dict:
 
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # snapshot pre-existing persistent RDD ids: the cleanup at the end
+    # must release ONLY this block's checkpoints — unpersisting a
+    # checkpointed RDD someone else still references destroys data
+    # lineage can no longer recompute
+    pre_existing = {
+        r.id() for r in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
 
     boiler = " ".join(f"boiler{w}" for w in range(40))
     hot = spark.range(n_hot).select(
@@ -739,8 +751,10 @@ def _hot_bucket_block(spark, n_hot: int = 200_000, n_bg: int = 50_000) -> dict:
 
     t0 = time.perf_counter()
     vedges = minhash_verified_dup_edges(docs, "doc_id").localCheckpoint(eager=True)
-    out["verified_edges_rows"] = vedges.count()
+    # stop the clock at the eager checkpoint, BEFORE the count —
+    # mirroring the spanning row above, so the two are comparable
     out["verified_edges_secs"] = round(time.perf_counter() - t0, 4)
+    out["verified_edges_rows"] = vedges.count()
     # the production path: groups from VERIFIED edges only. The hot
     # cluster resolves to one group; the unique background docs must
     # not appear in any group (over-merging them is the corpus-deleting
@@ -781,9 +795,11 @@ def _hot_bucket_block(spark, n_hot: int = 200_000, n_bg: int = 50_000) -> dict:
     )
     # the block's localCheckpoints (corpus, edge sets, labelings) live
     # in the block manager, not the SQL cache — release them so a
-    # bench invocation that runs more work afterwards starts clean
+    # bench invocation that runs more work afterwards starts clean,
+    # but ONLY the ones this block created (see pre_existing above)
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+        if rdd.id() not in pre_existing:
+            rdd.unpersist()
     _attach_probe(out, spark)
     return out
 

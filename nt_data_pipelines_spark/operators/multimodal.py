@@ -256,6 +256,11 @@ def sample_frames(
         allowed=("fake", "error", "ffmpeg", "auto", "y4m"),
         auto_real="ffmpeg",
     )
+    # hoisted: once per task, not per media row
+    from nt_data_pipelines_spark.operators.purecodec import (
+        decode_y4m as _decode_y4m,
+        encode_png as _encode_png,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,15 +271,13 @@ def sample_frames(
                 if decode_stub == "ffmpeg":
                     frames = _ffmpeg_keyframes(bytes(payload), max_frames)
                 elif decode_stub == "y4m":
-                    from nt_data_pipelines_spark.operators.purecodec import (
-                        decode_y4m,
-                        encode_png,
-                    )
-
-                    _w, _h, planes = decode_y4m(bytes(payload))
-                    stride = max(1, len(planes) // max_frames)
+                    _w, _h, planes = _decode_y4m(bytes(payload))
+                    # ceil stride so sampling spans the WHOLE clip
+                    # (floor would truncate to a prefix: 10 frames at
+                    # max 4 must give 0,3,6,9 — not 0,2,4,6)
+                    stride = -(-len(planes) // max_frames)
                     frames = [
-                        encode_png(p) for p in planes[::stride][:max_frames]
+                        _encode_png(p) for p in planes[::stride][:max_frames]
                     ]
                 else:
                     frames = [
@@ -383,6 +386,8 @@ def audio_features(
         allowed=("fake", "error", "ffmpeg", "auto", "wav"),
         auto_real="ffmpeg",
     )
+    # hoisted: once per task, not per media row
+    from nt_data_pipelines_spark.operators.purecodec import decode_wav as _decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -398,11 +403,9 @@ def audio_features(
                 if decode_stub == "ffmpeg":
                     samples = _ffmpeg_pcm(raw, sample_rate)
                 elif decode_stub == "wav":
-                    from nt_data_pipelines_spark.operators.purecodec import decode_wav
-
                     # the container declares its own rate; duration
                     # must come from it, not the resample default
-                    rate, samples = decode_wav(raw)
+                    rate, samples = _decode_wav(raw)
                 else:
                     samples = [(b - 128) / 128.0 for b in raw]
                 n, rms, zc = _pcm_stats(samples)

@@ -201,6 +201,10 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         nch = wf.getnchannels()
         sw = wf.getsampwidth()
         frames = wf.readframes(wf.getnframes())
+    if rate <= 0:
+        # the stdlib reader accepts a 0-rate fmt chunk; downstream
+        # duration math would divide by it — fail loudly instead
+        raise ValueError(f"WAV declares non-positive sample rate {rate}")
     if sw == 1:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif sw == 2:

@@ -189,7 +189,9 @@ def test_y4m_rejects_bad_magic_and_chroma():
 def test_sample_frames_y4m_branch_always_on(spark):
     """REAL YUV4MPEG2 parse through the Spark operator: 10-frame clip
     sampled to 4 greyscale-PNG frames whose decoded pixels equal the
-    source luma planes at the sampled indices (stride 10//4 = 2)."""
+    source luma planes at the sampled indices. Ceil stride
+    (ceil(10/4) = 3) spans the WHOLE clip — frames 0,3,6,9 including
+    the tail — where a floor stride would return only a prefix."""
     frames = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(10)]
     payload = encode_y4m(frames)
     df = spark.createDataFrame(
@@ -205,4 +207,4 @@ def test_sample_frames_y4m_branch_always_on(spark):
     for i, r in enumerate(rows):
         w, h, ch, px = decode_png(bytes(r["frame_payload"]))
         assert (w, h, ch) == (6, 4, 1)
-        np.testing.assert_array_equal(px[:, :, 0], frames[2 * i])
+        np.testing.assert_array_equal(px[:, :, 0], frames[3 * i])
