@@ -805,7 +805,7 @@ def resolve_dup_groups_distributed(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """Distributed connected components via min-label propagation.
 
@@ -821,7 +821,12 @@ def resolve_dup_groups_distributed(
     return wrong components when capped). Each round is two shuffles
     on node id; stops early when no label changes and raises — never
     returns wrong groups — if ``max_iterations`` is genuinely too
-    small (20 covers diameters up to ~2^20).
+    small. The default 30 covers diameters to ~2^30 (a billion-doc
+    chain): because of the early stop, a generous cap costs NOTHING
+    when the graph converges sooner, while the old cap of 20 sat
+    exactly at a 1M-doc boilerplate chain's log2 diameter — the
+    round-13 hot-bucket bench (182k chain, ~18 rounds) showed how
+    thin that margin was at real bucket sizes.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
