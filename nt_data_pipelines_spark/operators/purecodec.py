@@ -58,7 +58,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
         pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        # verify the chunk CRC: without it a bit-flipped payload can
+        # silently decode to wrong pixels (zlib often still inflates)
+        if len(crc_bytes) == 4 and struct.unpack(">I", crc_bytes)[0] != zlib.crc32(
+            ctype + chunk
+        ):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch (corrupt payload)")
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk

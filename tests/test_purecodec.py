@@ -208,3 +208,15 @@ def test_sample_frames_y4m_branch_always_on(spark):
         w, h, ch, px = decode_png(bytes(r["frame_payload"]))
         assert (w, h, ch) == (6, 4, 1)
         np.testing.assert_array_equal(px[:, :, 0], frames[3 * i])
+
+
+def test_png_decode_detects_corruption_via_crc():
+    """A single flipped IDAT byte must raise loudly, never decode to
+    wrong pixels (zlib often still inflates corrupt streams)."""
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_png(arr, filter_type=1))
+    idat_at = bytes(data).index(b"IDAT")
+    data[idat_at + 10] ^= 0xFF  # flip a byte inside the IDAT payload
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(data))
