@@ -81,6 +81,29 @@ def word_set(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return df.select(id_col, F.explode(words(text_col)).alias("word")).distinct()
 
 
+def _set_size(arr: Column) -> Column:
+    # size() is INT; every consumer exposes set sizes as BIGINT (the
+    # legacy count() type), and the integer round-6 expressions
+    # (2 * n * 1000000) overflow 32 bits past n ~ 1073.
+    return F.size(arr).cast("long")
+
+
+def word_arrays(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, __ws) — each row's DISTINCT word set as an array column.
+
+    The codegen twin of :func:`word_set` for per-pair set operations:
+    ``size(__ws)`` is the set size and ``size(array_intersect(a, b))``
+    the exact intersection count, so a verify tier can compute Jaccard
+    with NO explode fan-out, no per-pair groupBy, and no shuffle of a
+    (id, word) relation — each candidate edge moves two word arrays
+    once instead of |A|+|B| shingle rows through two exchanges
+    (optimization guide §2.3/§2.4). Null texts are dropped, matching
+    word_set (explode of split(NULL) emits no rows)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.array_distinct(words(text_col)).alias("__ws")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -95,7 +118,12 @@ def ngram_jaccard_pairs(
     (tiny) candidate set. Kept standalone for the oracle check.
     """
     shingles = word_set(df, id_col, text_col)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # set sizes per row (codegen), not a third pass over the shingle
+    # relation — the exploded form is still needed below because the
+    # word self-join IS the candidate generation here.
+    sizes = word_arrays(df, id_col, text_col).select(
+        id_col, _set_size(F.col("__ws")).alias("set_size")
+    )
     a = shingles.withColumnsRenamed({id_col: "id_a"})
     b = shingles.withColumnsRenamed({id_col: "id_b"})
     common = (
@@ -125,22 +153,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_component(seed: int) -> Column:
-    # md5("<seed>:<word>") is a fresh uniform hash per seed — the
-    # min over a document's words is one MinHash signature component.
-    return F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("word")))).alias(f"mh_{seed}")
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 16
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signature per document.
 
     One exploded-shingle aggregation computes all k components in a
-    single shuffle (no per-seed passes).
+    single shuffle (no per-seed passes). Catalyst removes word_set's
+    distinct under the duplicate-insensitive min aggregates, so the
+    md5s stream map-side through the partial aggregation. A per-row
+    ``array_min(transform(...))`` form was measured in the round-13
+    optimization pass (OPTIMIZATION_r13.md): it removes the explode
+    and the SortAggregate's per-partition sort but materializes 16
+    md5-string arrays per row, and benched a wash-to-slightly-slower
+    at sf1 — so the streaming aggregation form stays.
     """
     shingles = word_set(df, id_col, text_col)
-    return shingles.groupBy(id_col).agg(*[_minhash_component(s) for s in range(num_hashes)])
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(s)), F.col("word")))
+            ).alias(f"mh_{s}")
+            for s in range(num_hashes)
+        ]
+    )
 
 
 def band_signatures(
@@ -350,21 +386,26 @@ def minhash_verified_dup_edges(
     long = banded_minhash(df, id_col, text_col, num_hashes, bands)
     cand = _bounded_band_candidates(long, id_col, bucket_cap)
 
-    shingles = word_set(df, id_col, text_col)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    sa = shingles.withColumnsRenamed({id_col: "id_a"})
-    sb = shingles.withColumnsRenamed({id_col: "id_b"})
-    common = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "word"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"})
-    zb = sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"})
+    # Exact verify via per-row word ARRAYS (guide §2.3/§2.4): the old
+    # shingle form joined each edge against two exploded (id, word)
+    # relations — an |A∪B|-row fan-out per edge through two exchanges
+    # plus a per-pair groupBy. Here each edge moves two word arrays
+    # once; |A∩B| and the set sizes are codegen array ops. Identical
+    # output (array_distinct/array_intersect are exact set semantics;
+    # measured 0-row diff at sf1 and on the hot-bucket corpus).
+    wsets = word_arrays(df, id_col, text_col)
+    wa = wsets.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
+    wb = wsets.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
     jac = (
-        common.join(za, "id_a")
-        .join(zb, "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _set_size(F.array_intersect("__wa", "__wb")).alias("n_common"),
+            _set_size(F.col("__wa")).alias("size_a"),
+            _set_size(F.col("__wb")).alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -568,8 +609,8 @@ def containment_pairs(
     acts on anyway.
     """
     bucket_cap = _resolve_bucket_cap(bucket_cap, "containment_pairs")
-    shingles = word_set(df, id_col, text_col)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    wsets = word_arrays(df, id_col, text_col)
+    sizes = wsets.select(id_col, _set_size(F.col("__ws")).alias("set_size"))
     long = banded_minhash(df, id_col, text_col, num_hashes, bands).join(
         sizes, id_col
     )
@@ -577,19 +618,21 @@ def containment_pairs(
         long, id_col, bucket_cap,
         hub_order=[F.col("set_size").desc(), F.col(id_col)],
     )
-    sa = shingles.withColumnsRenamed({id_col: "id_a"})
-    sb = shingles.withColumnsRenamed({id_col: "id_b"})
-    common = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "word"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.withColumnsRenamed({id_col: "id_a", "set_size": "size_a"})
-    zb = sizes.withColumnsRenamed({id_col: "id_b", "set_size": "size_b"})
+    # per-row word arrays instead of the exploded shingle join — see
+    # minhash_verified_dup_edges (same rewrite, same exact-output
+    # argument); n_common/sizes are codegen array ops per edge.
+    wa = wsets.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
+    wb = wsets.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
     out = (
-        common.join(za, "id_a")
-        .join(zb, "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _set_size(F.array_intersect("__wa", "__wb")).alias("n_common"),
+            _set_size(F.col("__wa")).alias("size_a"),
+            _set_size(F.col("__wb")).alias("size_b"),
+        )
         .withColumn(
             "containment",
             F.col("n_common") / F.least("size_a", "size_b").cast("double"),
@@ -1025,19 +1068,19 @@ def minhash_estimate_calibration(
         .select("id_a", "id_b", n_match.cast("long").alias("__m"))
     )
 
-    shingles = word_set(df, id_col, text_col)
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    common = (
-        cand.join(shingles.withColumnsRenamed({id_col: "id_a"}), "id_a")
-        .join(shingles.withColumnsRenamed({id_col: "id_b"}), ["id_b", "word"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    # exact tier via per-row word arrays (see minhash_verified_dup_edges)
+    wsets = word_arrays(df, id_col, text_col)
+    wa = wsets.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
+    wb = wsets.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
     per_pair = (
-        est.join(common, ["id_a", "id_b"], "left")
-        .fillna({"__c": 0})
-        .join(sizes.withColumnsRenamed({id_col: "id_a", "__sz": "__za"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "__sz": "__zb"}), "id_b")
+        est.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "__m",
+            _set_size(F.array_intersect("__wa", "__wb")).alias("__c"),
+            _set_size(F.col("__wa")).alias("__za"),
+            _set_size(F.col("__wb")).alias("__zb"),
+        )
         .select(
             F.expr(
                 f"ABS(__m * (__za + __zb - __c) - {num_hashes} * __c) "

@@ -130,21 +130,26 @@ def a_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_lsh_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     candidates = D.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=4)
-    shingles = D.word_set(docs, "doc_id", "text")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sa = shingles.withColumnsRenamed({"doc_id": "id_a"})
-    sb = shingles.withColumnsRenamed({"doc_id": "id_b"})
-    common = (
-        candidates.join(sa, "id_a")  # fan out candidate pairs by id_a's words
-        .join(sb, ["id_b", "word"])  # keep only words id_b also has
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.withColumnsRenamed({"doc_id": "id_a", "set_size": "size_a"})
-    zb = sizes.withColumnsRenamed({"doc_id": "id_b", "set_size": "size_b"})
+    # exact verify via per-row word arrays (round-13 optimization, same
+    # rewrite as operators/dedup.minhash_verified_dup_edges): each
+    # candidate edge moves two word arrays once; |A∩B| and the sizes
+    # are codegen array ops — no shingle fan-out join, no per-pair
+    # groupBy, two fewer aggregation exchanges. Output unchanged: a
+    # zero-overlap candidate had no `common` row before and jaccard 0
+    # now; both fall to the >= 0.7 filter.
+    wsets = D.word_arrays(docs, "doc_id", "text")
+    wa = wsets.select(F.col("doc_id").alias("id_a"), F.col("__ws").alias("__wa"))
+    wb = wsets.select(F.col("doc_id").alias("id_b"), F.col("__ws").alias("__wb"))
     jac = (
-        common.join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
+        candidates.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__wa", "__wb")).cast("long").alias("n_common"),
+            F.size("__wa").cast("long").alias("size_a"),
+            F.size("__wb").cast("long").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")
