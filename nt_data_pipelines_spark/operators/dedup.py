@@ -33,6 +33,28 @@ from nt_data_pipelines_spark.operators.text import words
 DEFAULT_BUCKET_CAP = 64
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a relation that the surrounding plan references
+    more than once.
+
+    The banded-minhash lineage (scan -> explode -> 16-way min
+    aggregation -> unpivot -> md5) is the expensive prefix of every
+    candidate generator, and Catalyst does NOT reuse it across the
+    branches of a self-join or a pairs/star union — each branch
+    re-executes the whole prefix (measured in the round-13 plan
+    captures: the exchange is not reused, so c1's signatures were
+    computed twice and the capped generator's windowed relation three
+    times). ``localCheckpoint(eager=False)`` computes the relation
+    once on first touch, persists MEMORY_AND_DISK, and truncates the
+    logical plan — the same stage-boundary idiom (and fault-tolerance
+    trade) documented at pipelines/corpus.CurationConfig.stage_boundary.
+    Lazy, so building a plan stays free of Spark jobs.
+    """
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 class _DefaultCap(int):
     """Marks a bucket cap that came from the module default, not the caller."""
 
@@ -117,7 +139,9 @@ def ngram_jaccard_pairs(
     candidates with MinHash-LSH first, then verify with this on the
     (tiny) candidate set. Kept standalone for the oracle check.
     """
-    shingles = word_set(df, id_col, text_col)
+    # pinned: both sides of the word self-join read the same exploded
+    # relation — unpinned, the scan+explode+distinct runs twice
+    shingles = _pin(word_set(df, id_col, text_col))
     # set sizes per row (codegen), not a third pass over the shingle
     # relation — the exploded form is still needed below because the
     # word self-join IS the candidate generation here.
@@ -251,6 +275,7 @@ def _bounded_band_candidates(
     scale only).
     """
     if bucket_cap is None:
+        long = _pin(long)
         a = long.select("band", "band_hash", F.col(id_col).alias("id_a"))
         b = long.select("band", "band_hash", F.col(id_col).alias("id_b"))
         return (
@@ -264,12 +289,14 @@ def _bounded_band_candidates(
     wo = w.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    sized = long.select(
-        F.col(id_col),
-        "band",
-        "band_hash",
-        F.count(F.lit(1)).over(w).alias("bsize"),
-        F.first(id_col).over(wo).alias("hub"),
+    sized = _pin(
+        long.select(
+            F.col(id_col),
+            "band",
+            "band_hash",
+            F.count(F.lit(1)).over(w).alias("bsize"),
+            F.first(id_col).over(wo).alias("hub"),
+        )
     )
     small = sized.filter(F.col("bsize") <= bucket_cap)
     a = small.select("band", "band_hash", F.col(id_col).alias("id_a"))
@@ -302,7 +329,7 @@ def minhash_lsh_candidates(
     that is the whole point — at scale the shuffle key is the bucket,
     never the cross product.
     """
-    long = banded_minhash(df, id_col, text_col, num_hashes, bands)
+    long = _pin(banded_minhash(df, id_col, text_col, num_hashes, bands))
     a = long.withColumnsRenamed({id_col: "id_a"})
     b_ = long.withColumnsRenamed({id_col: "id_b"})
     return (
@@ -492,11 +519,13 @@ def simhash_banded_pairs(
 
     chunk_cols = [_chunk(lo, hi).alias(f"c_{i}") for i, (lo, hi) in enumerate(bounds)]
     chunked = fingerprints.select(F.col(id_col), F.col(fp_col), *chunk_cols)
-    long = chunked.unpivot(
-        ids=[id_col, fp_col],
-        values=[f"c_{i}" for i in range(n_chunks)],
-        variableColumnName="chunk",
-        valueColumnName="chunk_val",
+    long = _pin(
+        chunked.unpivot(
+            ids=[id_col, fp_col],
+            values=[f"c_{i}" for i in range(n_chunks)],
+            variableColumnName="chunk",
+            valueColumnName="chunk_val",
+        )
     )
     a = long.select(
         F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "chunk", "chunk_val"
@@ -548,7 +577,9 @@ def minhash_jaccard_estimate(
     banded from that frame — no second shingle-aggregation shuffle.
     """
     bucket_cap = _resolve_bucket_cap(bucket_cap, "minhash_jaccard_estimate")
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    # referenced three times below (banding + both signature sides):
+    # pinned so the shingle aggregation runs once, not three times
+    sigs = _pin(minhash_signatures(df, id_col, text_col, num_hashes))
     band_long = band_signatures(sigs, id_col, num_hashes, bands)
     cand = _bounded_band_candidates(band_long, id_col, bucket_cap)
     sa = sigs.select(
@@ -1046,7 +1077,9 @@ def minhash_estimate_calibration(
     pass costs.
     """
     bucket_cap = _resolve_bucket_cap(bucket_cap, "minhash_estimate_calibration")
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    # referenced three times (banding + both estimate sides): pinned so
+    # the shingle aggregation runs once
+    sigs = _pin(minhash_signatures(df, id_col, text_col, num_hashes))
     band_long = band_signatures(sigs, id_col, num_hashes, bands)
     cand = _bounded_band_candidates(band_long, id_col, bucket_cap)
 
@@ -1088,8 +1121,12 @@ def minhash_estimate_calibration(
             ).alias("err_bucket_16ths")
         )
     )
-    buckets = per_pair.groupBy("err_bucket_16ths").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    # pinned: `total` re-aggregates `buckets`, so unpinned the whole
+    # candidate+verify pipeline above would execute twice
+    buckets = _pin(
+        per_pair.groupBy("err_bucket_16ths").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
     )
     total = buckets.agg(F.sum("n_pairs").alias("__t"))
     return (
