@@ -420,7 +420,9 @@ def minhash_verified_dup_edges(
     # once; |A∩B| and the set sizes are codegen array ops. Identical
     # output (array_distinct/array_intersect are exact set semantics;
     # measured 0-row diff at sf1 and on the hot-bucket corpus).
-    wsets = word_arrays(df, id_col, text_col)
+    # Pinned: both sides of the edge join read the same relation, and
+    # unpinned each side re-tokenizes the full corpus.
+    wsets = _pin(word_arrays(df, id_col, text_col))
     wa = wsets.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
     wb = wsets.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
     jac = (
@@ -640,7 +642,9 @@ def containment_pairs(
     acts on anyway.
     """
     bucket_cap = _resolve_bucket_cap(bucket_cap, "containment_pairs")
-    wsets = word_arrays(df, id_col, text_col)
+    # pinned: referenced three times (sizes + both edge sides) — the
+    # corpus would otherwise be re-tokenized per reference
+    wsets = _pin(word_arrays(df, id_col, text_col))
     sizes = wsets.select(id_col, _set_size(F.col("__ws")).alias("set_size"))
     long = banded_minhash(df, id_col, text_col, num_hashes, bands).join(
         sizes, id_col
@@ -1101,8 +1105,9 @@ def minhash_estimate_calibration(
         .select("id_a", "id_b", n_match.cast("long").alias("__m"))
     )
 
-    # exact tier via per-row word arrays (see minhash_verified_dup_edges)
-    wsets = word_arrays(df, id_col, text_col)
+    # exact tier via per-row word arrays (see minhash_verified_dup_edges);
+    # pinned: both edge sides read it
+    wsets = _pin(word_arrays(df, id_col, text_col))
     wa = wsets.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
     wb = wsets.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
     per_pair = (

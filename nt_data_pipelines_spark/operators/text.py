@@ -30,6 +30,19 @@ STOPWORD_LEXICON: dict[str, list[str]] = {
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a relation the surrounding plan references more than
+    once — ``localCheckpoint(eager=False)``, computed on first touch,
+    persisted MEMORY_AND_DISK, logical plan truncated. Catalyst does
+    not reuse a subtree across the branches that reference it, so an
+    unpinned n-gram/tokenize lineage re-executes per reference (same
+    idiom and fault-tolerance trade as operators/dedup._pin and
+    pipelines/corpus.CurationConfig.stage_boundary)."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 def words(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
@@ -434,12 +447,16 @@ def benchmark_contamination(
     making the probe map-side.
     """
     grams = _word_ngrams(text_col, n)
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    # one gram-array pass over the corpus, pinned: the probe join and
+    # the per-doc totals both read it — unpinned, the n-gram build
+    # (regex/split + concat per position) runs twice over the corpus
+    garr = _pin(
+        corpus.select(F.col(id_col), F.array_distinct(grams).alias("__g"))
     )
+    corpus_grams = garr.select(F.col(id_col), F.explode("__g").alias("gram"))
     bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
-    totals = corpus.select(
-        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("n_grams")
+    totals = garr.select(
+        F.col(id_col), F.size("__g").cast("long").alias("n_grams")
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
@@ -596,9 +613,12 @@ def bloom_contamination(
     import warnings
 
     grams = _word_ngrams(text_col, n)
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    # one gram-array pass over the corpus, pinned (see
+    # benchmark_contamination — probe + totals share it)
+    garr = _pin(
+        corpus.select(F.col(id_col), F.array_distinct(grams).alias("__g"))
     )
+    corpus_grams = garr.select(F.col(id_col), F.explode("__g").alias("gram"))
     # pinned once: the benchmark gram explosion feeds THREE consumers
     # (sizing count, bitset build, verify join) — unpinned, each would
     # re-run the scan + explode + distinct
@@ -607,8 +627,8 @@ def bloom_contamination(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    totals = corpus.select(
-        F.col(id_col), F.size(F.array_distinct(grams)).cast("long").alias("n_grams")
+    totals = garr.select(
+        F.col(id_col), F.size("__g").cast("long").alias("n_grams")
     )
     n_bench = bench_grams.count()
     if num_bits is None:
@@ -1364,7 +1384,11 @@ def remove_duplicate_spans(
     if n < 2:
         raise ValueError("span length n must be >= 2 (n=1 removes every repeated word)")
     ws = words(text_col)
-    base = df.select(F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__nw"))
+    # pinned: referenced by the gram explosion, the position explosion
+    # and the final rebuild join — one tokenize pass instead of three
+    base = _pin(
+        df.select(F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__nw"))
+    )
 
     # n-gram strings with their 0-based start positions
     starts = F.when(
@@ -1372,14 +1396,19 @@ def remove_duplicate_spans(
     ).otherwise(F.array().cast("array<int>"))
     # hashed to a fixed-width long before the corpus-wide count shuffle
     # and the join back (see gram_key)
-    grams = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: gram_key(F.array_join(F.slice("__ws", i + 1, n), " ")),
-            )
-        ).alias("__p", "__g"),
+    # pinned: the repeated-gram count and the covered-position join
+    # both read this relation — unpinned, the tokenize + per-position
+    # gram hashing (the dominant per-row cost) runs twice
+    grams = _pin(
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: gram_key(F.array_join(F.slice("__ws", i + 1, n), " ")),
+                )
+            ).alias("__p", "__g"),
+        )
     )
     repeated = (
         grams.groupBy("__g")
