@@ -564,33 +564,50 @@ def minhash_foreach_batch(
         batch_ids = bands_long.select("doc_id").distinct()
         if words_table is not None:
             # verify the batch's candidates against the (now updated)
-            # word state: only exact Jaccard >= threshold pairs persist
+            # word state: only exact Jaccard >= threshold pairs persist.
+            # Word-ARRAY form (the batch verify tier's rewrite, guide
+            # §2.3): the old shape joined each candidate against two
+            # exploded (doc_id, word) relations — an |A|-row fan-out
+            # per pair through two exchanges plus a per-pair groupBy,
+            # and a THIRD pass over the word state for sizes. Here the
+            # candidate endpoints' word sets aggregate ONCE into
+            # arrays (state is PK-distinct, so collect_set is the
+            # exact set), each pair moves two arrays, and
+            # |A∩B|/sizes are codegen array ops. The explicit
+            # __nc >= 1 filter reproduces the old inner common-join
+            # semantics exactly (a zero-overlap pair never appeared
+            # there), independent of the threshold value.
             ws = catalog.table(words_table)
-            wa = ws.withColumnsRenamed({"doc_id": "id_a"})
-            wb = ws.withColumnsRenamed({"doc_id": "id_b"})
-            common = (
-                new_pairs.join(wa, "id_a")
-                .join(wb, ["id_b", "word"])
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("__nc"))
-            )
             ids = (
                 new_pairs.select(F.col("id_a").alias("doc_id"))
                 .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
                 .distinct()
             )
-            sz = (
+            wsets = (
                 ws.join(ids, "doc_id", "left_semi")
                 .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("__s"))
+                .agg(F.collect_set("word").alias("__ws"))
+                .localCheckpoint(eager=False)  # read by both pair sides
             )
+            wa = wsets.select(F.col("doc_id").alias("id_a"), F.col("__ws").alias("__wa"))
+            wb = wsets.select(F.col("doc_id").alias("id_b"), F.col("__ws").alias("__wb"))
             verified = (
-                common.join(sz.withColumnsRenamed({"doc_id": "id_a", "__s": "__sa"}), "id_a")
-                .join(sz.withColumnsRenamed({"doc_id": "id_b", "__s": "__sb"}), "id_b")
+                new_pairs.join(wa, "id_a")
+                .join(wb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.size(F.array_intersect("__wa", "__wb")).alias("__nc"),
+                    F.size("__wa").alias("__sa"),
+                    F.size("__wb").alias("__sb"),
+                )
                 .filter(
-                    F.col("__nc")
-                    / (F.col("__sa") + F.col("__sb") - F.col("__nc")).cast("double")
-                    >= verify_threshold
+                    (F.col("__nc") >= 1)
+                    & (
+                        F.col("__nc")
+                        / (F.col("__sa") + F.col("__sb") - F.col("__nc")).cast("double")
+                        >= verify_threshold
+                    )
                 )
                 .select("id_a", "id_b")
             )
