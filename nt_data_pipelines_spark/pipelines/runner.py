@@ -14,7 +14,7 @@ tail-window slice (callers filter ``date == end`` before upserting).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -38,6 +38,19 @@ _D = T.DoubleType()
 _S = T.StringType()
 _DT = T.DateType()
 _I = T.IntegerType()
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a relation consumed by more than one downstream
+    upsert — localCheckpoint(eager=False): computed on first touch,
+    persisted MEMORY_AND_DISK, logical plan truncated (no
+    InMemoryRelation re-planning under AQE; same idiom and
+    fault-tolerance trade as pipelines/corpus.CurationConfig.
+    stage_boundary). Blocks are released with the session; the flow
+    runs once per schedule tick, so no explicit unpersist."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def _fire_failure_hook(on_failure, exc: BaseException) -> None:
@@ -188,8 +201,13 @@ def backfill_flow(
         stock_returns = cat.table("stock_returns")
         etf_returns = cat.table("etf_returns")
 
-        fitted = estimate_factor_model(stock_returns, etf_returns, FACTORS, window)
-        cat.upsert("factor_loadings", clean_factor_loadings(fitted, FACTORS, half_life))
+        # pinned: BOTH the loadings and idio-vol upserts materialize
+        # `fitted` — unpinned, the rolling-OLS grouped-map kernel (the
+        # flow's most expensive stage) executes twice
+        fitted = _pin(estimate_factor_model(stock_returns, etf_returns, FACTORS, window))
+        cat.upsert(
+            "factor_loadings", clean_factor_loadings(fitted, FACTORS, half_life)
+        )
         cat.upsert("idio_vol", clean_idio_vol(fitted, window, half_life))
         cat.upsert(
             "factor_covariances",
@@ -202,11 +220,14 @@ def backfill_flow(
         cat.upsert("scores", scores)
         cat.upsert("alphas", calculate_alphas(cat.table("scores"), cat.table("idio_vol")))
 
+        # pinned: the weights and returns upserts both read uni_ret —
+        # unpinned, the full-panel universe x returns join runs twice
         uni_ret = (
             cat.table("universe")
             .join(stock_returns.select("date", "ticker", "return"), ["date", "ticker"], "left")
             .filter(F.col("return").isNotNull())
         )
+        uni_ret = _pin(uni_ret)
         bweights = calculate_benchmark_weights(uni_ret)
         cat.upsert("benchmark_weights", bweights)
         bret = calculate_benchmark_returns(uni_ret, cat.table("benchmark_weights"))
@@ -311,8 +332,12 @@ def daily_flow(
         stock_returns = tail(cat.table("stock_returns"), 2 * window)
         etf_returns = tail(cat.table("etf_returns"), 2 * window)
 
-        fitted = estimate_factor_model(stock_returns, etf_returns, FACTORS, window)
-        cat.upsert("factor_loadings", only_end(clean_factor_loadings(fitted, FACTORS, half_life)))
+        # pinned: both tail upserts materialize `fitted` (see backfill)
+        fitted = _pin(estimate_factor_model(stock_returns, etf_returns, FACTORS, window))
+        cat.upsert(
+            "factor_loadings",
+            only_end(clean_factor_loadings(fitted, FACTORS, half_life)),
+        )
         cat.upsert("idio_vol", only_end(clean_idio_vol(fitted, window, half_life)))
         cat.upsert(
             "factor_covariances",
