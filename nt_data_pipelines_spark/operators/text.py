@@ -108,17 +108,49 @@ def language_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Argmax language per document; deterministic tie-break on lang name."""
-    from pyspark.sql import Window
+def language_pred_cols(text_col: str = "text") -> tuple[Column, Column]:
+    """(pred_lang, lex_hits) as pure per-row codegen Columns.
 
-    scores = language_scores(df, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
-    best = scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    return df.select(id_col).join(best.select(id_col, "lang", "hits"), id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
-        F.coalesce(F.col("hits"), F.lit(0)).alias("lex_hits"),
+    Same contract as :func:`language_id` — per-OCCURRENCE stopword hit
+    counts, argmax over languages with ties broken on ascending lang
+    name, ``('und', 0)`` when no lexicon word occurs — but computed
+    with array expressions over the word split instead of an explode +
+    broadcast join + two shuffles + join-back. The struct array_min
+    implements the (hits DESC, lang ASC) ranking: minimizing
+    (-hits, lang) field-by-field is exactly that order. Exposed so
+    compositions (the curate quality gate) can fuse the language
+    column into an existing projection with NO extra scan or join."""
+    ws_raw = words(text_col)
+    # null text: explode emitted no rows -> ('und', 0); an empty array
+    # reproduces that through the zero-hits guard below
+    ws = F.coalesce(ws_raw, F.array().cast("array<string>"))
+    entries = []
+    for lang in sorted(STOPWORD_LEXICON):
+        lex = F.array(*[F.lit(w) for w in STOPWORD_LEXICON[lang]])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(lex, w)))
+        entries.append(
+            F.struct(
+                (-hits).alias("nh"), F.lit(lang).alias("lang"), hits.alias("h")
+            )
+        )
+    best = F.array_min(F.array(*entries))
+    pred = F.when(best["h"] >= 1, best["lang"]).otherwise(F.lit("und"))
+    lex_hits = (
+        F.when(best["h"] >= 1, best["h"]).otherwise(F.lit(0)).cast("long")
+    )
+    return pred, lex_hits
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Argmax language per document; deterministic tie-break on lang name.
+
+    One codegen projection (see :func:`language_pred_cols`) — the old
+    exploded-join form shuffled the corpus's word explosion twice and
+    joined back per doc; result is identical (parity-checked against
+    the exploded SQL oracle)."""
+    pred, lex_hits = language_pred_cols(text_col)
+    return df.select(
+        F.col(id_col), pred.alias("pred_lang"), lex_hits.alias("lex_hits")
     )
 
 
@@ -889,14 +921,18 @@ def duplicated_ngram_fraction(
     join. Short docs (< n words) have no shingles and score 0.
     """
     # hash each gram to a fixed-width long BEFORE the distinct and the
-    # corpus-wide frequency shuffle (see gram_key: ~6x fewer key bytes)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(_word_ngrams(text_col, n), lambda g: gram_key(g))
-            )
-        ).alias("gram"),
+    # corpus-wide frequency shuffle (see gram_key: ~6x fewer key bytes).
+    # Pinned: the frequency aggregate and the per-doc roll-up join both
+    # read this relation — unpinned, the n-gram build runs twice.
+    grams = _pin(
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(_word_ngrams(text_col, n), lambda g: gram_key(g))
+                )
+            ).alias("gram"),
+        )
     )
     # grams are per-doc distinct, so COUNT(*) per gram == doc frequency
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))

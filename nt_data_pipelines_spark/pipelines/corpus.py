@@ -377,17 +377,19 @@ def curate_corpus(
     )
     spanned = stage("span_dedup", spanned)
 
+    # ONE codegen projection for the whole gate: quality features and
+    # the per-row language argmax (TX.language_pred_cols) are both
+    # pure column expressions over the text, so the old
+    # q JOIN language_id(spanned) — two extra corpus scans plus an
+    # id-keyed shuffle join — collapses into a filter on one pass.
+    # Identical result: ids are unique, so the inner join was 1:1.
     q = TX.quality_features(spanned, text_col)
-    lang = TX.language_id(spanned, id_col, text_col)
-    gated = (
-        q.join(lang, id_col)
-        .filter(
-            (F.col("q_words") >= config.min_words)
-            & (F.col("q_alpha_ratio") >= config.min_alpha_ratio)
-            & F.col("pred_lang").isin(*config.keep_langs)
-        )
-        .select(*spanned.columns)
-    )
+    pred_lang, _ = TX.language_pred_cols(text_col)
+    gated = q.filter(
+        (F.col("q_words") >= config.min_words)
+        & (F.col("q_alpha_ratio") >= config.min_alpha_ratio)
+        & pred_lang.isin(*config.keep_langs)
+    ).select(*spanned.columns)
     gated = stage("quality_lang_gate", gated)
 
     if config.quality_model_threshold is not None:
