@@ -25,6 +25,8 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nt_data_pipelines_spark.operators.text import _pin
+
 DEFAULT_GRAM_DF = 1000
 
 
@@ -99,9 +101,14 @@ def fuzzy_string_pairs(
     """
     max_gram_df = _resolve_gram_cap(max_gram_df, "fuzzy_string_pairs")
     t = F.col(text_col)
-    base = df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
+    # pinned: the gram-array build is read by the size frame, the
+    # exploded blocking relation and (capped branch) both verify sides
+    base = _pin(
+        df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
+    )
     sz = base.select("id", F.size("__g").cast("long").alias("n_g"))
-    g = base.select("id", F.explode("__g").alias("gram"))
+    # pinned: self-joined (and df-counted in the capped branch)
+    g = _pin(base.select("id", F.explode("__g").alias("gram")))
     if max_gram_df is None:
         pairs = (
             g.alias("a")
@@ -188,10 +195,14 @@ def edit_distance_pairs(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     max_gram_df = _resolve_gram_cap(max_gram_df, "edit_distance_pairs")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("__s"),
-        _char_ngrams(F.col(text_col), ngram).alias("__g"),
+    # pinned: read by the exploded blocking relation and both string
+    # sides of the verify join
+    base = _pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__s"),
+            _char_ngrams(F.col(text_col), ngram).alias("__g"),
+        )
     )
     g = base.select("id", F.explode("__g").alias("gram"))
     if max_gram_df is not None:
@@ -202,6 +213,9 @@ def edit_distance_pairs(
             .select("gram")
         )
         g = g.join(rare, "gram")
+    # pinned: the blocking self-join reads g twice (its lineage also
+    # carries the df-count join in the capped branch)
+    g = _pin(g)
     cand = (
         g.alias("a")
         .join(
@@ -267,9 +281,14 @@ def prefix_filtered_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
     t = F.col(text_col)
-    base = df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
+    # pinned: read by the size frame, the exploded relation and both
+    # verify sides
+    base = _pin(
+        df.select(F.col(id_col).alias("id"), _char_ngrams(t, ngram).alias("__g"))
+    )
     sz = base.select("id", F.size("__g").cast("long").alias("n_g"))
-    g = base.select("id", F.explode("__g").alias("gram"))
+    # pinned: the df-count aggregate and the rank join both read it
+    g = _pin(base.select("id", F.explode("__g").alias("gram")))
     dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     ranked = g.join(dfreq, "gram").withColumn(
         "__rk",
@@ -288,6 +307,9 @@ def prefix_filtered_pairs(
         )
         .select("id", "gram")
     )
+    # pinned: the candidate join reads the prefix relation twice —
+    # unpinned, the whole rank-window lineage executes per side
+    prefix = _pin(prefix)
     cand = (
         prefix.alias("a")
         .join(
