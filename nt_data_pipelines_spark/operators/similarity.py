@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nt_data_pipelines_spark.operators.text import _pin
+
 
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -120,7 +122,10 @@ def lsh_near_dup_pairs(
     pairs — the standard recall/cost trade of hash-blocked dedup
     (more planes → smaller buckets → cheaper + lower recall).
     """
-    sig = lsh_signatures(corpus, id_col, vec_col, num_planes, dim)
+    # pinned: the bucket self-join reads the signature relation (k
+    # hyperplane dot products per row) twice; ditto the vector
+    # projection for both verify sides
+    sig = _pin(lsh_signatures(corpus, id_col, vec_col, num_planes, dim))
     a = sig.select(F.col(id_col).alias("id_a"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (
@@ -129,8 +134,9 @@ def lsh_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vec_b"))
+    vecs = _pin(corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("vec_a"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vec_b"))
     cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6) + 0.0
     return (
         cand.join(va, "id_a")
@@ -258,11 +264,11 @@ def banded_hyperplane_pairs(
         )
     # a generator cannot nest inside WHEN — evaluate the length guard
     # as a (always-true-or-throwing) filter, then explode
-    sig = (
+    sig = _pin(
         corpus.filter(guard.isNull())
         .select(F.col(id_col), F.explode(F.array(*band_rows)).alias("s"))
         .select(id_col, "s.band", "s.bucket")
-    )
+    )  # pinned: L*k dot products per row, read by both self-join sides
     a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -271,8 +277,9 @@ def banded_hyperplane_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vec_b"))
+    vecs = _pin(corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("vec_a"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vec_b"))
     cos = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6) + 0.0
     return (
         cand.join(va, "id_a")
@@ -387,6 +394,9 @@ def _cap_hot_buckets(
         return sig.withColumn("__salt", F.lit(0))
     if bucket_cap < 2:
         raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+    # pinned: the bucket-count aggregate and the join back both read
+    # the signature relation
+    sig = _pin(sig)
     counts = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
     groups = F.ceil(F.col("__n") / F.lit(bucket_cap)).cast("long")
     # md5, not xxhash64: the salt changes which pairs are candidates,
@@ -428,8 +438,9 @@ def knn_graph(
     cosine with dst-id tie-break (engine-stable).
     """
     edges = _knn_candidates(corpus, id_col, vec_col, num_planes, dim, bucket_cap)
-    va = corpus.select(F.col(id_col).alias("src_id"), as_double_array(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("dst_id"), as_double_array(vec_col).alias("vb"))
+    vecs = _pin(corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v")))
+    va = vecs.select(F.col(id_col).alias("src_id"), F.col("__v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("dst_id"), F.col("__v").alias("vb"))
     cand = (
         edges.join(va, "src_id")
         .join(vb, "dst_id")
@@ -454,8 +465,13 @@ def _knn_candidates(
     """(src_id, dst_id) candidate edges for :func:`knn_graph` — the
     per-(bucket, salt) self-join, exposed so tests can pin the
     candidate count bound directly."""
-    sig = _cap_hot_buckets(
-        lsh_signatures(corpus, id_col, vec_col, num_planes, dim), id_col, bucket_cap
+    # pinned: the per-(bucket, salt) self-join reads the capped
+    # signature relation twice (and the cap itself joins the raw
+    # signatures against their bucket counts — pinned inside)
+    sig = _pin(
+        _cap_hot_buckets(
+            lsh_signatures(corpus, id_col, vec_col, num_planes, dim), id_col, bucket_cap
+        )
     )
     a = sig.select(F.col(id_col).alias("src_id"), "bucket", "__salt")
     b = sig.select(F.col(id_col).alias("dst_id"), "bucket", "__salt")
