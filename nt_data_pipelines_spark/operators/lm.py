@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nt_data_pipelines_spark.operators.text import words
+from nt_data_pipelines_spark.operators.text import _pin, words
 
 
 def unigram_logprob(
@@ -52,8 +52,12 @@ def unigram_logprob(
 
     Returns (id, n_tokens, bits_per_token).
     """
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("word")).filter(
-        F.col("word") != ""
+    # pinned: the vocabulary count and the surprisal join both read
+    # the exploded token relation
+    toks = _pin(
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("word")).filter(
+            F.col("word") != ""
+        )
     )
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__cw"))
     total = counts.agg(F.sum("__cw").alias("__T"))
@@ -109,9 +113,13 @@ def bigram_logprob(
     """
     from nt_data_pipelines_spark.operators.text import _word_ngrams
 
-    grams = df.select(
-        F.col(id_col), F.explode(_word_ngrams(text_col, 2)).alias("gram")
-    ).withColumn("prefix", F.substring_index("gram", " ", 1))
+    # pinned: gram counts, prefix counts and the surprisal join all
+    # read the exploded bigram relation
+    grams = _pin(
+        df.select(
+            F.col(id_col), F.explode(_word_ngrams(text_col, 2)).alias("gram")
+        ).withColumn("prefix", F.substring_index("gram", " ", 1))
+    )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__cg"))
     prefix_counts = grams.groupBy("prefix").agg(F.count(F.lit(1)).alias("__cp"))
     surprisal = F.round(
@@ -163,7 +171,11 @@ def perplexity_band_filter(
     """
     if not 0.0 <= lo_quantile < hi_quantile <= 1.0:
         raise ValueError("need 0 <= lo_quantile < hi_quantile <= 1")
-    scored = unigram_logprob(df, id_col, text_col).filter(F.col("n_tokens") > 0)
+    # pinned: the quantile aggregate and the band filter both read the
+    # scored relation — unpinned, the whole unigram pipeline runs twice
+    scored = _pin(
+        unigram_logprob(df, id_col, text_col).filter(F.col("n_tokens") > 0)
+    )
     bounds = scored.agg(
         F.percentile("bits_per_token", lo_quantile).alias("__lo"),
         F.percentile("bits_per_token", hi_quantile).alias("__hi"),
@@ -218,9 +230,13 @@ def pmi_collocations(
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    grams = df.select(F.explode(_word_ngrams(text_col, 2)).alias("gram")).select(
-        F.substring_index("gram", " ", 1).alias("w1"),
-        F.substring_index("gram", " ", -1).alias("w2"),
+    # pinned: four aggregates (pairs, both marginals, total) read the
+    # exploded pair relation
+    grams = _pin(
+        df.select(F.explode(_word_ngrams(text_col, 2)).alias("gram")).select(
+            F.substring_index("gram", " ", 1).alias("w1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+        )
     )
     pairs = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
     left = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__cl"))

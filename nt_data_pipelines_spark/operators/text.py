@@ -718,7 +718,9 @@ def tfidf_top_terms(
     exploded = df.select(
         F.col(id_col), F.explode(words(text_col)).alias("word")
     )
-    wc = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    # pinned: doc lengths, document frequencies and the score join all
+    # read the per-(doc, word) count relation
+    wc = _pin(exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c")))
     doc_len = wc.groupBy(id_col).agg(F.sum("c").alias("n_words"))
     dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     tfidf6 = (
@@ -873,8 +875,12 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     ws = words(text_col)
-    docs = df.select(F.col(id_col), ws.alias("__ws")).withColumn(
-        "dl", F.size("__ws").cast("long")
+    # pinned: the corpus scalars and the term-frequency explode both
+    # read the tokenized relation
+    docs = _pin(
+        df.select(F.col(id_col), ws.alias("__ws")).withColumn(
+            "dl", F.size("__ws").cast("long")
+        )
     )
     g = docs.agg(
         F.count(F.lit(1)).alias("N"), F.sum("dl").alias("S")
@@ -885,6 +891,8 @@ def bm25_scores(
         .groupBy(id_col, "dl", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # pinned: the per-term df aggregate and the score join both read tf
+    tf = _pin(tf)
     dft = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dft"))
     avgdl = F.col("S").cast("double") / F.col("N")
     idf = F.log((F.col("N") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1)
