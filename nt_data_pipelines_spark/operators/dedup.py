@@ -772,29 +772,59 @@ def dedup_new_against_corpus(
             .filter(F.col("_brank") <= corpus_bucket_cap)
             .drop("_brank")
         )
+    # NOT pinned, deliberately: tests pin the contract that the state
+    # path's lineage exposes the state parquet through inputFiles()
+    # (no corpus re-scan can hide), and a checkpoint would truncate
+    # that. The candidate set is referenced twice below (corpus-side
+    # word aggregation semi-join + verify join) — a batch-sized
+    # double-execution, far cheaper than the corpus-wide size
+    # aggregation the array rewrite removed.
     cand = (
         nb.withColumnsRenamed({id_col: "id_new"})
         .join(cb.withColumnsRenamed({id_col: "id_old"}), ["band", "band_hash"])
         .select("id_new", "id_old")
         .distinct()
     )
-    new_sh = word_set(new_docs, id_col, text_col).withColumnsRenamed({id_col: "id_new"})
-    old_sh = corpus_shingles.withColumnsRenamed({id_col: "id_old"})
-    common = (
-        cand.join(new_sh, "id_new")
-        .join(old_sh, ["id_old", "word"])
-        .groupBy("id_new", "id_old")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Word-ARRAY verify (the batch/streaming verify tiers' rewrite,
+    # guide §2.3): the old shape joined each candidate against the
+    # exploded new-batch and corpus shingle relations (a per-pair
+    # word fan-out through two exchanges plus a per-pair groupBy) and
+    # re-ran both explodes for the size aggregates. Now the candidate
+    # endpoints' word sets aggregate ONCE into arrays — the corpus
+    # side restricted to candidate ids first, so the corpus-sized
+    # state is never aggregated wholesale — and intersection/sizes
+    # are codegen array ops. The explicit n_common >= 1 filter
+    # reproduces the old inner common-join semantics exactly.
+    nw = _pin(
+        word_set(new_docs, id_col, text_col)
+        .withColumnsRenamed({id_col: "id_new"})
+        .groupBy("id_new")
+        .agg(F.collect_set("word").alias("__wn"))
     )
-    sn = new_sh.groupBy("id_new").agg(F.count(F.lit(1)).alias("size_new"))
-    so = old_sh.groupBy("id_old").agg(F.count(F.lit(1)).alias("size_old"))
+    ow = (
+        corpus_shingles.withColumnsRenamed({id_col: "id_old"})
+        .join(cand.select("id_old").distinct(), "id_old", "left_semi")
+        .groupBy("id_old")
+        .agg(F.collect_set("word").alias("__wo"))
+    )
     dup_new = (
-        common.join(sn, "id_new")
-        .join(so, "id_old")
+        cand.join(nw, "id_new")
+        .join(ow, "id_old")
+        .select(
+            "id_new",
+            _set_size(F.array_intersect("__wn", "__wo")).alias("n_common"),
+            _set_size(F.col("__wn")).alias("size_new"),
+            _set_size(F.col("__wo")).alias("size_old"),
+        )
         .filter(
-            F.col("n_common")
-            / (F.col("size_new") + F.col("size_old") - F.col("n_common")).cast("double")
-            >= threshold
+            (F.col("n_common") >= 1)
+            & (
+                F.col("n_common")
+                / (F.col("size_new") + F.col("size_old") - F.col("n_common")).cast(
+                    "double"
+                )
+                >= threshold
+            )
         )
         .select(F.col("id_new").alias(id_col))
         .distinct()
