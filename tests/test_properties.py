@@ -574,7 +574,17 @@ def test_rolling_sum_std_match_pandas_randomized(spark, rows, window):
     )
     g = pdf.sort_values(["k", "t"], kind="mergesort").groupby("k")["x"]
     want_rs = g.rolling(window, min_periods=window).sum().reset_index(drop=True)
-    want_rstd = g.rolling(window, min_periods=window).std(ddof=1).reset_index(drop=True)
+    # EXACT per-window recompute for the std oracle: pandas'
+    # .rolling().std() uses an add/retract accumulator whose relative
+    # precision collapses when a large-magnitude value precedes a tiny
+    # window (e.g. 887 then [0, 0, 0.015625] at window=3 is off by
+    # 3.6e-7 relative — Spark's per-frame recompute and numpy agree to
+    # 1e-15 there, so the OLD oracle was the inaccurate side).
+    want_rstd = (
+        g.rolling(window, min_periods=window)
+        .apply(lambda a: np.std(a, ddof=1), raw=True)
+        .reset_index(drop=True)
+    )
     np.testing.assert_allclose(
         got["rs"].to_numpy(dtype=float), want_rs.to_numpy(dtype=float),
         rtol=1e-9, atol=1e-9, equal_nan=True,
