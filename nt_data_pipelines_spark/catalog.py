@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import warnings
 from dataclasses import dataclass, field
 
@@ -1375,8 +1376,18 @@ class Catalog:
             return
         self.spark.catalog.refreshByPath(self._data_path(name))
 
-    def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
-        """Append rows; stamps a monotone _ingest_seq for upsert ordering."""
+    def insert(
+        self, name: str, df: DataFrame, mode: str = "append", _pk_dedupe: bool = False
+    ) -> None:
+        """Append rows; stamps a monotone _ingest_seq for upsert ordering.
+
+        ``_pk_dedupe`` (private, used by :meth:`upsert`'s empty-base
+        fast path) collapses the batch to one row per primary key IN
+        FLIGHT, using exactly the rank :meth:`optimize` would apply:
+        all rows of one insert share an ingest seq, so the global
+        last-write-wins window reduces to the content-hash tiebreak
+        within the batch. Constraint gating still sees the RAW batch —
+        a violating dup-loser row rejects the insert either way."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         meta = self._meta(name)
@@ -1391,6 +1402,18 @@ class Catalog:
             batch = batch.persist()
         try:
             self._check_constraints(name, batch)  # gate BEFORE any write
+            if _pk_dedupe and meta.primary_keys:
+                # same payload column order as _lww_window: the
+                # survivor this picks is byte-identical to the one a
+                # post-insert optimize would keep
+                w = Window.partitionBy(*meta.primary_keys).orderBy(
+                    F.desc(F.xxhash64(*cols))
+                )
+                batch = (
+                    batch.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
             seq = self._state["next_seq"]
             self._state["next_seq"] = seq + 1
             self._save()
@@ -1401,8 +1424,125 @@ class Catalog:
                 batch.unpersist()
 
     def upsert(self, name: str, df: DataFrame) -> None:
-        self.insert(name, df, mode="append")
+        """insert + optimize, with an empty-base fast path.
+
+        When the table's committed state is provably EMPTY before the
+        insert, the batch is PK-deduped in flight (same survivor rank
+        optimize would apply) and the post-insert table therefore
+        cannot hold a duplicate key — the table-sized dup-probe scan
+        optimize pays is skipped. A cheap commit-level check after the
+        insert confirms nothing else landed in between (filelist: our
+        append took exactly the next generation; rename/manifest: every
+        data file added since the emptiness check carries our single
+        write job's UUID) — any doubt falls back to the full optimize.
+        Trade documented here: with an in-flight-deduped batch the raw
+        pre-optimize generation never exists, so time travel reads of
+        that intermediate state are gone; resolved (LWW) snapshots are
+        identical at every surviving generation."""
+        token = self._upsert_empty_base_token(name)
+        if token is not None:
+            self.insert(name, df, mode="append", _pk_dedupe=True)
+            if self._upsert_base_undisturbed(name, token):
+                return
+        else:
+            self.insert(name, df, mode="append")
         self.optimize(name)
+
+    # upsert empty-base fast path: only probe emptiness with a (tiny)
+    # job when the committed bytes could plausibly be zero rows
+    _EMPTY_PROBE_MAX_BYTES = 1 << 20
+
+    def _list_parquet_recursive(self, fs, p) -> list[tuple[str, int]]:
+        """(path, length) for every parquet data file under ``p``,
+        recursively — hive partition subdirs included."""
+        out: list[tuple[str, int]] = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            path = st.getPath().toString()
+            base = os.path.basename(path)
+            if base.endswith(".parquet") and not base.startswith(("_", ".")):
+                out.append((path, st.getLen()))
+        return out
+
+    def _upsert_empty_base_token(self, name: str):
+        """An opaque pre-insert state token when the table is provably
+        empty (and PK-keyed), else None. Proof is metadata-first: a
+        committed byte total above _EMPTY_PROBE_MAX_BYTES returns None
+        without running any job (the non-empty common case), otherwise
+        a limit(1) probe over the (at most ~1 MB) footprint settles it.
+        """
+        meta = self._meta(name)
+        if not meta.primary_keys:
+            return None  # optimize() is already a metadata no-op
+        if self.commit_mode == "filelist":
+            gen = self._current_gen(name)
+            if gen < 0:
+                return None  # pre-manifest legacy state: unknown base
+            resolved = self._fl_resolve(name, gen)
+            if resolved is None:
+                return None
+            files = resolved[0]
+            if files:
+                total = 0
+                for f in files:
+                    fs, p = self._hfs(self._fl_abs(f))
+                    try:
+                        total += fs.getFileStatus(p).getLen()
+                    except Exception:
+                        return None
+                    if total > self._EMPTY_PROBE_MAX_BYTES:
+                        return None
+                if self._raw_table(name).limit(1).count():
+                    return None
+            return ("gen", gen)
+        # rename / manifest: the live data dir. rename mode is single-
+        # writer by contract (its rewrite commit has no OCC either);
+        # manifest appends are additionally guarded by the gen + write-
+        # UUID checks in _upsert_base_undisturbed.
+        ddir = self._data_path(name)
+        fs, p = self._hfs(ddir)
+        if not fs.exists(p):
+            return None
+        listing = self._list_parquet_recursive(fs, p)
+        if sum(ln for _, ln in listing) > self._EMPTY_PROBE_MAX_BYTES:
+            return None
+        if listing and self._raw_table(name).limit(1).count():
+            return None
+        gen = self._current_gen(name) if self.commit_mode == "manifest" else -1
+        return ("dir", frozenset(f for f, _ in listing), gen)
+
+    _PART_UUID_RE = re.compile(
+        r"^part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
+    )
+
+    def _upsert_base_undisturbed(self, name: str, token) -> bool:
+        """True iff nothing besides our own insert committed since the
+        token was taken — i.e. the PK-deduped batch is provably the
+        table's entire content and the dup probe can be skipped."""
+        if token[0] == "gen":
+            # filelist: our append commit pinned _next_gen with OCC —
+            # landing at exactly base+1 proves no rival (a rival's
+            # commit, or even a torn manifest burning a number, pushes
+            # ours past base+1 and we fall back to the full optimize)
+            return self._current_gen(name) == token[1] + 1
+        _, pre_files, gen0 = token
+        if self.commit_mode == "manifest" and self._current_gen(name) != gen0:
+            return False  # a rival rewrite committed a new generation
+        fs, p = self._hfs(self._data_path(name))
+        if not fs.exists(p):
+            return False
+        uuids = set()
+        for path, _ in self._list_parquet_recursive(fs, p):
+            if path in pre_files:
+                continue  # proven zero-row by the emptiness probe
+            m = self._PART_UUID_RE.match(os.path.basename(path))
+            if m is None:
+                return False
+            uuids.add(m.group(1))
+        # every task of one Spark write job shares the job UUID; two
+        # distinct UUIDs mean a rival append slipped in — fall back
+        return len(uuids) <= 1
 
     def rewrite(self, name: str, build, preserve_layout: bool = False) -> None:
         """Transactionally replace a table with ``build(df)``.
