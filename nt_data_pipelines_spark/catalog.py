@@ -1376,18 +1376,8 @@ class Catalog:
             return
         self.spark.catalog.refreshByPath(self._data_path(name))
 
-    def insert(
-        self, name: str, df: DataFrame, mode: str = "append", _pk_dedupe: bool = False
-    ) -> None:
-        """Append rows; stamps a monotone _ingest_seq for upsert ordering.
-
-        ``_pk_dedupe`` (private, used by :meth:`upsert`'s empty-base
-        fast path) collapses the batch to one row per primary key IN
-        FLIGHT, using exactly the rank :meth:`optimize` would apply:
-        all rows of one insert share an ingest seq, so the global
-        last-write-wins window reduces to the content-hash tiebreak
-        within the batch. Constraint gating still sees the RAW batch —
-        a violating dup-loser row rejects the insert either way."""
+    def insert(self, name: str, df: DataFrame, mode: str = "append") -> None:
+        """Append rows; stamps a monotone _ingest_seq for upsert ordering."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         meta = self._meta(name)
@@ -1402,18 +1392,6 @@ class Catalog:
             batch = batch.persist()
         try:
             self._check_constraints(name, batch)  # gate BEFORE any write
-            if _pk_dedupe and meta.primary_keys:
-                # same payload column order as _lww_window: the
-                # survivor this picks is byte-identical to the one a
-                # post-insert optimize would keep
-                w = Window.partitionBy(*meta.primary_keys).orderBy(
-                    F.desc(F.xxhash64(*cols))
-                )
-                batch = (
-                    batch.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
             seq = self._state["next_seq"]
             self._state["next_seq"] = seq + 1
             self._save()
@@ -1424,38 +1402,84 @@ class Catalog:
                 batch.unpersist()
 
     def upsert(self, name: str, df: DataFrame) -> None:
-        """insert + optimize, with an empty-base fast path.
+        """insert + optimize, with a batch-scoped dup probe.
 
-        When the table's committed state is provably EMPTY before the
-        insert, the batch is PK-deduped in flight (same survivor rank
-        optimize would apply) and the post-insert table therefore
-        cannot hold a duplicate key — the table-sized dup-probe scan
-        optimize pays is skipped. A cheap commit-level check after the
-        insert confirms nothing else landed in between (filelist: our
-        append took exactly the next generation; rename/manifest: every
-        data file added since the emptiness check carries our single
-        write job's UUID) — any doubt falls back to the full optimize.
-        Trade documented here: with an in-flight-deduped batch the raw
-        pre-optimize generation never exists, so time travel reads of
-        that intermediate state are gone; resolved (LWW) snapshots are
-        identical at every surviving generation."""
-        token = self._upsert_empty_base_token(name)
-        if token is not None:
-            self.insert(name, df, mode="append", _pk_dedupe=True)
-            if self._upsert_base_undisturbed(name, token):
+        The full optimize pays a table-sized probe (scan + table-wide
+        exchanges) per call. When the pre-insert committed state is
+        known PK-unique — a recorded pk-clean marker, or a provably
+        EMPTY base — the only possible duplicates involve the batch,
+        so the probe narrows to the batch's own just-written files:
+        one narrow groupBy over the batch's key columns (internal
+        dups) plus one broadcast semi-join against the marker's files
+        (cross-seq collisions). No duplicate found means optimize is
+        skipped outright; any dirt, any doubt, or any rival commit
+        detected by the post-insert checks falls back to the full
+        optimize. The insert itself is untouched (a raw append), so
+        every committed byte — including the raw pre-optimize
+        generation time travel can read — is identical to the slow
+        path's."""
+        # marker first: a valid pk-clean marker serves empty AND
+        # non-empty bases (an empty older side probes to no collision),
+        # and checking it is pure metadata — the emptiness token may
+        # cost a limit(1) job on small tables, so it is the fallback
+        base = self._valid_pk_clean_token(name)
+        older_empty = False
+        if base is None:
+            base = self._upsert_empty_base_token(name)
+            older_empty = base is not None  # token proved zero rows
+        if base is not None and not older_empty:
+            # size gate (scale-adaptive, see _probe_table_min_bytes):
+            # under the threshold the full probe's table-wide shuffle
+            # costs about one local job anyway, so the batch probe's
+            # extra job would only add scheduling floor; above it the
+            # O(batch) probe replaces an O(table) exchange per upsert
+            bb = self._base_bytes(name, base)
+            if bb is None or bb < self._probe_table_min_bytes():
+                base = None
+        seq = self._state["next_seq"]  # the seq insert will stamp
+        self.insert(name, df, mode="append")
+        if base is not None and self._upsert_base_undisturbed(name, base):
+            expect = base[1] + 1 if base[0] == "gen" else None
+            if not self._batch_dup_probe(name, base, seq, older_empty) and (
+                expect is None or self._current_gen(name) == expect
+            ):
+                # no batch-internal dup, no batch/older collision, and
+                # (filelist) no rival commit slipped in while probing —
+                # provably no duplicate key exists; skip optimize
+                self._record_pk_clean(name, expect_gen=expect)
                 return
-        else:
-            self.insert(name, df, mode="append")
         self.optimize(name)
 
     # upsert empty-base fast path: only probe emptiness with a (tiny)
     # job when the committed bytes could plausibly be zero rows
     _EMPTY_PROBE_MAX_BYTES = 1 << 20
+    # batch-key collect cap for the dup probe's single-job form — an
+    # incremental batch this small is driver-bounded by construction
+    _PROBE_COLLECT_MAX_BYTES = 8 << 20
 
     def _list_parquet_recursive(self, fs, p) -> list[tuple[str, int]]:
         """(path, length) for every parquet data file under ``p``,
-        recursively — hive partition subdirs included."""
+        recursively — hive partition subdirs included.
+
+        Local roots walk the OS directly: the Hadoop RemoteIterator
+        costs one py4j round-trip per file (~1-2 ms each), which turns
+        a few-hundred-file table into a half-second listing — measured
+        as the dominant cost of the upsert fast path before this
+        branch existed."""
         out: list[tuple[str, int]] = []
+        pstr = p.toString()
+        local = pstr[5:] if pstr.startswith("file:") else pstr
+        if "://" not in pstr or pstr.startswith("file:"):
+            for dirpath, _dirs, files in os.walk(local):
+                for base in files:
+                    if base.endswith(".parquet") and not base.startswith(("_", ".")):
+                        full = os.path.join(dirpath, base)
+                        try:
+                            ln = os.path.getsize(full)
+                        except OSError:
+                            continue  # racing delete: same as FS skip
+                        out.append((full, ln))
+            return out
         it = fs.listFiles(p, True)
         while it.hasNext():
             st = it.next()
@@ -1532,10 +1556,13 @@ class Catalog:
         fs, p = self._hfs(self._data_path(name))
         if not fs.exists(p):
             return False
+        current = {path for path, _ in self._list_parquet_recursive(fs, p)}
+        if not set(pre_files) <= current:
+            return False  # a rival rewrite replaced the token's files
         uuids = set()
-        for path, _ in self._list_parquet_recursive(fs, p):
+        for path in current:
             if path in pre_files:
-                continue  # proven zero-row by the emptiness probe
+                continue  # accounted for by the token's own proof
             m = self._PART_UUID_RE.match(os.path.basename(path))
             if m is None:
                 return False
@@ -1543,6 +1570,201 @@ class Catalog:
         # every task of one Spark write job shares the job UUID; two
         # distinct UUIDs mean a rival append slipped in — fall back
         return len(uuids) <= 1
+
+    # ---- pk-clean markers (upsert's narrowed dup probe) ----
+    # A marker fingerprints a committed state whose resolved rows were
+    # proven PK-unique (optimize ran, or an in-flight-deduped batch
+    # landed on an empty base). Validity is self-checking — the
+    # CURRENT state must equal the fingerprint exactly — so any commit
+    # from any writer (insert, merge, rewrite, delete) invalidates it
+    # without coordination. Scope: filelist markers pin a generation
+    # (every commit bumps it — airtight under OCC); rename markers pin
+    # the data-dir file listing (the mode is single-writer by
+    # contract); manifest mode gets NO markers — its appends mutate
+    # the generation dir in place, so a stale listing cannot be told
+    # apart from a clean one by metadata alone.
+    _PK_CLEAN_MAX_FILES = 512
+
+    def _record_pk_clean(self, name: str, expect_gen: int | None = None) -> None:
+        meta = self._meta(name)
+        if not meta.primary_keys:
+            return
+        entry = self._state["tables"].get(name)
+        if entry is None:
+            return
+        if self.commit_mode == "filelist":
+            # record ONLY a generation the caller proved clean itself
+            # (optimize's return, or empty-base token + 1): reading the
+            # current gen here could fingerprint a rival's later commit
+            if expect_gen is None or self._current_gen(name) != expect_gen:
+                return
+            entry["pk_clean"] = {"kind": "gen", "gen": expect_gen}
+            self._save()
+            return
+        if self.commit_mode != "rename":
+            return
+        fs, p = self._hfs(self._data_path(name))
+        if not fs.exists(p):
+            return
+        listing = self._list_parquet_recursive(fs, p)
+        if len(listing) > self._PK_CLEAN_MAX_FILES:
+            return  # keep the state file small; large tables re-probe
+        entry["pk_clean"] = {"kind": "dir", "files": sorted(f for f, _ in listing)}
+        self._save()
+
+    def _valid_pk_clean_token(self, name: str):
+        """The recorded pk-clean marker as an (upsert-token-shaped)
+        tuple IF the table's current committed state still matches its
+        fingerprint, else None."""
+        meta = self._meta(name)
+        if not meta.primary_keys:
+            return None
+        rec = self._state["tables"][name].get("pk_clean")
+        if not isinstance(rec, dict):
+            return None
+        if self.commit_mode == "filelist":
+            if rec.get("kind") != "gen":
+                return None
+            gen = self._current_gen(name)
+            if gen < 0 or gen != rec.get("gen"):
+                return None
+            return ("gen", gen)
+        if self.commit_mode != "rename" or rec.get("kind") != "dir":
+            return None
+        fs, p = self._hfs(self._data_path(name))
+        if not fs.exists(p):
+            return None
+        current = sorted(f for f, _ in self._list_parquet_recursive(fs, p))
+        if current != rec.get("files"):
+            return None
+        return ("dir", frozenset(current), -1)
+
+    def _batch_dup_probe(
+        self, name: str, base, seq: int, older_known_empty: bool = False
+    ) -> bool:
+        """Whether the just-inserted batch (ingest seq ``seq``) could
+        have introduced a duplicate primary key, given that every row
+        OUTSIDE the batch was already PK-unique (pk-clean marker) or
+        zero (empty base — the caller passes ``older_known_empty=True``
+        and the cross-collision probe is skipped).
+
+        True means "dup found or probe not applicable" — the caller
+        runs the full optimize. False is a proof: no batch-internal
+        duplicate and no batch key colliding with an older row.
+
+        Both probe sides read the table's ONE cached root relation
+        filtered on the ingest seq (parquet row-group stats prune the
+        batch-side scan to the batch's files), never a per-file path
+        list — explicit multi-path reads re-plan a fresh file index
+        per call, measured at 1.5-3 s of pure driver time on a
+        few-hundred-file table. A small batch (byte total from the
+        commit listing) collects its keys once and probes with a local
+        relation; larger batches use a distributed narrow groupBy +
+        broadcast semi-join. Never a table-wide exchange: the old
+        global probe shuffled every key in the table per upsert."""
+        meta = self._meta(name)
+        pks = meta.primary_keys
+        batch_bytes: int | None = 0
+        if base[0] == "gen":
+            resolved_old = self._fl_resolve(name, base[1])
+            resolved_new = self._fl_resolve(name, base[1] + 1)
+            if resolved_old is None or resolved_new is None:
+                return True
+            for f in set(resolved_new[0]) - set(resolved_old[0]):
+                try:
+                    batch_bytes += self._file_len(self._fl_abs(f))
+                except Exception:
+                    batch_bytes = None  # unknown: distributed probe
+                    break
+        else:
+            fs, p = self._hfs(self._data_path(name))
+            if not fs.exists(p):
+                return True
+            pre = set(base[1])
+            batch_bytes = sum(
+                ln
+                for f, ln in self._list_parquet_recursive(fs, p)
+                if f not in pre
+            )
+        full = self._raw_table(name)
+        bkeys = full.filter(F.col(INGEST_COL) == F.lit(seq)).select(*pks)
+        older_rows = full.filter(F.col(INGEST_COL) != F.lit(seq)).select(*pks)
+        if batch_bytes is not None and batch_bytes <= self._PROBE_COLLECT_MAX_BYTES:
+            # incremental-sized batch: ONE row-group-pruned job
+            # collects its keys; internal dups resolve in python
+            # (None==None, matching groupBy's null semantics) and the
+            # collision probe joins a local relation — the job-floor-
+            # lightest shape, keys driver-bounded by the byte cap
+            keys = [tuple(r) for r in bkeys.collect()]
+            if not keys:
+                return False  # empty batch: nothing new to duplicate
+            if any(
+                isinstance(v, float) and v != v for k in keys for v in k
+            ):
+                return True  # NaN pk: python/Spark equality diverge
+            if len(keys) != len(set(keys)):
+                return True
+            if older_known_empty:
+                return False
+            by_name = {f.name: f for f in meta.struct.fields}
+            pk_schema = T.StructType([by_name[c] for c in pks])
+            right = F.broadcast(
+                self.spark.createDataFrame(keys, pk_schema).select(*pks)
+            )
+        else:
+            internal = (
+                bkeys.groupBy(*pks)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+            )
+            if internal.count():
+                return True
+            if older_known_empty:
+                return False
+            right = F.broadcast(bkeys.distinct())
+        # null-SAFE equality: optimize's groupBy/window treat NULL pk
+        # values as one key, so the collision probe must too
+        cond = None
+        for c in pks:
+            e = older_rows[c].eqNullSafe(right[c])
+            cond = e if cond is None else (cond & e)
+        probe = older_rows.join(right, cond, "left_semi").limit(1)
+        return bool(probe.count())
+
+    def _file_len(self, path: str) -> int:
+        local = path[5:] if path.startswith("file:") else path
+        if "://" not in path or path.startswith("file:"):
+            return os.path.getsize(local)
+        fs, p = self._hfs(path)
+        return fs.getFileStatus(p).getLen()
+
+    @staticmethod
+    def _probe_table_min_bytes() -> int:
+        """Committed-size threshold above which upsert's marker path
+        replaces the full optimize with the batch-scoped probe.
+
+        Locally the full probe's table-wide exchange costs about one
+        job — the batch probe's extra scheduling would be pure
+        overhead — so the default keeps small tables on the old path
+        and the driver's bench comparable. In production the threshold
+        marks where shuffling every key per upsert starts to dominate:
+        256 MB is a conservative default (a few seconds of exchange);
+        lower it via NT_UPSERT_PROBE_TABLE_BYTES on clusters where
+        upsert cadence is high."""
+        return int(os.environ.get("NT_UPSERT_PROBE_TABLE_BYTES", 256 << 20))
+
+    def _base_bytes(self, name: str, base) -> int | None:
+        """Committed bytes of the token's file set (None = unknown)."""
+        try:
+            if base[0] == "gen":
+                resolved = self._fl_resolve(name, base[1])
+                if resolved is None:
+                    return None
+                return sum(self._file_len(self._fl_abs(f)) for f in resolved[0])
+            return sum(self._file_len(f) for f in base[1])
+        except Exception:
+            return None
 
     def rewrite(self, name: str, build, preserve_layout: bool = False) -> None:
         """Transactionally replace a table with ``build(df)``.
@@ -2291,9 +2513,10 @@ class Catalog:
     def optimize(self, name: str) -> None:
         """PK dedup compaction; recomputes and retries after losing a
         manifest-commit race to a concurrent writer."""
-        self._with_occ_retry(name, lambda: self._optimize_once(name))
+        gen = self._with_occ_retry(name, lambda: self._optimize_once(name))
+        self._record_pk_clean(name, expect_gen=gen)
 
-    def _optimize_once(self, name: str) -> None:
+    def _optimize_once(self, name: str) -> int | None:
         meta = self._meta(name)
         pks = meta.primary_keys
         if not pks:
@@ -2315,7 +2538,7 @@ class Catalog:
             # branch below): only files holding a copy of a duplicated
             # key are rewritten; every clean file carries over BY
             # REFERENCE in the next manifest.
-            self._optimize_filelist_incremental(name, meta, pks, w)
+            return self._optimize_filelist_incremental(name, meta, pks, w)
         elif meta.partition_keys and self.commit_mode in ("manifest", "filelist"):
             # The dirty-partition dynamic overwrite mutates the CURRENT
             # generation dir in place — outside the manifest commit
@@ -2396,8 +2619,11 @@ class Catalog:
 
     def _optimize_filelist_incremental(
         self, name: str, meta: TableMeta, pks: list[str], w
-    ) -> None:
+    ) -> int:
         """File-level incremental OPTIMIZE (Delta's OPTIMIZE shape).
+        Returns the generation whose resolved state it proved PK-clean
+        (the committed target, or the untouched current gen when no
+        duplicate existed) — the pk-clean marker recording anchor.
 
         Rewrites ONLY the files that hold a copy of a duplicated
         primary key; clean files carry over by reference. At 100 TB an
@@ -2432,7 +2658,7 @@ class Catalog:
             )
         files, base_stats = resolved or ([], {})
         if not files:
-            return
+            return gen
         schema = self._with_ingest(meta.struct)
         base = self.spark.read.schema(schema).parquet(
             *[self._fl_abs(f) for f in files]
@@ -2454,7 +2680,7 @@ class Catalog:
             .collect()
         ]
         if not dirty_abs:
-            return
+            return gen
         dirty_rel = {self._abs_to_rel(name, p) for p in dirty_abs}
         if 2 * len(dirty_rel) >= len(files):
             # mostly-dirty table: the surgical path would rewrite
@@ -2469,7 +2695,7 @@ class Catalog:
                 .drop("__rn")
             )
             self._rewrite_table_filelist(name, deduped_all, target_gen=target)
-            return
+            return target
         dirty_df = self.spark.createDataFrame(
             [(p,) for p in dirty_abs], "__f string"
         )
@@ -2481,6 +2707,7 @@ class Catalog:
             .drop("__rn")
         )
         self._fl_commit_surgical(name, target, base_stats, files, dirty_rel, deduped)
+        return target
 
     def _fl_commit_surgical(
         self,

@@ -1,16 +1,21 @@
-"""Upsert empty-base fast path (optimization round r13).
+"""Upsert batch-scoped dup probe (optimization round r13).
 
-``Catalog.upsert`` into a provably-empty table PK-dedupes the batch in
-flight and skips the table-sized dup-probe scan. These tests pin:
+``Catalog.upsert`` pays optimize's table-sized dup probe per call.
+When the pre-insert committed state is known PK-unique (a recorded
+pk-clean marker, or a provably EMPTY base), the probe narrows to the
+batch's own just-written files; a clean probe skips optimize outright.
+These tests pin:
 
-- result equivalence with the slow path (insert + optimize), including
-  batches with internal duplicate PKs — the survivor must be the one
-  the LWW window (content-hash tiebreak within one ingest seq) picks;
-- the fast path actually skipping optimize on an empty base and NOT
-  skipping it on a non-empty one;
-- the race fallback: any commit that lands between the emptiness check
-  and the post-insert confirmation forces the full optimize, so a
-  rival writer's rows are still deduped against ours.
+- the skip actually happening for clean batches (empty base and
+  marker-clean base) and NOT happening when the batch carries internal
+  duplicate PKs or collides with existing keys;
+- byte-equivalence with the slow path (insert + optimize) — the insert
+  is an untouched raw append, so all committed bytes are identical;
+- marker lifecycle: recorded by optimize/upsert, invalidated by any
+  out-of-band commit (raw insert), never trusted stale;
+- the race fallbacks: any commit that lands between the pre-insert
+  check and the post-insert confirmation forces the full optimize, so
+  a rival writer's duplicates still resolve.
 """
 
 from __future__ import annotations
@@ -58,47 +63,148 @@ def _expected_lww_survivor(spark, data):
     )
 
 
+def _counting(monkey_target_list):
+    orig = Catalog._optimize_once
+
+    def wrapped(self, name, **kw):
+        monkey_target_list.append(name)
+        return orig(self, name, **kw)
+
+    return orig, wrapped
+
+
+@pytest.fixture()
+def probe_always(monkeypatch):
+    """Disable the size gate: small test tables take the batch probe
+    exactly like production-sized ones."""
+    monkeypatch.setenv("NT_UPSERT_PROBE_TABLE_BYTES", "0")
+
+
 @pytest.mark.parametrize("mode", MODES)
-def test_fastpath_skips_probe_and_matches_slow_path(spark, tmp_path, mode):
+def test_clean_batches_skip_optimize(spark, tmp_path, mode, probe_always):
+    """Empty base + PK-unique batch, then marker-clean base +
+    non-colliding batch: neither upsert may run the table probe."""
     cat = Catalog(spark, str(tmp_path / f"lk_{mode}"), commit_mode=mode)
     cat.create("px", SCHEMA, ["year"], ["ticker", "date"])
     calls: list[str] = []
-    orig = Catalog._optimize_once
-    Catalog._optimize_once = lambda self, name: (calls.append(name), orig(self, name))[1]
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
     try:
+        cat.upsert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+        assert calls == [], "empty-base clean upsert must skip optimize"
+        cat.upsert("px", _rows(spark, [("C", D1, 3.0)]))  # no collision
+        if mode == "manifest":
+            # manifest mode records no pk-clean markers (its appends
+            # mutate the generation dir in place, so a stale listing
+            # cannot be told from a clean one): full optimize runs
+            assert cat._valid_pk_clean_token("px") is None
+            assert calls == ["px"]
+        else:
+            assert cat._valid_pk_clean_token("px") is not None
+            assert calls == [], "marker-clean non-colliding upsert must skip"
+        assert _content(cat, "px") == sorted(
+            [
+                ("A", str(D1), D1.year, 1.0),
+                ("B", str(D2), D2.year, 2.0),
+                ("C", str(D1), D1.year, 3.0),
+            ]
+        )
+    finally:
+        Catalog._optimize_once = orig
+
+
+def test_size_gate_routes_small_tables_to_full_optimize(spark, tmp_path):
+    """With the default threshold (256 MB), a small marker-clean table
+    still runs the classic full optimize — the batch probe's extra
+    scheduling would cost more than the table-wide shuffle locally."""
+    cat = Catalog(spark, str(tmp_path / "gate"), commit_mode="rename")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"])
+    cat.upsert("px", _rows(spark, [("A", D1, 1.0)]))
+    assert cat._valid_pk_clean_token("px") is not None
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+    try:
+        cat.upsert("px", _rows(spark, [("B", D2, 2.0)]))
+    finally:
+        Catalog._optimize_once = orig
+    assert calls == ["px"]
+    assert _content(cat, "px") == sorted(
+        [("A", str(D1), D1.year, 1.0), ("B", str(D2), D2.year, 2.0)]
+    )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_dirty_batches_run_full_optimize(spark, tmp_path, mode, probe_always):
+    """Internal batch dups and batch-vs-existing collisions must both
+    fall back to the full optimize, with the same LWW survivors the
+    slow path picks."""
+    cat = Catalog(spark, str(tmp_path / f"d_{mode}"), commit_mode=mode)
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"])
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+    try:
+        # internal dup into the EMPTY table -> probe dirty -> optimize
         dup_batch = [("A", D1, 1.0), ("A", D1, 9.0), ("B", D2, 2.0)]
         cat.upsert("px", _rows(spark, dup_batch))
-        assert calls == [], "empty-base upsert must skip the dup probe"
+        assert calls == ["px"], "internal batch dup must run optimize"
         exp_a = _expected_lww_survivor(spark, [("A", D1, 1.0), ("A", D1, 9.0)])
-        assert _content(cat, "px") == sorted(
-            [("A", str(D1), D1.year, exp_a), ("B", str(D2), D2.year, 2.0)]
-        )
-        # non-empty base: normal path, optimize runs, LWW across seqs
+        assert [c for *_, c in _content(cat, "px")] == [exp_a, 2.0]
+        # collision with an existing key -> probe dirty -> optimize,
+        # later ingest seq wins
         cat.upsert("px", _rows(spark, [("A", D1, 5.0)]))
-        assert calls == ["px"], "non-empty upsert must run optimize"
+        assert calls == ["px", "px"]
         assert [c for *_, c in _content(cat, "px")] == [5.0, 2.0]
     finally:
         Catalog._optimize_once = orig
 
 
 @pytest.mark.parametrize("mode", MODES)
-def test_fastpath_equals_slow_path_content(spark, tmp_path, mode):
-    """Same batch through upsert (fast) vs insert+optimize (slow):
-    byte-identical survivors."""
-    batch = [("A", D1, 1.0), ("A", D1, 9.0), ("A", D1, 4.5), ("B", D2, 2.0)]
+def test_fastpath_equals_slow_path_content(spark, tmp_path, mode, probe_always):
+    """Same batches through upsert (probe path) vs insert+optimize:
+    identical survivors."""
+    b1 = [("A", D1, 1.0), ("A", D1, 9.0), ("A", D1, 4.5), ("B", D2, 2.0)]
+    b2 = [("A", D1, 7.0), ("C", D2, 3.0)]
     fast = Catalog(spark, str(tmp_path / f"f_{mode}"), commit_mode=mode)
     fast.create("t", SCHEMA, ["year"], ["ticker", "date"])
-    fast.upsert("t", _rows(spark, batch))
+    fast.upsert("t", _rows(spark, b1))
+    fast.upsert("t", _rows(spark, b2))
     slow = Catalog(spark, str(tmp_path / f"s_{mode}"), commit_mode=mode)
     slow.create("t", SCHEMA, ["year"], ["ticker", "date"])
-    slow.insert("t", _rows(spark, batch))
-    slow.optimize("t")
+    for b in (b1, b2):
+        slow.insert("t", _rows(spark, b))
+        slow.optimize("t")
     assert _content(fast, "t") == _content(slow, "t")
 
 
+@pytest.mark.parametrize("mode", ("rename", "filelist"))
+def test_marker_invalidated_by_raw_insert(spark, tmp_path, mode, probe_always):
+    """A raw insert (no optimize) changes the committed state, so the
+    marker must stop validating and the next upsert must run the FULL
+    probe — otherwise the raw insert's internal dups would survive."""
+    cat = Catalog(spark, str(tmp_path / f"inv_{mode}"), commit_mode=mode)
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"])
+    cat.upsert("px", _rows(spark, [("A", D1, 1.0)]))
+    assert cat._valid_pk_clean_token("px") is not None
+    cat.insert("px", _rows(spark, [("D", D2, 4.0), ("D", D2, 4.5)]))  # raw dups
+    assert cat._valid_pk_clean_token("px") is None
+
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+    try:
+        cat.upsert("px", _rows(spark, [("E", D1, 9.0)]))
+    finally:
+        Catalog._optimize_once = orig
+    assert calls == ["px"], "stale marker must force the full probe"
+    got = _content(cat, "px")
+    assert [t for t, *_ in got] == ["A", "D", "E"], got  # D deduped
+
+
 @pytest.mark.parametrize("mode", MODES)
-def test_fastpath_rival_append_falls_back(spark, tmp_path, mode):
-    """A rival batch committed between the emptiness check and the
+def test_rival_append_mid_upsert_falls_back(spark, tmp_path, mode, probe_always):
+    """A rival batch committed between the pre-insert check and the
     post-insert confirmation must force the full optimize — its rows
     are LWW-deduped against ours, never left as silent duplicates."""
     root = str(tmp_path / f"race_{mode}")
@@ -107,13 +213,10 @@ def test_fastpath_rival_append_falls_back(spark, tmp_path, mode):
     b = Catalog(spark, root, commit_mode=mode)
 
     real_write = Catalog._write
-    real_opt = Catalog._optimize_once
     fired = {"done": False}
-    opt_calls: list[str] = []
-    Catalog._optimize_once = lambda self, name: (
-        opt_calls.append(name),
-        real_opt(self, name),
-    )[1]
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
 
     def racing_write(self, name, df, wmode):
         real_write(self, name, df, wmode)
@@ -128,8 +231,8 @@ def test_fastpath_rival_append_falls_back(spark, tmp_path, mode):
         a.upsert("m", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
     finally:
         Catalog._write = real_write
-        Catalog._optimize_once = real_opt
-    assert opt_calls == ["m"], "the race must force the full optimize"
+        Catalog._optimize_once = orig
+    assert calls == ["m"], "the race must force the full optimize"
     got = _content(a, "m")
     # exactly one row per PK. NOTE: a and b are separate Catalog
     # instances that each loaded next_seq before the race, so both
@@ -149,11 +252,42 @@ def test_fastpath_filelist_gen_check_airtight(spark, tmp_path):
     cat.create("m", SCHEMA, None, ["ticker", "date"])
     token = cat._upsert_empty_base_token("m")
     assert token is not None and token[0] == "gen"
-    cat.insert("m", _rows(spark, [("A", D1, 1.0)]), _pk_dedupe=True)
+    cat.insert("m", _rows(spark, [("A", D1, 1.0)]))
     assert cat._upsert_base_undisturbed("m", token)
     # a second commit advances the gen: the same token must now refuse
-    cat.insert("m", _rows(spark, [("B", D2, 2.0)]), _pk_dedupe=True)
+    cat.insert("m", _rows(spark, [("B", D2, 2.0)]))
     assert not cat._upsert_base_undisturbed("m", token)
+
+
+def test_narrowed_filelist_rival_mid_probe_falls_back(spark, tmp_path, probe_always):
+    """Filelist: a rival commit between the undisturbed check and the
+    skip decision breaks the expected-generation re-check; the upsert
+    must rerun the FULL optimize so the rival's duplicates resolve."""
+    root = str(tmp_path / "nr_race")
+    a = Catalog(spark, root, commit_mode="filelist")
+    a.create("m", SCHEMA, None, ["ticker", "date"])
+    a.upsert("m", _rows(spark, [("A", D1, 1.0)]))
+    assert a._valid_pk_clean_token("m") is not None
+    b = Catalog(spark, root, commit_mode="filelist")
+
+    real_undisturbed = Catalog._upsert_base_undisturbed
+    fired = {"done": False}
+
+    def racing_check(self, name, token):
+        ok = real_undisturbed(self, name, token)
+        # rival lands AFTER the check passes, BEFORE the skip decision
+        if self is a and ok and not fired["done"]:
+            fired["done"] = True
+            b.insert("m", _rows(spark, [("X", D2, 8.0), ("X", D2, 8.5)]))
+        return ok
+
+    Catalog._upsert_base_undisturbed = racing_check
+    try:
+        a.upsert("m", _rows(spark, [("B", D2, 2.0)]))
+    finally:
+        Catalog._upsert_base_undisturbed = real_undisturbed
+    got = _content(a, "m")
+    assert [t for t, *_ in got] == ["A", "B", "X"], got  # X deduped
 
 
 def test_fastpath_keyless_table_not_engaged(spark, tmp_path):
