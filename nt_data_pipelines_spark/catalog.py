@@ -1440,12 +1440,21 @@ class Catalog:
         self.insert(name, df, mode="append")
         if base is not None and self._upsert_base_undisturbed(name, base):
             expect = base[1] + 1 if base[0] == "gen" else None
+            # the post-probe re-check closes the probe-window TOCTOU for
+            # BOTH token kinds: filelist re-checks the OCC generation,
+            # dir tokens (rename/manifest) re-run the listing + write-
+            # UUID check — a rival append landing between the first
+            # undisturbed check and the probe's snapshot read would
+            # otherwise be classified as already-proven-clean older
+            # rows and never examined
             if not self._batch_dup_probe(name, base, seq, older_empty) and (
-                expect is None or self._current_gen(name) == expect
+                self._current_gen(name) == expect
+                if expect is not None
+                else self._upsert_base_undisturbed(name, base)
             ):
                 # no batch-internal dup, no batch/older collision, and
-                # (filelist) no rival commit slipped in while probing —
-                # provably no duplicate key exists; skip optimize
+                # no rival commit slipped in while probing — provably
+                # no duplicate key exists; skip optimize
                 self._record_pk_clean(name, expect_gen=expect)
                 return
         self.optimize(name)
@@ -1456,6 +1465,11 @@ class Catalog:
     # batch-key collect cap for the dup probe's single-job form — an
     # incremental batch this small is driver-bounded by construction
     _PROBE_COLLECT_MAX_BYTES = 8 << 20
+    # above this committed batch size the probe's semi-join is left to
+    # the planner (shuffled) instead of a forced broadcast of the
+    # batch's distinct keys — bounds driver/executor memory on
+    # backfill-sized upserts
+    _PROBE_BROADCAST_MAX_BYTES = 256 << 20
 
     def _list_parquet_recursive(self, fs, p) -> list[tuple[str, int]]:
         """(path, length) for every parquet data file under ``p``,
@@ -1652,16 +1666,20 @@ class Catalog:
         runs the full optimize. False is a proof: no batch-internal
         duplicate and no batch key colliding with an older row.
 
-        Both probe sides read the table's ONE cached root relation
-        filtered on the ingest seq (parquet row-group stats prune the
-        batch-side scan to the batch's files), never a per-file path
-        list — explicit multi-path reads re-plan a fresh file index
-        per call, measured at 1.5-3 s of pure driver time on a
-        few-hundred-file table. A small batch (byte total from the
-        commit listing) collects its keys once and probes with a local
-        relation; larger batches use a distributed narrow groupBy +
-        broadcast semi-join. Never a table-wide exchange: the old
-        global probe shuffled every key in the table per upsert."""
+        Both probe sides read the table's root relation filtered on
+        the ingest seq (parquet row-group stats prune the batch-side
+        scan to the batch's files). In rename/manifest modes that is
+        the plain data-dir scan — never a per-file path list, whose
+        fresh file-index re-planning measured 1.5-3 s of pure driver
+        time on a few-hundred-file table; filelist mode's snapshot
+        read is inherently a multi-path read (``_fl_read``), so there
+        the win is only the narrowed probe, not the listing. A small
+        batch (byte total from the commit listing) collects its keys
+        once and probes with a local relation; larger batches use a
+        distributed narrow groupBy + a semi-join (broadcast while the
+        batch fits, plain shuffled join above the cap). Never a
+        table-wide exchange of every committed key: the old global
+        probe shuffled the whole table's keys per upsert."""
         meta = self._meta(name)
         pks = meta.primary_keys
         batch_bytes: int | None = 0
@@ -1689,29 +1707,40 @@ class Catalog:
         full = self._raw_table(name)
         bkeys = full.filter(F.col(INGEST_COL) == F.lit(seq)).select(*pks)
         older_rows = full.filter(F.col(INGEST_COL) != F.lit(seq)).select(*pks)
+        right = None
         if batch_bytes is not None and batch_bytes <= self._PROBE_COLLECT_MAX_BYTES:
             # incremental-sized batch: ONE row-group-pruned job
             # collects its keys; internal dups resolve in python
             # (None==None, matching groupBy's null semantics) and the
             # collision probe joins a local relation — the job-floor-
-            # lightest shape, keys driver-bounded by the byte cap
-            keys = [tuple(r) for r in bkeys.collect()]
-            if not keys:
-                return False  # empty batch: nothing new to duplicate
-            if any(
-                isinstance(v, float) and v != v for k in keys for v in k
-            ):
-                return True  # NaN pk: python/Spark equality diverge
-            if len(keys) != len(set(keys)):
-                return True
-            if older_known_empty:
-                return False
-            by_name = {f.name: f for f in meta.struct.fields}
-            pk_schema = T.StructType([by_name[c] for c in pks])
-            right = F.broadcast(
-                self.spark.createDataFrame(keys, pk_schema).select(*pks)
-            )
-        else:
+            # lightest shape, keys driver-bounded by the byte cap.
+            # Guarded end to end: unhashable PK values (binary ->
+            # bytearray, array -> list) throw in set(), and a None in
+            # a non-nullable PK field can make createDataFrame reject
+            # — either falls back to the distributed probe below
+            # instead of erroring out of upsert AFTER the insert
+            # committed (which would leave the batch appended but
+            # never optimized).
+            try:
+                keys = [tuple(r) for r in bkeys.collect()]
+                if not keys:
+                    return False  # empty batch: nothing new to duplicate
+                if any(
+                    isinstance(v, float) and v != v for k in keys for v in k
+                ):
+                    return True  # NaN pk: python/Spark equality diverge
+                if len(keys) != len(set(keys)):
+                    return True
+                if older_known_empty:
+                    return False
+                by_name = {f.name: f for f in meta.struct.fields}
+                pk_schema = T.StructType([by_name[c] for c in pks])
+                right = F.broadcast(
+                    self.spark.createDataFrame(keys, pk_schema).select(*pks)
+                )
+            except Exception:
+                right = None  # distributed probe decides instead
+        if right is None:
             internal = (
                 bkeys.groupBy(*pks)
                 .agg(F.count(F.lit(1)).alias("__n"))
@@ -1722,7 +1751,19 @@ class Catalog:
                 return True
             if older_known_empty:
                 return False
-            right = F.broadcast(bkeys.distinct())
+            # broadcast only batches provably within bounds: an
+            # unknown or backfill-sized batch would otherwise build an
+            # unbounded broadcast relation (driver/executor OOM risk,
+            # 8 GB broadcast hard cap) — above the cap the planner
+            # keeps a plain shuffled semi-join, which is exactly the
+            # stability profile of the old full-optimize probe
+            bd = bkeys.distinct()
+            right = (
+                F.broadcast(bd)
+                if batch_bytes is not None
+                and batch_bytes <= self._PROBE_BROADCAST_MAX_BYTES
+                else bd
+            )
         # null-SAFE equality: optimize's groupBy/window treat NULL pk
         # values as one key, so the collision probe must too
         cond = None
@@ -1797,11 +1838,15 @@ class Catalog:
             )
         self._rewrite_table(name, out.select(*full.columns), preserve_layout)
 
-    def _with_occ_retry(self, name: str, fn, attempts: int = 3) -> None:
+    def _with_occ_retry(self, name: str, fn, attempts: int = 3):
         """Run a rewrite, recomputing from the CURRENT table state
         after each lost manifest-commit race. Every retry re-reads
         through :meth:`_raw_table`, so the winner's rows are the new
-        base — stale staged data is never re-committed."""
+        base — stale staged data is never re-committed.
+
+        Returns ``fn()``'s result — load-bearing for ``optimize``,
+        whose ``_optimize_once`` returns the generation it proved
+        PK-clean (the pk-clean marker recording anchor)."""
         for attempt in range(attempts):
             try:
                 return fn()

@@ -290,6 +290,102 @@ def test_narrowed_filelist_rival_mid_probe_falls_back(spark, tmp_path, probe_alw
     assert [t for t, *_ in got] == ["A", "B", "X"], got  # X deduped
 
 
+def test_manifest_empty_base_rival_mid_probe_falls_back(spark, tmp_path, probe_always):
+    """Manifest mode, empty-base fast path: a rival append landing
+    BETWEEN the undisturbed check and the probe's snapshot read used
+    to be classified as already-proven-clean 'older rows' and never
+    examined (older_known_empty skips the cross-collision probe) — its
+    internal duplicates survived while optimize was skipped. The
+    post-probe re-check (listing + write-UUID) must now catch it."""
+    root = str(tmp_path / "mftoctou")
+    a = Catalog(spark, root, commit_mode="manifest")
+    a.create("m", SCHEMA, None, ["ticker", "date"])
+
+    real_probe = Catalog._batch_dup_probe
+    fired = {"done": False}
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+
+    def racing_probe(self, name, base, seq, older_known_empty=False):
+        if self is a and not fired["done"]:
+            fired["done"] = True
+            # constructed NOW so the rival loads the post-insert
+            # next_seq and stamps a DIFFERENT ingest seq — its rows
+            # read as 'older rows', the exact blind spot
+            b = Catalog(spark, root, commit_mode="manifest")
+            b.insert("m", _rows(spark, [("X", D2, 8.0), ("X", D2, 8.5)]))
+        return real_probe(self, name, base, seq, older_known_empty)
+
+    Catalog._batch_dup_probe = racing_probe
+    try:
+        a.upsert("m", _rows(spark, [("A", D1, 1.0)]))
+    finally:
+        Catalog._batch_dup_probe = real_probe
+        Catalog._optimize_once = orig
+    assert calls == ["m"], "rival mid-probe must force the full optimize"
+    got = _content(a, "m")
+    assert [t for t, *_ in got] == ["A", "X"], got  # X deduped
+
+
+BIN_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _bin_rows(spark, data):
+    return spark.createDataFrame([(bytearray(k), v) for k, v in data], BIN_SCHEMA)
+
+
+def test_binary_pk_collect_branch_falls_back(spark, tmp_path, probe_always):
+    """Binary PKs collect as bytearray (unhashable — set() throws
+    TypeError): the collect branch must fall back to the distributed
+    probe instead of erroring out of upsert AFTER the insert committed.
+    Clean batches still skip optimize; dup batches still resolve."""
+    cat = Catalog(spark, str(tmp_path / "binpk"), commit_mode="rename")
+    cat.create("b", BIN_SCHEMA, None, ["key"])
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+    try:
+        cat.upsert("b", _bin_rows(spark, [(b"k1", 1.0), (b"k2", 2.0)]))
+        assert calls == [], "clean empty-base binary batch must still skip"
+        cat.upsert("b", _bin_rows(spark, [(b"k3", 3.0)]))
+        assert calls == [], "clean marker-base binary batch must still skip"
+        cat.upsert("b", _bin_rows(spark, [(b"k1", 9.0)]))  # collision
+        assert calls == ["b"], "binary collision must run the full optimize"
+    finally:
+        Catalog._optimize_once = orig
+    got = sorted((bytes(r["key"]), r["val"]) for r in cat.table("b").collect())
+    assert got == [(b"k1", 9.0), (b"k2", 2.0), (b"k3", 3.0)]
+
+
+def test_probe_shuffled_join_above_broadcast_cap(spark, tmp_path, probe_always, monkeypatch):
+    """With both the collect cap and the broadcast cap forced to 0 the
+    probe must take the plain shuffled semi-join and still decide
+    correctly — the stability path for backfill-sized batches."""
+    monkeypatch.setattr(Catalog, "_PROBE_COLLECT_MAX_BYTES", 0)
+    monkeypatch.setattr(Catalog, "_PROBE_BROADCAST_MAX_BYTES", 0)
+    cat = Catalog(spark, str(tmp_path / "nobc"), commit_mode="rename")
+    cat.create("px", SCHEMA, ["year"], ["ticker", "date"])
+    calls: list[str] = []
+    orig, wrapped = _counting(calls)
+    Catalog._optimize_once = wrapped
+    try:
+        cat.upsert("px", _rows(spark, [("A", D1, 1.0), ("B", D2, 2.0)]))
+        assert calls == [], "clean shuffled-probe upsert must skip optimize"
+        cat.upsert("px", _rows(spark, [("C", D1, 3.0)]))
+        assert calls == [], "marker-clean shuffled probe must skip"
+        cat.upsert("px", _rows(spark, [("A", D1, 7.0)]))  # collision
+        assert calls == ["px"]
+    finally:
+        Catalog._optimize_once = orig
+    assert [c for *_, c in _content(cat, "px")] == [7.0, 2.0, 3.0]
+
+
 def test_fastpath_keyless_table_not_engaged(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "nk"), commit_mode="rename")
     cat.create("nk", SCHEMA, None, None)
