@@ -1456,6 +1456,14 @@ class Catalog:
                 # no rival commit slipped in while probing — provably
                 # no duplicate key exists; skip optimize
                 self._record_pk_clean(name, expect_gen=expect)
+                # the skip path never rewrites, so a high-cadence
+                # stream of clean upserts would grow small files
+                # without bound (guide §6) — route through compact()
+                # once the file count crosses the threshold. compact
+                # preserves rows exactly (marker lapses with its
+                # commit; the next upsert's full probe re-records it).
+                if self._live_file_count(name) > self._upsert_compact_max_files():
+                    self.compact(name)
                 return
         self.optimize(name)
 
@@ -1779,6 +1787,29 @@ class Catalog:
             return os.path.getsize(local)
         fs, p = self._hfs(path)
         return fs.getFileStatus(p).getLen()
+
+    def _live_file_count(self, name: str) -> int:
+        """Live data-file count, metadata-only: the filelist manifest's
+        entry count, or a local/remote dir listing — never the per-file
+        status round-trips :meth:`data_files` pays for sizes."""
+        if self.commit_mode == "filelist":
+            gen = self._current_gen(name)
+            if gen >= 0:
+                rels = self._fl_manifest_files(name, gen)
+                return len(rels) if rels is not None else 0
+        fs, p = self._hfs(self._data_path(name))
+        if not fs.exists(p):
+            return 0
+        return len(self._list_parquet_recursive(fs, p))
+
+    @staticmethod
+    def _upsert_compact_max_files() -> int:
+        """Data-file count above which a marker-clean upsert (which
+        skips optimize, hence never rewrites) routes through
+        ``compact()``. Bounds steady-state small-file growth under
+        high-cadence clean upserts; tune via NT_UPSERT_COMPACT_FILES
+        (files per table, compared against the post-insert listing)."""
+        return int(os.environ.get("NT_UPSERT_COMPACT_FILES", 256))
 
     @staticmethod
     def _probe_table_min_bytes() -> int:

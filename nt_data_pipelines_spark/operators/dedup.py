@@ -48,11 +48,13 @@ def _pin(df: DataFrame) -> DataFrame:
     once on first touch, persists MEMORY_AND_DISK, and truncates the
     logical plan — the same stage-boundary idiom (and fault-tolerance
     trade) documented at pipelines/corpus.CurationConfig.stage_boundary.
-    Lazy, so building a plan stays free of Spark jobs.
+    Lazy, so building a plan stays free of Spark jobs. The mechanism
+    is switchable for cluster deployments via ``NT_PIN_MODE``
+    (nt_data_pipelines_spark.pin).
     """
-    from pyspark import StorageLevel
+    from nt_data_pipelines_spark.pin import pin
 
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return pin(df)
 
 
 class _DefaultCap(int):

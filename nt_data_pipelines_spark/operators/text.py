@@ -37,10 +37,12 @@ def _pin(df: DataFrame) -> DataFrame:
     not reuse a subtree across the branches that reference it, so an
     unpinned n-gram/tokenize lineage re-executes per reference (same
     idiom and fault-tolerance trade as operators/dedup._pin and
-    pipelines/corpus.CurationConfig.stage_boundary)."""
-    from pyspark import StorageLevel
+    pipelines/corpus.CurationConfig.stage_boundary). Mechanism
+    switchable for cluster deployments via ``NT_PIN_MODE``
+    (nt_data_pipelines_spark.pin)."""
+    from nt_data_pipelines_spark.pin import pin
 
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return pin(df)
 
 
 def words(text: Column | str) -> Column:

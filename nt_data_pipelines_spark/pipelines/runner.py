@@ -47,10 +47,12 @@ def _pin(df: DataFrame) -> DataFrame:
     InMemoryRelation re-planning under AQE; same idiom and
     fault-tolerance trade as pipelines/corpus.CurationConfig.
     stage_boundary). Blocks are released with the session; the flow
-    runs once per schedule tick, so no explicit unpersist."""
-    from pyspark import StorageLevel
+    runs once per schedule tick, so no explicit unpersist. Mechanism
+    switchable for cluster deployments via ``NT_PIN_MODE``
+    (nt_data_pipelines_spark.pin)."""
+    from nt_data_pipelines_spark.pin import pin
 
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return pin(df)
 
 
 def _fire_failure_hook(on_failure, exc: BaseException) -> None:

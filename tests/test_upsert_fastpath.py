@@ -386,6 +386,25 @@ def test_probe_shuffled_join_above_broadcast_cap(spark, tmp_path, probe_always, 
     assert [c for *_, c in _content(cat, "px")] == [7.0, 2.0, 3.0]
 
 
+@pytest.mark.parametrize("mode", ("rename", "filelist"))
+def test_clean_upserts_keep_file_count_bounded(spark, tmp_path, mode, probe_always, monkeypatch):
+    """The skip path never rewrites, so N clean upserts used to grow N
+    batches of small files without bound. With the compaction routing
+    the live file count stays bounded by the threshold (+ one batch)
+    and the content is untouched."""
+    monkeypatch.setenv("NT_UPSERT_COMPACT_FILES", "6")
+    cat = Catalog(spark, str(tmp_path / f"cmp_{mode}"), commit_mode=mode)
+    cat.create("px", SCHEMA, None, ["ticker", "date"])
+    expected = []
+    for i in range(12):
+        d = dt.date(2024, 1, 2) + dt.timedelta(days=i)
+        cat.upsert("px", _rows(spark, [(f"T{i}", d, float(i))]))
+        expected.append((f"T{i}", str(d), d.year, float(i)))
+    nf = cat._live_file_count("px")
+    assert nf <= 6 + 2, f"file count must stay bounded, got {nf}"
+    assert _content(cat, "px") == sorted(expected)
+
+
 def test_fastpath_keyless_table_not_engaged(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "nk"), commit_mode="rename")
     cat.create("nk", SCHEMA, None, None)
