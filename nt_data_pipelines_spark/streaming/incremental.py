@@ -446,7 +446,7 @@ def minhash_foreach_batch(
         state_bucket_cap = int(state_bucket_cap)
     if isinstance(edges_per_doc, _Defaulted):
         edges_per_doc = int(edges_per_doc)
-    from nt_data_pipelines_spark.operators.dedup import banded_minhash, word_set
+    from nt_data_pipelines_spark.operators.dedup import banded_minhash, word_arrays
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.filter(F.col(text_col).isNotNull())
@@ -464,38 +464,80 @@ def minhash_foreach_batch(
             .filter(F.col("__v") == 1)
             .drop("__v")
         )
-        bands_long = banded_minhash(
-            docs, id_col, text_col, num_hashes, bands,
-        ).select(F.col(id_col).cast("long").alias("doc_id"), "band", "band_hash")
-        # pinned once: the signature aggregation (shingle explode +
-        # 16 min-hashes) is the dominant per-batch cost and is used
-        # THREE times below (change detection, upsert, pair join)
-        bands_long = bands_long.localCheckpoint(eager=True)
+        def _bands() -> DataFrame:
+            # pinned once: the signature aggregation (shingle explode +
+            # 16 min-hashes) is the dominant per-batch cost and is
+            # used THREE times below (change detection, upsert, pair
+            # join)
+            return banded_minhash(
+                docs, id_col, text_col, num_hashes, bands,
+            ).select(
+                F.col(id_col).cast("long").alias("doc_id"), "band", "band_hash"
+            ).localCheckpoint(eager=True)
+
+        bands_long = None
+        bands_bg = None
+        if words_table is not None:
+            # Overlap the signature pin with the words phase (guide
+            # §2.6): the verified tier does not touch bands_long until
+            # the sig upsert, and the words phase (word-array pin,
+            # change detection, words upsert) is a serial chain of
+            # small jobs that leaves most cores idle — the signature
+            # jobs back-fill them. Pure Spark compute on the side
+            # thread; every catalog mutation stays on this thread.
+            from pyspark import InheritableThread
+
+            bands_res: dict = {}
+
+            def _bands_bg():
+                try:
+                    bands_res["df"] = _bands()
+                except BaseException as e:  # re-raised on join below
+                    bands_res["exc"] = e
+
+            bands_bg = InheritableThread(target=_bands_bg)
+            bands_bg.start()
+        else:
+            bands_long = _bands()
+        warr = None
         if words_table is not None:
             # Verified tier: word-set state + word-diff change
             # detection (a strict superset of signature diff — an edit
             # can change stored pairs' Jaccard without moving any
-            # MinHash component).
-            words_long = (
-                word_set(docs, id_col, text_col)
-                .select(F.col(id_col).cast("long").alias("doc_id"), "word")
+            # MinHash component). ONE pinned word-ARRAY relation (one
+            # row per batch doc, array_distinct word set) carries the
+            # batch's tokenization for all three consumers: the change
+            # detection below, the words upsert (exploded view over
+            # the pinned blocks — exactly word_set's rows), and the
+            # verify tier's batch-side word sets (no words-table
+            # re-scan, no re-aggregation). Guide §2.3/§2.4 — the
+            # round-13 batch-tier rewrite, applied per micro-batch.
+            warr = (
+                word_arrays(docs, id_col, text_col)
+                .select(F.col(id_col).cast("long").alias("doc_id"), "__ws")
                 .localCheckpoint(eager=True)
             )
-            stored_words = catalog.table(words_table).join(
-                words_long.select("doc_id").distinct(), "doc_id", "left_semi"
+            words_long = warr.select("doc_id", F.explode("__ws").alias("word"))
+            # change detection as ONE array comparison: stored word
+            # sets of the batch's docs aggregate once; a doc changed
+            # iff either set difference is non-empty. Brand-new docs
+            # (no stored rows) drop out of the inner join — additions,
+            # not changes, same as the old added/removed anti-join
+            # form (equivalence: stored_words was already restricted
+            # to batch ids, so every old 'removed' doc joins here too).
+            stored_sets = (
+                catalog.table(words_table)
+                .join(warr.select("doc_id"), "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.collect_set("word").alias("__sw"))
             )
-            added = words_long.join(stored_words, ["doc_id", "word"], "left_anti")
-            removed = stored_words.join(words_long, ["doc_id", "word"], "left_anti")
-            # brand-new docs (no stored words) are additions, not
-            # changes — retracting for them would rewrite the pairs
-            # table every batch for nothing
             changed = (
-                added.join(
-                    stored_words.select("doc_id").distinct(), "doc_id", "left_semi"
+                warr.join(stored_sets, "doc_id")
+                .filter(
+                    (F.size(F.array_except("__ws", "__sw")) > 0)
+                    | (F.size(F.array_except("__sw", "__ws")) > 0)
                 )
                 .select("doc_id")
-                .unionByName(removed.select("doc_id"))
-                .distinct()
                 .localCheckpoint(eager=True)  # pin pre-upsert view
             )
             if changed.limit(1).count():
@@ -512,6 +554,10 @@ def minhash_foreach_batch(
                     lambda df: df.join(changed, "doc_id", "left_anti"),
                 )
             catalog.upsert(words_table, words_long)
+            bands_bg.join()
+            if "exc" in bands_res:
+                raise bands_res["exc"]
+            bands_long = bands_res["df"]
         else:
             # Retraction pass: docs whose signature CHANGED vs the
             # stored state carry stale pairs computed from their old
@@ -561,32 +607,42 @@ def minhash_foreach_batch(
             )
             .distinct()
         )
-        batch_ids = bands_long.select("doc_id").distinct()
+        batch_ids = (
+            warr.select("doc_id")
+            if warr is not None  # one row per doc by construction
+            else bands_long.select("doc_id").distinct()
+        )
         if words_table is not None:
             # verify the batch's candidates against the (now updated)
             # word state: only exact Jaccard >= threshold pairs persist.
             # Word-ARRAY form (the batch verify tier's rewrite, guide
-            # §2.3): the old shape joined each candidate against two
-            # exploded (doc_id, word) relations — an |A|-row fan-out
-            # per pair through two exchanges plus a per-pair groupBy,
-            # and a THIRD pass over the word state for sizes. Here the
-            # candidate endpoints' word sets aggregate ONCE into
-            # arrays (state is PK-distinct, so collect_set is the
-            # exact set), each pair moves two arrays, and
-            # |A∩B|/sizes are codegen array ops. The explicit
-            # __nc >= 1 filter reproduces the old inner common-join
-            # semantics exactly (a zero-overlap pair never appeared
-            # there), independent of the threshold value.
+            # §2.3): each pair moves two word arrays; |A∩B|/sizes are
+            # codegen array ops. Batch-side endpoints read their
+            # arrays straight from the pinned ``warr`` blocks — the
+            # post-upsert words-table state for a batch doc IS its
+            # batch word set (changed docs' old rows were retracted
+            # above, and the upsert is a PK LWW) — so the words-table
+            # scan+collect_set narrows to NON-batch partners only
+            # (state is PK-distinct, so collect_set is the exact
+            # set). The explicit __nc >= 1 filter reproduces the old
+            # inner common-join semantics exactly (a zero-overlap
+            # pair never appeared there), independent of the
+            # threshold value.
             ws = catalog.table(words_table)
             ids = (
                 new_pairs.select(F.col("id_a").alias("doc_id"))
                 .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
                 .distinct()
             )
-            wsets = (
+            state_sets = (
                 ws.join(ids, "doc_id", "left_semi")
+                .join(warr.select("doc_id"), "doc_id", "left_anti")
                 .groupBy("doc_id")
                 .agg(F.collect_set("word").alias("__ws"))
+            )
+            wsets = (
+                warr.join(ids, "doc_id", "left_semi")
+                .unionByName(state_sets)
                 .localCheckpoint(eager=False)  # read by both pair sides
             )
             wa = wsets.select(F.col("doc_id").alias("id_a"), F.col("__ws").alias("__wa"))
