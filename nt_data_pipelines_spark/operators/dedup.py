@@ -953,14 +953,33 @@ def resolve_dup_groups_distributed(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        # pinned like every round below: the first round reads it 4x
+        .localCheckpoint(eager=True)
     )
+    # Round structure (round 14, guide §2.4): ONE checkpoint per round.
+    # The old shape pinned an intermediate `prop` so the fresh jump's
+    # self-join would not re-execute the edges⋈labels propagation —
+    # two eager checkpoints + a count per round. Jumping through the
+    # PREVIOUS round's pinned label table instead needs no second pin:
+    # the jump is one join against blocks that already exist, and the
+    # label-only-decreases / label-is-a-component-member invariants
+    # (the convergence proof) hold for any mix of propagation and
+    # stale jumps. A stale jump still composes the previous round's
+    # mapping, so label-path lengths keep halving (one extra round vs
+    # the fresh jump on a chain). Measured on the c9 hot-bucket edge
+    # set (286k edges, 182k-doc chain component), interleaved A/B:
+    # old 21.8s / 189 jobs -> 18.5s / 167 jobs median (1.18x, faster
+    # in every pair). A TWO-jump variant (fewer rounds, 122 jobs)
+    # benched SLOWER (25.9s): by the second jump most labels have
+    # converged to the component min, so the join key is maximally
+    # skewed and the extra join costs more than the rounds it saves.
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        prop = (
+        cur = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -969,28 +988,28 @@ def resolve_dup_groups_distributed(
                 ).alias("plabel"),
                 F.col("label").alias("old_label"),
             )
-            # the hop below self-joins prop; without the cut the
-            # edges⋈labels propagation executes twice per round
-            .localCheckpoint(eager=True)
         )
-        # pointer jumping: follow one more hop through the label table
-        # (labels are node ids, so every label has a row)
-        hop = prop.select(
-            F.col("node").alias("hnode"), F.col("plabel").alias("hlabel")
+        # pointer jumping through the previous round's pinned labels
+        # (labels are node ids, so every label has a row there)
+        hop = labels.select(
+            F.col("node").alias("__hnode"), F.col("label").alias("__hlabel")
         )
-        updated = (
-            prop.join(hop, prop.plabel == hop.hnode, "left")
+        cur = (
+            cur.join(hop, cur.plabel == hop.__hnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("plabel"), F.coalesce(F.col("hlabel"), F.col("plabel"))
-                ).alias("new_label"),
+                    F.col("plabel"),
+                    F.coalesce(F.col("__hlabel"), F.col("plabel")),
+                ).alias("plabel"),
                 "old_label",
             )
         )
-        # materialize the round so the next join doesn't re-derive the
-        # whole lineage, and check convergence on the same pass
-        updated = updated.localCheckpoint(eager=True)
+        # materialize the round so the next one doesn't re-derive the
+        # whole lineage, and check convergence on the same blocks
+        updated = cur.select(
+            "node", F.col("plabel").alias("new_label"), "old_label"
+        ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("old_label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
