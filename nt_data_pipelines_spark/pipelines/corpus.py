@@ -190,8 +190,29 @@ def curate_corpus(
 
         if config.stage_boundary == "local_checkpoint":
             frame = frame.localCheckpoint(
-                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
+            # Parallelism floor (guide §2.5/§6, round 14). AQE
+            # coalesces shuffle outputs by BYTES and a broadcast join
+            # inherits its stream side's layout, so a filtered text
+            # corpus can land on 1-2 partitions — and the pin then
+            # FREEZES that layout, putting every downstream per-row
+            # text op (n-gram explode, quality features, minhash) on
+            # 1-2 cores. Measured at sf1: every stage after the
+            # semantic tier pinned at np=1, with the span-gram pin
+            # alone 3.1 s single-core. Repartitioning the pinned
+            # blocks is a RAM-local shuffle (~0.3 s here), and the
+            # branch is scale-adaptive: it fires only below half the
+            # environment parallelism, which a real-scale stage output
+            # (thousands of partitions) never hits. Eager pins also
+            # make the np observable without re-triggering AQE stages.
+            from nt_data_pipelines_spark.session import default_parallelism
+
+            n = default_parallelism()
+            if frame.rdd.getNumPartitions() < max(2, n // 2):
+                frame = frame.repartition(n).localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
         elif config.stage_boundary == "checkpoint":
             frame = frame.checkpoint(eager=False)
         elif config.stage_boundary == "persist":
