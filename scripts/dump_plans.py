@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for registry queries into plans/r13/.
+"""Dump .explain("formatted") for registry queries into plans/<round>/ 
+(SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Usage: python scripts/dump_plans.py <suffix> [name ...]
 
@@ -52,7 +53,8 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or HEADLINE + EXTRA
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r13"
+    out_dir = (Path(__file__).resolve().parents[1] / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(
