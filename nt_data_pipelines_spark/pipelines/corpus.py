@@ -209,7 +209,7 @@ def curate_corpus(
             from nt_data_pipelines_spark.session import default_parallelism
 
             n = default_parallelism()
-            if frame.rdd.getNumPartitions() < max(2, n // 2):
+            if frame.rdd.getNumPartitions() < n:
                 frame = frame.repartition(n).localCheckpoint(
                     eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
                 )
@@ -225,6 +225,20 @@ def curate_corpus(
         stages.append((name, frame))
         return frame
 
+    # Input parallelism (guide §2.5 "input skew: repartition after the
+    # read" / §6): a corpus laid out in fewer files than cores scans —
+    # and runs the normalize pass, the pipeline's single biggest
+    # per-row stage — on that many cores (sf5: 16 files on 32 cores,
+    # 17.3 s). The repartition sits BELOW the normalize projection, so
+    # raw bytes shuffle once and the normalize runs n-way inside the
+    # pin. Scale-adaptive: never fires when the scan already carries
+    # >= env-parallelism partitions (any real-scale corpus).
+    if config.stage_boundary == "local_checkpoint":
+        from nt_data_pipelines_spark.session import default_parallelism
+
+        n_par = default_parallelism()
+        if docs.rdd.getNumPartitions() < n_par:
+            docs = docs.repartition(n_par)
     norm = stage("input", docs.withColumn(text_col, TX.normalize_text(text_col)))
 
     survivors = exact_dedup(norm, id_col, text_col).select(
