@@ -135,7 +135,10 @@ class CurationConfig:
     output_path: str | None = None
     # how each of the up-to-11 stage boundaries is pinned:
     #
-    # - "local_checkpoint" (default): localCheckpoint(eager=False) —
+    # - "local_checkpoint" (default): localCheckpoint(eager=True, since
+    #   round 14 — eager so the pinned partition count is observable
+    #   for the scale-adaptive parallelism floor; same jobs, run at
+    #   stage-build instead of first downstream touch) —
     #   TRUNCATES the logical plan to the checkpointed RDD. This is
     #   load-bearing, not a convenience: with plain persist(), every
     #   downstream plan tree embeds every upstream stage's full plan
